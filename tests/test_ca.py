@@ -1,0 +1,129 @@
+"""CA kernels: sync jnp vs independent numpy sync reference; pallas vs jnp;
+sequential port sanity vs hand-checked C semantics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clap_tpu.ops import ca2d, ca3d
+from clap_tpu.utils.frand import Rand48
+
+
+def np_sync_step2d(rule, arr):
+    """Independent synchronous reference (pure numpy, padded shifts)."""
+    v = arr.astype(np.int32)
+    p = np.pad(v, 1)
+    h, w = v.shape
+    offs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if rule.neigh in ("m1", "mv"):
+        offs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    n = np.zeros_like(v)
+    for dy, dx in offs:
+        nb = p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+        n += (nb > v) if rule.neigh in ("vnv", "mv") else (nb != 0)
+    born = (v == 0) & ((rule.born_mask >> n) & 1 == 1)
+    surv = (v != 0) & ((rule.surv_mask >> n) & 1 == 1)
+    out = np.where(born, rule.nr_states, v)
+    if rule.decay:
+        out = np.where((v != 0) & ~surv, v - 1, out)
+    return out.astype(np.uint8)
+
+
+@pytest.mark.parametrize("rule", [ca2d.CA_TEST, ca2d.CA_COOL_TREE, ca2d.CA_ASH_PINUS])
+def test_ca2d_sync_matches_numpy(rule):
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, rule.nr_states + 1, (32, 32)).astype(np.uint8)
+    ref = g
+    for _ in range(3):
+        ref = np_sync_step2d(rule, ref)
+    got = np.asarray(ca2d.ca2d_run(rule, jnp.asarray(g), 3))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ca2d_pallas_matches_jnp():
+    rule = ca2d.CA_TEST
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 5, (64, 64)).astype(np.uint8)
+    ref = np.asarray(ca2d.ca2d_run(rule, jnp.asarray(g), 10))
+    got = np.asarray(ca2d.ca2d_run_pallas(rule, jnp.asarray(g), 10))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ca2d_pallas_batched():
+    rule = ca2d.CA_TEST
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 5, (4, 32, 32)).astype(np.uint8)
+    ref = np.asarray(ca2d.ca2d_run(rule, jnp.asarray(g), 5))
+    got = np.asarray(ca2d.ca2d_run_pallas(rule, jnp.asarray(g), 5))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ca2d_seq_c_semantics():
+    """In-place sweep: a cell born early in the scan is visible to later
+    neighbors within the SAME step (unlike sync)."""
+    rule = ca2d.CARule("t", born_mask=1 << 1, surv_mask=0xFF, nr_states=2,
+                       decay=True, neigh="m1")
+    g = np.zeros((4, 4), dtype=np.uint8)
+    g[0, 0] = 2  # one live cell at x=0,y=0
+    out = ca2d.ca2d_step_seq_np(rule, g)
+    # scan x-major: cell x=0,y=1 sees 1 neighbor -> born 2; then x=1,y=0
+    # sees (0,0) and the newly-born (0,1) and (1,1)? walk the chain: the
+    # cascade fills cells reachable in scan order.
+    assert out[1, 0] == 2  # (x=0,y=1) born from (0,0)
+    assert out[3, 0] == 2  # cascade reaches the column end within one sweep
+    # sync comparison: only cells adjacent to the original live cell born
+    sync = np_sync_step2d(rule, g)
+    assert sync[1, 1] == 2 and sync[3, 0] == 0
+    assert not np.array_equal(out, sync)
+
+
+def test_ca2d_generate_np_deterministic():
+    r1, r2 = Rand48(99), Rand48(99)
+    a = ca2d.ca2d_generate_np(ca2d.CA_TEST, 16, 4, r1)
+    b = ca2d.ca2d_generate_np(ca2d.CA_TEST, 16, 4, r2)
+    np.testing.assert_array_equal(a, b)
+    assert a.max() <= ca2d.CA_TEST.nr_states
+
+
+def np_sync_step3d(rule, arr):
+    v = arr.astype(np.int32)
+    p = np.pad(v, 1)
+    d, h, w = v.shape
+    n = np.zeros_like(v)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dz == dy == dx == 0:
+                    continue
+                n += p[1 + dz : 1 + dz + d, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w] != 0
+    out = np.where((v != 0) & ((rule.surv_mask >> n) & 1 == 0), v - 1, v)
+    out = np.where((v == 0) & ((rule.born_mask >> n) & 1 == 1), rule.nr_states - 1, out)
+    return out.astype(np.uint8)
+
+
+@pytest.mark.parametrize("nca", [0, 2, 8])
+def test_ca3d_sync_matches_numpy(nca):
+    rule = ca3d.CA3D_RULES[nca]
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, rule.nr_states, (8, 8, 8)).astype(np.uint8)
+    ref = g
+    for _ in range(2):
+        ref = np_sync_step3d(rule, ref)
+    got = np.asarray(ca3d.ca3d_run(rule, jnp.asarray(g), 2))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ca3d_prune():
+    g = np.ones((3, 3, 3), dtype=np.uint8)
+    out = np.asarray(ca3d.ca3d_prune(jnp.asarray(g)))
+    assert out[1, 1, 1] == 0  # interior removed
+    assert out[0, 0, 0] == 1  # corners stay
+
+
+def test_ca3d_make_walls_and_cave():
+    arr = ca3d.ca3d_make_np(8, 8, 8, Rand48(7))
+    # interior of walls pruned happens after walk; walls exist pre-prune.
+    # Determinism:
+    arr2 = ca3d.ca3d_make_np(8, 8, 8, Rand48(7))
+    np.testing.assert_array_equal(arr, arr2)
+    assert int((arr != 0).sum()) > 0
