@@ -1,0 +1,309 @@
+"""Kinematic character controller (reference: core/character.c).
+
+Pure-functional, batched re-design of the reference's sweep-and-slide
+controller. Each character owns a body slot in the physics SoA; the
+controller moves that body directly (characters are kinematic,
+physics.c:1022-1032 — ODE's solver never touches them).
+
+Divergent C control flow becomes fixed-trip masked loops:
+- 3 slide iterations projecting the remainder onto the contact plane
+  (character_sweep_delta, character.c:193-243)
+- airborne split vertical/horizontal sweeps with floor-normal filter 0.5
+  while falling, combined blocking sweep while rising
+  (character_apply_velocity, character.c:267-301)
+- ground collide with step-up/down snapping (phys_body_ground_collide,
+  physics.c:695-744)
+- animation state machine as int states with masked transitions
+  (character_set_state, character.c:316-426). Transitions the C gates on
+  transition-animation completion (JUMP_START → JUMPING via the
+  idle_to_jump end-callback) fire after ``jump_start_frames`` frames
+  instead; the animation layer can override per-clip timing.
+- limbo rescue from an 8-slot grounded-position history ring
+  (character.c:546-599)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.narrowphase import StaticWorld, raycast_down
+from ..physics.sweep import sweep_capsule
+from ..physics.world import BodyParams, GRAVITY
+
+# character_state (character.h:11-18)
+CS_START = 0
+CS_WAKING = 1
+CS_IDLE = 2
+CS_MOVING = 3
+CS_JUMP_START = 4
+CS_JUMPING = 5
+CS_FALLING = 6
+
+POS_HISTORY_MAX = 8
+SLIDE_ITERS = 3
+MOTION_COEFF_MOVING = 1.0
+MOTION_COEFF_OTHER = 0.3   # character.c:508-513
+GROUND_SAFETY = 0.05       # physics.c:706-712
+GROUND_EPSILON = 1e-3
+DT_CLAMP_MAX = 1.0 / 30.0  # character.c:252-254
+JUMP_START_FRAMES = 6      # stand-in for the idle_to_jump clip length
+
+
+class CharParams(NamedTuple):
+    """Static per-character config (scene.json character block +
+    defaults from character.c)."""
+
+    body: jnp.ndarray          # int32 body slot index
+    lin_speed: jnp.ndarray     # f32 units/s (entity AABB-Y * speed)
+    jump_forward: jnp.ndarray  # f32
+    jump_upward: jnp.ndarray   # f32
+    can_dash: jnp.ndarray      # bool
+
+
+class CharState(NamedTuple):
+    """Dynamic per-character state."""
+
+    velocity: jnp.ndarray      # (3,)
+    normal: jnp.ndarray        # (3,) ground contact normal
+    state: jnp.ndarray         # int32 CS_*
+    airborne: jnp.ndarray      # bool
+    jump: jnp.ndarray          # bool: input latch
+    moved: jnp.ndarray         # int32 frames-moved counter
+    jump_start_cnt: jnp.ndarray  # int32 frames left in JUMP_START
+    collision: jnp.ndarray     # int32 ground entity/body id (-1 = none)
+    history: jnp.ndarray       # (POS_HISTORY_MAX, 3) grounded positions
+    hist_head: jnp.ndarray     # int32
+    hist_wrapped: jnp.ndarray  # bool
+    dash_time: jnp.ndarray     # f32 seconds since dash start (-1 = off)
+
+
+def char_state_init() -> CharState:
+    return CharState(
+        velocity=jnp.zeros(3, jnp.float32),
+        normal=jnp.array([0.0, 1.0, 0.0], jnp.float32),
+        state=jnp.int32(CS_START),
+        airborne=jnp.array(False),
+        jump=jnp.array(False),
+        moved=jnp.int32(0),
+        jump_start_cnt=jnp.int32(0),
+        collision=jnp.int32(-1),
+        history=jnp.zeros((POS_HISTORY_MAX, 3), jnp.float32),
+        hist_head=jnp.int32(0),
+        hist_wrapped=jnp.array(False),
+        dash_time=jnp.float32(-1.0),
+    )
+
+
+def _sweep_delta(world, params: BodyParams, body_pos, self_idx, delta,
+                 min_normal_y, stop_on_block):
+    """character_sweep_delta (character.c:193-243): ≤3 sweep-and-slide
+    iterations. Returns (new_pos_self, first_frac)."""
+    def it(carry, _):
+        pos, delta, first_frac, it_idx, done = carry
+        live = ~done & (jnp.linalg.norm(delta) >= 1e-6)
+
+        bp = body_pos.at[self_idx].set(pos)
+        res = sweep_capsule(world, params, bp, self_idx, delta)
+        frac = res.frac
+        # normal filter: ignore wall/edge contacts on vertical sweeps
+        frac = jnp.where((frac < 1.0) & (res.normal[1] < min_normal_y), 1.0, frac)
+        first_frac = jnp.where(live & (it_idx == 0), frac, first_frac)
+
+        pos = jnp.where(live, pos + delta * jnp.maximum(frac, 0.0), pos)
+
+        stop = (frac >= 1.0) | ((frac <= 0.0) & stop_on_block)
+        remaining = delta * (1.0 - frac)
+        d = jnp.dot(remaining, res.normal)
+        new_delta = remaining - d * res.normal
+        delta = jnp.where(live & ~stop, new_delta, delta)
+        done = done | (live & stop)
+        return (pos, delta, first_frac, it_idx + 1, done), None
+
+    init = (body_pos[self_idx], delta, jnp.float32(1.0), jnp.int32(0),
+            jnp.array(False))
+    (pos, _, first_frac, _, _), _ = jax.lax.scan(it, init, None, length=SLIDE_ITERS)
+    return pos, first_frac
+
+
+def ground_collide(world: StaticWorld, params: BodyParams, pos, idx, grounded):
+    """phys_body_ground_collide (physics.c:695-744). Returns
+    (new_pos_self, grounded, ground_normal, hit)."""
+    ray_off = params.ray_off[idx] - GROUND_SAFETY
+    ray_len = params.yoffset[idx] - ray_off + GROUND_EPSILON
+    p = pos[idx]
+    origin = p - jnp.array([0.0, 1.0, 0.0]) * ray_off
+
+    dist, normal, hit = raycast_down(world, origin, 2.0 * ray_len)
+
+    above = dist > ray_len
+    below = dist < ray_len
+    snap_down = grounded & above & hit
+    snap_up = below & hit
+    dy = jnp.where(snap_down, -(dist - ray_len), jnp.where(snap_up, ray_len - dist, 0.0))
+    new_p = p + jnp.array([0.0, 1.0, 0.0]) * dy
+    is_grounded = hit & ~(above & ~grounded)
+    return new_p, is_grounded, normal, hit
+
+
+def character_move(world: StaticWorld, params: BodyParams,
+                   cp: CharParams, cs: CharState,
+                   body_pos, motion_dx, motion_dz, jump_input, dt):
+    """character_move (character.c:450-537) for one character.
+
+    body_pos: (N, 3) geom centers (this character's slot will be updated).
+    Returns (new_body_pos_self, new CharState).
+    """
+    idx = cp.body
+    dt = jnp.clip(dt, 0.0, DT_CLAMP_MAX)
+
+    # --- ground collide + snap
+    p_snap, grounded, gnormal, ghit = ground_collide(
+        world, params, body_pos, idx, ~cs.airborne
+    )
+    body_pos = body_pos.at[idx].set(p_snap)
+    airborne = ~grounded
+    collision = jnp.where(grounded, idx * 0, -1)  # body id of ground: resolved by caller
+
+    # jump-rise protection (character.c:455-463)
+    airborne = airborne | ((cs.state == CS_JUMPING) & (cs.velocity[1] > 0))
+
+    velocity = cs.velocity
+    state = cs.state
+    jump_latch = cs.jump | jump_input
+
+    # --- JUMP_START countdown (stand-in for transition animation)
+    in_jump_start = state == CS_JUMP_START
+    jcnt = jnp.where(in_jump_start, jnp.maximum(cs.jump_start_cnt - 1, 0),
+                     cs.jump_start_cnt)
+    to_jumping = in_jump_start & (jcnt == 0)
+    state = jnp.where(to_jumping, CS_JUMPING, state)
+    airborne = airborne | (to_jumping & (velocity[1] > 0))
+
+    # --- airborne branch (character.c:465-484)
+    vel_air = velocity.at[1].add(GRAVITY[1] * dt)
+
+    def do_airborne(body_pos, vel):
+        rising = vel[1] > 0
+        delta = vel * dt
+        # rising: combined blocking sweep
+        p_rise, frac_rise = _sweep_delta(world, params, body_pos, idx, delta,
+                                         -1.0, True)
+        v_rise = jnp.where(frac_rise < 1.0, vel.at[1].set(0.0), vel)
+        # falling: split vertical (floor filter) + horizontal
+        v_delta = jnp.array([0.0, 1.0, 0.0]) * (vel[1] * dt)
+        p_v, frac_v = _sweep_delta(world, params, body_pos, idx, v_delta, 0.5, False)
+        bp2 = body_pos.at[idx].set(p_v)
+        h_delta = jnp.array([vel[0] * dt, 0.0, vel[2] * dt])
+        p_h, _ = _sweep_delta(world, params, bp2, idx, h_delta, -1.0, True)
+        v_fall = jnp.where(frac_v < 1.0, vel.at[1].set(0.0), vel)
+
+        pos_out = jnp.where(rising, p_rise, p_h)
+        vel_out = jnp.where(rising, v_rise, v_fall)
+        return pos_out, vel_out
+
+    p_air, v_air = do_airborne(body_pos, vel_air)
+
+    # --- grounded branch
+    motion = jnp.array([motion_dx, 0.0, motion_dz])
+    has_motion = jnp.linalg.norm(motion) > 0
+
+    # jump (character_jump): velocity = (dx*jf, ju, dz*jf), state=JUMP_START.
+    # Only awake characters jump (C gates START→WAKING→IDLE on the wake
+    # animation before input acts, character.c:319-326)
+    do_jump = grounded & jump_latch & (state >= CS_IDLE) \
+        & (state != CS_JUMP_START) & (state != CS_JUMPING)
+    v_jump = jnp.array([
+        motion_dx * cp.jump_forward, cp.jump_upward, motion_dz * cp.jump_forward
+    ])
+
+    # slope-aligned ground basis (character.c:500-527)
+    newy = gnormal
+    oldx = jnp.array([1.0, 0.0, 0.0])
+    newz = jnp.cross(oldx, newy)
+    newx = jnp.cross(newy, newz)
+    newx = newx / jnp.maximum(jnp.linalg.norm(newx), 1e-9)
+    newz = newz / jnp.maximum(jnp.linalg.norm(newz), 1e-9)
+    mc = jnp.where(state == CS_MOVING, MOTION_COEFF_MOVING, MOTION_COEFF_OTHER)
+    v_move = (newx * (motion[0] * mc) + newz * (motion[2] * mc)) * cp.lin_speed
+
+    # velocity: jump sets it, motion overwrites it, otherwise it persists
+    # (C only writes ch->velocity in character_jump and the motion branch)
+    v_ground = jnp.where(do_jump, v_jump,
+                         jnp.where(has_motion, v_move, velocity))
+    # movement only applies while moving (character_apply_velocity is only
+    # called from the CS_MOVING transition, character.c:352-354)
+    delta_g = jnp.where(has_motion & ~do_jump, v_move * dt, jnp.zeros(3))
+    p_ground, _ = _sweep_delta(world, params, body_pos, idx, delta_g, -1.0, True)
+
+    # --- select branch
+    new_pos = jnp.where(airborne, p_air, p_ground)
+    new_vel = jnp.where(airborne, v_air, v_ground)
+
+    # --- state machine (simplified transition table)
+    new_state = state
+    new_state = jnp.where(airborne & (state != CS_JUMP_START) & (state != CS_JUMPING),
+                          CS_FALLING, new_state)
+    new_state = jnp.where(~airborne & has_motion & (state != CS_JUMP_START),
+                          CS_MOVING, new_state)
+    new_state = jnp.where(~airborne & ~has_motion & ~do_jump
+                          & (state != CS_JUMP_START) & (state != CS_JUMPING),
+                          CS_IDLE, new_state)
+    # landing from fall/jump
+    landed = ~airborne & ((state == CS_FALLING) | (state == CS_JUMPING))
+    new_state = jnp.where(landed & has_motion, CS_MOVING,
+                          jnp.where(landed, CS_IDLE, new_state))
+    new_state = jnp.where(do_jump, CS_JUMP_START, new_state)
+    jcnt = jnp.where(do_jump, JUMP_START_FRAMES,
+                     jnp.where(in_jump_start, jcnt, 0))
+    # wake from START on any input (C routes this through the
+    # start_to_idle animation, character.c:319-326)
+    new_state = jnp.where((state == CS_START) & (has_motion | jump_input),
+                          CS_IDLE, new_state)
+
+    # --- history push (grounded only, character.c:546-557)
+    push = ~airborne
+    hist = jnp.where(
+        push,
+        cs.history.at[cs.hist_head].set(new_pos),
+        cs.history,
+    )
+    head = jnp.where(push, (cs.hist_head + 1) % POS_HISTORY_MAX, cs.hist_head)
+    wrapped = cs.hist_wrapped | (push & (head == 0))
+
+    new_cs = CharState(
+        velocity=new_vel.astype(jnp.float32),
+        normal=gnormal.astype(jnp.float32),
+        state=new_state.astype(jnp.int32),
+        airborne=airborne,
+        jump=jnp.array(False),  # cleared every frame (character_motion_reset)
+        moved=cs.moved + 1,
+        jump_start_cnt=jcnt.astype(jnp.int32),
+        collision=collision.astype(jnp.int32),
+        history=hist,
+        hist_head=head.astype(jnp.int32),
+        hist_wrapped=wrapped,
+        dash_time=cs.dash_time,
+    )
+    return new_pos, new_cs
+
+
+def limbo_rescue(cs: CharState, pos, limbo_height):
+    """character_update's limbo teleport (character.c:546-599): when the
+    character has fallen ``limbo_height`` below its newest grounded
+    position, teleport to the oldest recorded grounded position."""
+    newest = jnp.where(
+        cs.hist_head > 0, cs.history[cs.hist_head - 1],
+        jnp.where(cs.hist_wrapped, cs.history[POS_HISTORY_MAX - 1],
+                  jnp.zeros(3)),
+    )
+    have = jnp.sum(newest * newest) > 0
+    fell = have & (jnp.abs(pos[1] - newest[1]) >= limbo_height)
+    oldest = jnp.where(cs.hist_wrapped, cs.history[cs.hist_head], cs.history[0])
+    new_pos = jnp.where(fell, oldest, pos)
+    new_cs = cs._replace(
+        hist_head=jnp.where(fell, 0, cs.hist_head).astype(jnp.int32),
+        hist_wrapped=cs.hist_wrapped & ~fell,
+    )
+    return new_pos, new_cs, fell

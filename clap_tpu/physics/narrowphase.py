@@ -1,0 +1,226 @@
+"""Batched narrowphase: capsule/sphere/ray vs heightfield + triangle soup.
+
+Replaces ODE's dSpaceCollide/dCollide narrowphase (physics.c near_callback,
+deps/ode) with fixed-shape contact generation:
+
+- Heightfield contacts test the capsule against the 2·K·K triangles of a
+  K×K grid-cell neighborhood around the capsule axis (the regular grid IS
+  the broadphase — no hash spaces needed).
+- Static trimesh contacts test against the scene's triangle soup with a
+  validity mask (scene meshes are small; a tile broadphase can be added
+  in front without changing the contract).
+
+Contact convention: ``normal`` points from the obstacle toward the body
+(the push-out direction — the same orientation the reference flips ODE
+normals into for its sweep, physics.c:619-629). ``depth > 0`` means
+penetration. All functions broadcast over leading batch axes via vmap.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .heightfield import Heightfield
+from .shapes import capsule_triangle_contact, ray_triangle
+
+
+class StaticWorld(NamedTuple):
+    """Per-scene static collision geometry (shared across all envs)."""
+
+    hf: Heightfield
+    tris: jnp.ndarray       # (T, 3, 3) world-space static triangles
+    tri_valid: jnp.ndarray  # (T,) bool
+
+
+def make_world(hf: Heightfield, tris=None, tri_valid=None) -> StaticWorld:
+    """Build a StaticWorld; pads the trimesh soup so T >= 1."""
+    if tris is None or tris.shape[0] == 0:
+        tris = jnp.zeros((1, 3, 3), jnp.float32)
+        tri_valid = jnp.zeros((1,), bool)
+    else:
+        tris = jnp.asarray(tris, jnp.float32)
+        if tri_valid is None:
+            tri_valid = jnp.ones((tris.shape[0],), bool)
+    return StaticWorld(hf=hf, tris=tris, tri_valid=tri_valid)
+
+
+class Contacts(NamedTuple):
+    """Fixed-capacity contact set."""
+
+    depth: jnp.ndarray    # (C,) penetration depth (r - dist); <=0 → no contact
+    normal: jnp.ndarray   # (C, 3) obstacle → body
+    point: jnp.ndarray    # (C, 3) on obstacle surface
+    valid: jnp.ndarray    # (C,) bool
+
+
+HF_NEIGH = 2  # heightfield cells on each side of the capsule cell
+
+
+def _hf_local_tris(hf: Heightfield, x, z, neigh: int = HF_NEIGH):
+    """Gather the 2·(2n+1)² triangles around grid cell of (x, z).
+
+    Returns (T_local, 3, 3) vertices and a validity mask (cells outside
+    the field are masked)."""
+    n = hf.heights.shape[0]
+    square = hf.side / (n - 1)
+    gx = jnp.floor((x - hf.origin[0]) / square).astype(jnp.int32)
+    gz = jnp.floor((z - hf.origin[1]) / square).astype(jnp.int32)
+    offs = jnp.arange(-neigh, neigh + 1)
+    cgx = gx + offs[:, None]              # (k, 1)
+    cgz = gz + offs[None, :]              # (1, k)
+    k = 2 * neigh + 1
+    cgx = jnp.broadcast_to(cgx, (k, k)).reshape(-1)
+    cgz = jnp.broadcast_to(cgz, (k, k)).reshape(-1)
+    valid = (cgx >= 0) & (cgx < n - 1) & (cgz >= 0) & (cgz < n - 1)
+    cx = jnp.clip(cgx, 0, n - 2)
+    cz = jnp.clip(cgz, 0, n - 2)
+
+    x0 = hf.origin[0] + cx * square
+    z0 = hf.origin[1] + cz * square
+    h00 = hf.heights[cx, cz]
+    h10 = hf.heights[cx + 1, cz]
+    h01 = hf.heights[cx, cz + 1]
+    h11 = hf.heights[cx + 1, cz + 1]
+
+    p00 = jnp.stack([x0, h00, z0], -1)
+    p10 = jnp.stack([x0 + square, h10, z0], -1)
+    p01 = jnp.stack([x0, h01, z0 + square], -1)
+    p11 = jnp.stack([x0 + square, h11, z0 + square], -1)
+
+    # triangles wound CCW seen from above (normal +y):
+    # lower: p00, p01, p10; upper: p10, p01, p11
+    t_lo = jnp.stack([p00, p01, p10], axis=-2)
+    t_hi = jnp.stack([p10, p01, p11], axis=-2)
+    tris = jnp.concatenate([t_lo, t_hi], axis=0)     # (2k², 3, 3)
+    vmask = jnp.concatenate([valid, valid], axis=0)
+    return tris, vmask
+
+
+def capsule_world_contacts(world: StaticWorld, p_bot, p_top, r,
+                           neigh: int = HF_NEIGH) -> Contacts:
+    """All static-world contacts of one capsule (segment p_bot→p_top, radius r).
+
+    Output capacity: 2·(2·neigh+1)² heightfield slots + T trimesh slots.
+    """
+    hf_tris, hf_mask = _hf_local_tris(world.hf, p_bot[0], p_bot[2], neigh)
+    tris = jnp.concatenate([hf_tris, world.tris], axis=0)
+    mask = jnp.concatenate([hf_mask, world.tri_valid], axis=0)
+
+    depth, normal, point = jax.vmap(
+        lambda t: capsule_triangle_contact(p_bot, p_top, r, t[0], t[1], t[2])
+    )(tris)
+    valid = mask & (depth > 0)
+    return Contacts(depth=jnp.where(mask, depth, -jnp.inf), normal=normal,
+                    point=point, valid=valid)
+
+
+def sphere_world_contacts(world: StaticWorld, center, r,
+                          neigh: int = HF_NEIGH) -> Contacts:
+    """Sphere = zero-length capsule."""
+    return capsule_world_contacts(world, center, center, r, neigh)
+
+
+def deepest_contact(c: Contacts):
+    """(depth, normal, point, any_valid) of the deepest valid contact."""
+    d = jnp.where(c.valid, c.depth, -jnp.inf)
+    i = jnp.argmax(d)
+    return c.depth[i], c.normal[i], c.point[i], c.valid[i]
+
+
+# ---------------------------------------------------------------------------
+# ray casts (replaces __phys_ray_cast, physics.c:473-540)
+# ---------------------------------------------------------------------------
+
+def raycast_down(world: StaticWorld, origin, max_dist):
+    """Vertical downward ray — the ground_collide query
+    (physics.c:718-727 casts (0,-1,0)). Heightfield handled analytically;
+    trimesh via Möller–Trumbore with backface culling.
+
+    Returns (dist, normal); dist = max_dist when nothing hit.
+    """
+    x, y, z = origin[0], origin[1], origin[2]
+    h = jnp.squeeze(_hf_height_and_normal(world.hf, x, z)[0])
+    hf_dist = y - h
+    hf_ok = (hf_dist >= 0) & (hf_dist <= max_dist) & _hf_inside(world.hf, x, z)
+    hf_n = _hf_height_and_normal(world.hf, x, z)[1]
+
+    direc = jnp.array([0.0, -1.0, 0.0], dtype=jnp.float32)
+    t, hit = jax.vmap(
+        lambda tri: ray_triangle(origin, direc, tri[0], tri[1], tri[2])
+    )(world.tris)
+    t = jnp.where(hit & world.tri_valid & (t <= max_dist), t, jnp.inf)
+    ti = jnp.argmin(t)
+    tri_dist = t[ti]
+    tri = world.tris[ti]
+    tn = jnp.cross(tri[1] - tri[0], tri[2] - tri[0])
+    tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+
+    hf_d = jnp.where(hf_ok, hf_dist, jnp.inf)
+    use_hf = hf_d <= tri_dist
+    dist = jnp.minimum(jnp.minimum(hf_d, tri_dist), max_dist)
+    hit_any = jnp.isfinite(jnp.minimum(hf_d, tri_dist))
+    normal = jnp.where(use_hf, hf_n, tn)
+    return jnp.where(hit_any, dist, max_dist), normal, hit_any
+
+
+def raycast(world: StaticWorld, origin, direction, max_dist, n_march: int = 16):
+    """General ray vs world. Trimesh exact; heightfield by fixed-step
+    marching + one bisection refine (camera occlusion quality — the
+    reference uses it only for camera rays and probes, camera.c:93-117).
+
+    Returns (dist, hit_any).
+    """
+    direc = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+
+    t, hit = jax.vmap(
+        lambda tri: ray_triangle(origin, direc, tri[0], tri[1], tri[2])
+    )(world.tris)
+    t = jnp.where(hit & world.tri_valid, t, jnp.inf)
+    tri_dist = jnp.min(t)
+
+    # heightfield marching: sample y - h along the ray
+    s = jnp.linspace(0.0, 1.0, n_march) * max_dist
+    pts = origin[None, :] + s[:, None] * direc[None, :]
+    above = pts[:, 1] - _hf_heights_batch(world.hf, pts[:, 0], pts[:, 2])
+    inside = _hf_inside(world.hf, pts[:, 0], pts[:, 2])
+    below = (above < 0) & inside
+    first = jnp.argmax(below)  # first True; 0 if none
+    any_below = jnp.any(below)
+    lo = s[jnp.maximum(first - 1, 0)]
+    hi = s[first]
+
+    def bisect(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        p = origin + mid * direc
+        under = p[1] - _hf_heights_batch(world.hf, p[0], p[2]) < 0
+        return jnp.where(under, lo, mid), jnp.where(under, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 8, bisect, (lo, hi))
+    hf_dist = jnp.where(any_below, hi, jnp.inf)
+
+    dist = jnp.minimum(tri_dist, hf_dist)
+    hit_any = jnp.isfinite(dist)
+    return jnp.where(hit_any, dist, max_dist), hit_any
+
+
+# --- heightfield helpers (local to avoid circular import noise) ------------
+
+def _hf_inside(hf: Heightfield, x, z):
+    tx = x - hf.origin[0]
+    tz = z - hf.origin[1]
+    return (tx >= 0) & (tx <= hf.side) & (tz >= 0) & (tz <= hf.side)
+
+
+def _hf_heights_batch(hf: Heightfield, x, z):
+    from .heightfield import hf_height
+
+    return hf_height(hf, x, z)
+
+
+def _hf_height_and_normal(hf: Heightfield, x, z):
+    from .heightfield import hf_face_normal, hf_height
+
+    return hf_height(hf, x, z), hf_face_normal(hf, x, z)

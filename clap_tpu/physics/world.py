@@ -1,0 +1,304 @@
+"""Batched rigid-body world (replaces ODE world + spaces, physics.c).
+
+Design: one fixed-capacity SoA body array per env. All bodies are
+capsules (sphere = zero-length capsule), matching the only dynamic geom
+classes the reference instantiates (physics.c:954-1046; trimeshes are
+static and live in StaticWorld). Characters are kinematic capsules moved
+by the controller (physics.c:1022-1032) — the solver treats them as
+infinite-mass obstacles.
+
+Replicates (semantics, not code):
+- gravity (0, -9.8, 0), linear damping 1e-3 (phys_init, physics.c:1126-1130)
+- fixed 120 Hz substepping, ≤5 substeps/frame, accumulator reset when the
+  cap is hit (phys_step physics.c:773-787)
+- contact parameter mixing: bounce=max, bounce_vel=avg, mu=√(mu1·mu2)
+  (phys_contact_surface physics.c:291-330)
+- penetration push-out before the velocity solve (entity_pen_push +
+  __phys_step physics.c:363-379, 755-766)
+- auto-disable at rest: |v| < 0.05 for 30 steps (physics.c:1033-1043)
+
+The velocity-level contact solve is an impulse (PGS-style) iteration with
+ERP/CFM-equivalent softness — a TPU-native replacement for QuickStep's
+SOR-LCP, vectorized over envs × bodies with a fixed contact capacity.
+
+Capsule geometry convention: ``pos`` is the GEOM CENTER (entity origin +
+yoffset, phys_body_set_position); the capsule segment spans
+pos ± (0, half_len, 0); total capsule height = 2·half_len + 2·r.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .narrowphase import StaticWorld, capsule_world_contacts
+from .shapes import closest_pt_segment_segment
+
+FIXED_DT = 1.0 / 120.0
+MAX_SUBSTEPS = 5
+GRAVITY = jnp.array([0.0, -9.8, 0.0])
+LINEAR_DAMPING = 1e-3
+AUTO_DISABLE_VEL = 0.05
+AUTO_DISABLE_STEPS = 30
+SOFT_ERP = 0.05
+SOFT_CFM = 0.01
+N_CONTACT_SLOTS = 4       # solver contacts per body (deepest-K)
+N_SOLVER_ITERS = 10
+CONTACT_MARGIN = 1e-3     # contacts stay active within this separation so
+                          # resting bodies keep a persistent contact (ODE
+                          # keeps depth slightly positive instead)
+
+
+class BodyParams(NamedTuple):
+    """Static per-body-slot parameters, (N,) arrays."""
+
+    active: jnp.ndarray      # bool: slot used
+    kinematic: jnp.ndarray   # bool: character (controller-driven)
+    radius: jnp.ndarray      # f32
+    half_len: jnp.ndarray    # f32 capsule segment half-length (0 → sphere)
+    yoffset: jnp.ndarray     # f32 geom center above entity origin
+    ray_off: jnp.ndarray     # f32 ground-ray origin offset (r + length/2)
+    mass: jnp.ndarray        # f32
+    bounce: jnp.ndarray      # f32
+    bounce_vel: jnp.ndarray  # f32
+    mu: jnp.ndarray          # f32
+
+
+class PhysState(NamedTuple):
+    """Dynamic per-env physics state."""
+
+    pos: jnp.ndarray        # (N, 3) geom centers
+    vel: jnp.ndarray        # (N, 3)
+    time_acc: jnp.ndarray   # () accumulator
+    disable_count: jnp.ndarray  # (N,) int32 steps below threshold
+    disabled: jnp.ndarray   # (N,) bool at-rest
+
+
+def body_params_empty(n: int) -> BodyParams:
+    z = jnp.zeros((n,), jnp.float32)
+    return BodyParams(
+        active=jnp.zeros((n,), bool), kinematic=jnp.zeros((n,), bool),
+        radius=z, half_len=z, yoffset=z, ray_off=z,
+        mass=jnp.ones((n,), jnp.float32), bounce=z, bounce_vel=z,
+        mu=jnp.ones((n,), jnp.float32),
+    )
+
+
+def phys_state_init(n: int) -> PhysState:
+    return PhysState(
+        pos=jnp.zeros((n, 3), jnp.float32),
+        vel=jnp.zeros((n, 3), jnp.float32),
+        time_acc=jnp.zeros((), jnp.float32),
+        disable_count=jnp.zeros((n,), jnp.int32),
+        disabled=jnp.zeros((n,), bool),
+    )
+
+
+def capsule_auto_size(aabb_x: float, aabb_y: float, aabb_z: float,
+                      geom_radius: float = 0.0, geom_offset: float = 0.0):
+    """Upright auto-capsule from entity AABB (phys_geom_capsule_new,
+    physics.c:814-880, direction-2 branch). Returns
+    (radius, half_len, yoffset, ray_off)."""
+    r = geom_radius if geom_radius else min(aabb_x, aabb_y, aabb_z) / 2
+    length = max(aabb_y / 2 - r * 2, 0.0)
+    yoffset = geom_offset if geom_offset else aabb_y / 2
+    ray_off = r + length / 2
+    return r, length / 2, yoffset, ray_off
+
+
+def capsule_segment(pos, half_len):
+    """(p_bot, p_top) of the capsule segment for geom-center pos."""
+    up = jnp.zeros_like(pos).at[..., 1].set(half_len)
+    return pos - up, pos + up
+
+
+# ---------------------------------------------------------------------------
+# contact generation
+# ---------------------------------------------------------------------------
+
+def _static_contacts(world: StaticWorld, params: BodyParams, pos):
+    """Deepest-K static-world contacts per body.
+
+    Returns (depth, normal, point) of shape (N, K[, 3])."""
+    def per_body(p, r, hl):
+        p0, p1 = capsule_segment(p, hl)
+        c = capsule_world_contacts(world, p0, p1, r)
+        # keep near-contacts too (depth ≤ 0 within CONTACT_MARGIN) so the
+        # velocity solve sees persistent resting contacts; c.depth is
+        # already -inf for masked slots
+        top_d, idx = jax.lax.top_k(c.depth, N_CONTACT_SLOTS)
+        top_n = c.normal[idx]
+        # dedupe near-parallel contacts (adjacent coplanar triangles report
+        # the same plane; ODE's trimesh collider merges these): keep only
+        # the deepest contact of each normal direction
+        dots = jnp.einsum("ic,jc->ij", top_n, top_n)
+        dup = jnp.triu(dots > 0.995, k=1).any(axis=0)  # j duplicates some i<j
+        top_d = jnp.where(dup, -jnp.inf, top_d)
+        return top_d, top_n, c.point[idx]
+
+    return jax.vmap(per_body)(pos, params.radius, params.half_len)
+
+
+def _pair_contacts(params: BodyParams, pos):
+    """All-pairs capsule-capsule contacts between bodies.
+
+    Returns per-body accumulated push-out and per-pair data for the
+    solver: (depth, normal, j) arrays of shape (N, N): contact of body i
+    with body j; normal points from j toward i."""
+    n = pos.shape[0]
+    p0, p1 = capsule_segment(pos, params.half_len)
+
+    def pair(i, j):
+        ci, cj = closest_pt_segment_segment(p0[i], p1[i], p0[j], p1[j])
+        diff = ci - cj
+        dist = jnp.linalg.norm(diff)
+        normal = diff / jnp.maximum(dist, 1e-9)
+        # degenerate (same axis): push up
+        normal = jnp.where(dist > 1e-9, normal, jnp.array([0.0, 1.0, 0.0]))
+        depth = params.radius[i] + params.radius[j] - dist
+        ok = params.active[i] & params.active[j] & (i != j)
+        return jnp.where(ok, depth, -jnp.inf), normal
+
+    ii = jnp.arange(n)
+    depth, normal = jax.vmap(
+        lambda i: jax.vmap(lambda j: pair(i, j))(ii)
+    )(ii)
+    return depth, normal
+
+
+def _mix_pair(params: BodyParams):
+    """Pairwise surface params (physics.c:291-330): bounce=max,
+    bounce_vel=avg, mu=geometric mean."""
+    bounce = jnp.maximum(params.bounce[:, None], params.bounce[None, :])
+    bounce_vel = 0.5 * (params.bounce_vel[:, None] + params.bounce_vel[None, :])
+    mu = jnp.sqrt(params.mu[:, None] * params.mu[None, :])
+    return bounce, bounce_vel, mu
+
+
+# ---------------------------------------------------------------------------
+# substep
+# ---------------------------------------------------------------------------
+
+def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
+             dt) -> PhysState:
+    """__phys_step (physics.c:746-771): collide → push-out → solve."""
+    pos, vel = state.pos, state.vel
+    solve_mask = params.active & ~params.kinematic & ~state.disabled
+
+    # --- contacts
+    sd, sn, _sp = _static_contacts(world, params, pos)       # (N,K),(N,K,3)
+    pd, pn = _pair_contacts(params, pos)                     # (N,N),(N,N,3)
+
+    # --- penetration push-out (physics.c:755-766), dynamic bodies only
+    push_static = jnp.sum(
+        jnp.where(sd[..., None] > 0, sd[..., None] * sn, 0.0), axis=1
+    )
+    push_pairs = jnp.sum(
+        jnp.where(pd[..., None] > 0, pd[..., None] * pn, 0.0), axis=1
+    )
+    pos = pos + jnp.where(solve_mask[:, None], push_static + push_pairs, 0.0)
+
+    # wake bodies touched by an enabled body (ODE auto-re-enable)
+    touched = jnp.any((pd > 0) & solve_mask[None, :], axis=1)
+    disabled = state.disabled & ~touched
+    solve_mask = params.active & ~params.kinematic & ~disabled
+
+    # --- gravity
+    vel = vel + jnp.where(solve_mask[:, None], GRAVITY * dt, 0.0)
+
+    # --- impulse solve over deepest-K static contacts + pair contacts.
+    # Static contacts dominate (terrain rest/bounce); pair contacts get a
+    # single Jacobi pass per iteration.
+    bounce_s = params.bounce
+    bv_s = params.bounce_vel
+    mu_s = params.mu
+    b_pair, bv_pair, mu_pair = _mix_pair(params)
+
+    # precompute restitution targets from pre-solve velocities
+    vn_pre_s = jnp.einsum("nkc,nc->nk", sn, vel)
+    target_s = jnp.where(
+        (bounce_s[:, None] > 0) & (vn_pre_s < -bv_s[:, None]),
+        -bounce_s[:, None] * vn_pre_s, 0.0,
+    )
+    contact_s = sd > -CONTACT_MARGIN
+
+    vn_pre_p = jnp.einsum("nmc,nc->nm", pn, vel)
+    target_p = jnp.where(
+        (b_pair > 0) & (vn_pre_p < -bv_pair), -b_pair * vn_pre_p, 0.0
+    )
+    contact_p = pd > 0
+
+    def static_slot(v, k):
+        """Sequential impulse for one static contact slot (other side has
+        infinite mass → closed form vn' = max(vn, target))."""
+        n_k = sn[:, k]
+        act = contact_s[:, k] & solve_mask
+        vn = jnp.sum(n_k * v, axis=-1)
+        dvn = jnp.where(act, jnp.maximum(target_s[:, k] - vn, 0.0), 0.0)
+        v = v + dvn[:, None] * n_k
+        # Coulomb friction: tangential impulse ≤ μ·(normal impulse). The
+        # per-substep normal impulse at rest is g·h, so the budget matches
+        # ODE's μ·λ_n semantics (mass-normalized).
+        vt = v - jnp.sum(n_k * v, axis=-1, keepdims=True) * n_k
+        vt_len = jnp.linalg.norm(vt, axis=-1)
+        max_f = mu_s * dvn
+        f = jnp.where(act & (vt_len > 1e-9),
+                      jnp.minimum(vt_len, max_f) / jnp.maximum(vt_len, 1e-9),
+                      0.0)
+        v = v - f[:, None] * vt
+        return v, None
+
+    def pair_pass(v):
+        """One Jacobi pass over pair contacts (mass-weighted split;
+        kinematic side immovable)."""
+        vrel = v[:, None, :] - jnp.where(
+            (params.kinematic | ~params.active)[None, :, None], 0.0, v[None, :, :]
+        )
+        vn_p = jnp.einsum("nmc,nmc->nm", pn, vrel)
+        dv_np = jnp.where(contact_p, jnp.maximum(target_p - vn_p, 0.0), 0.0)
+        mi = params.mass[:, None]
+        mj = params.mass[None, :]
+        share_i = jnp.where(
+            (params.active & ~params.kinematic & ~disabled)[None, :],
+            mj / jnp.maximum(mi + mj, 1e-6), 1.0,
+        )
+        dv_p = jnp.sum((dv_np * share_i)[..., None] * pn, axis=1)
+        return v + jnp.where(solve_mask[:, None], dv_p, 0.0)
+
+    def solver_pass(_, v):
+        v, _ = jax.lax.scan(static_slot, v, jnp.arange(N_CONTACT_SLOTS))
+        return pair_pass(v)
+
+    vel = jax.lax.fori_loop(0, 2, solver_pass, vel)
+
+    # --- damping + integrate
+    vel = vel * jnp.where(solve_mask[:, None], 1.0 - LINEAR_DAMPING, 1.0)
+    pos = pos + jnp.where(solve_mask[:, None], vel * dt, 0.0)
+
+    # --- auto-disable bookkeeping (physics.c:1033-1043)
+    slow = jnp.linalg.norm(vel, axis=-1) < AUTO_DISABLE_VEL
+    cnt = jnp.where(slow, state.disable_count + 1, 0)
+    disabled = disabled | (solve_mask & (cnt >= AUTO_DISABLE_STEPS))
+    vel = jnp.where(disabled[:, None], 0.0, vel)
+
+    return PhysState(pos=pos, vel=vel, time_acc=state.time_acc,
+                     disable_count=cnt, disabled=disabled)
+
+
+def phys_step(world: StaticWorld, params: BodyParams, state: PhysState,
+              dt) -> PhysState:
+    """phys_step (physics.c:773-787): fixed-dt accumulator, ≤5 substeps."""
+    acc = state.time_acc + dt
+
+    def body(i, carry):
+        st, acc = carry
+        do = acc >= FIXED_DT
+        st2 = _substep(world, params, st, FIXED_DT)
+        st = jax.tree.map(lambda a, b: jnp.where(do, b, a), st, st2)
+        return st, jnp.where(do, acc - FIXED_DT, acc)
+
+    state, acc = jax.lax.fori_loop(0, MAX_SUBSTEPS, body, (state, acc))
+    # cap hit → drop the remainder (physics.c:785-786)
+    acc = jnp.where(acc >= FIXED_DT, 0.0, acc)
+    return state._replace(time_acc=acc)

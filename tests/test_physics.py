@@ -1,0 +1,246 @@
+"""Physics world tests: rest, bounce, friction, sweeps, ground collide,
+character controller basics. Golden behavior checks on analytic scenes
+(a flat or sloped heightfield) — the ODE-replacement acceptance tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clap_tpu.physics.heightfield import Heightfield
+from clap_tpu.physics.narrowphase import make_world, raycast_down, capsule_world_contacts
+from clap_tpu.physics import world as W
+from clap_tpu.physics.sweep import sweep_capsule
+from clap_tpu.char import controller as C
+
+
+def flat_world(h=0.0, n=17, side=32.0):
+    xs = np.linspace(0, 1, n)
+    H = np.full((n, n), h, np.float32)
+    N = np.zeros((n, n, 3), np.float32)
+    N[..., 1] = 1.0
+    hf = Heightfield(heights=jnp.asarray(H), normals=jnp.asarray(N),
+                     origin=jnp.array([-side / 2, -side / 2], jnp.float32),
+                     side=jnp.float32(side))
+    return make_world(hf)
+
+
+def slope_world(slope=0.3, n=33, side=32.0):
+    xs = np.linspace(-side / 2, side / 2, n).astype(np.float32)
+    H = np.broadcast_to(slope * xs[:, None], (n, n)).astype(np.float32)
+    N = np.zeros((n, n, 3), np.float32)
+    nv = np.array([-slope, 1.0, 0.0]) / np.sqrt(1 + slope**2)
+    N[:] = nv
+    hf = Heightfield(heights=jnp.asarray(H), normals=jnp.asarray(N),
+                     origin=jnp.array([-side / 2, -side / 2], jnp.float32),
+                     side=jnp.float32(side))
+    return make_world(hf)
+
+
+def one_sphere(r=0.5, pos=(0, 5, 0), bounce=0.0, bounce_vel=0.0, mu=1.0, n=4):
+    params = W.body_params_empty(n)
+    params = params._replace(
+        active=params.active.at[0].set(True),
+        radius=params.radius.at[0].set(r),
+        bounce=params.bounce.at[0].set(bounce),
+        bounce_vel=params.bounce_vel.at[0].set(bounce_vel),
+        mu=params.mu.at[0].set(mu),
+        yoffset=params.yoffset.at[0].set(r),
+        ray_off=params.ray_off.at[0].set(r),
+    )
+    st = W.phys_state_init(n)
+    st = st._replace(pos=st.pos.at[0].set(jnp.array(pos, jnp.float32)))
+    return params, st
+
+
+def run_steps(world, params, st, frames, dt=1 / 60):
+    step = jax.jit(lambda s: W.phys_step(world, params, s, dt))
+    for _ in range(frames):
+        st = step(st)
+    return st
+
+
+def test_sphere_rests_on_ground():
+    world = flat_world()
+    params, st = one_sphere(r=0.5, pos=(0, 3, 0))
+    st = run_steps(world, params, st, 240)
+    # rest height = ground + radius
+    assert abs(float(st.pos[0, 1]) - 0.5) < 2e-2
+    assert float(jnp.linalg.norm(st.vel[0])) < 0.06
+    assert bool(st.disabled[0])  # auto-disabled at rest
+
+
+def test_sphere_bounces():
+    world = flat_world()
+    params, st = one_sphere(r=0.5, pos=(0, 3, 0), bounce=0.8, bounce_vel=0.1)
+    ys = []
+    step = jax.jit(lambda s: W.phys_step(world, params, s, 1 / 60))
+    for _ in range(300):
+        st = step(st)
+        ys.append(float(st.pos[0, 1]))
+    ys = np.array(ys)
+    # must leave the ground again after the FIRST touch-down
+    touch = int(np.argmax(ys < 0.7))
+    assert ys[touch] < 0.7
+    assert ys[touch:].max() > ys[touch] + 0.3
+    # rebound speed ≈ bounce * impact speed: apex ≈ (0.8·7)²/(2g) ≈ 1.6
+    assert ys[touch:].max() > 1.2
+
+
+def test_free_fall_matches_analytic():
+    world = flat_world()
+    params, st = one_sphere(r=0.5, pos=(0, 50, 0))
+    dt = 1 / 120  # one substep per frame
+    step = jax.jit(lambda s: W.phys_step(world, params, s, dt))
+    for _ in range(60):
+        st = step(st)
+    t = 60 * dt
+    # symplectic Euler with damping ~ analytic within small tolerance
+    y_ref = 50 - 0.5 * 9.8 * t * t
+    assert abs(float(st.pos[0, 1]) - y_ref) < 0.12
+
+
+def test_friction_stops_slide():
+    world = flat_world()
+    params, st = one_sphere(r=0.5, pos=(0, 0.5, 0), mu=1.0)
+    st = st._replace(vel=st.vel.at[0].set(jnp.array([4.0, 0, 0], jnp.float32)))
+    st = run_steps(world, params, st, 300)
+    assert float(jnp.linalg.norm(st.vel[0])) < 0.06
+    # frictionless keeps sliding
+    params2 = params._replace(mu=params.mu.at[0].set(0.0))
+    _, st2 = one_sphere(r=0.5, pos=(0, 0.5, 0))
+    st2 = st2._replace(vel=st2.vel.at[0].set(jnp.array([4.0, 0, 0], jnp.float32)))
+    st2 = run_steps(world, params2, st2, 60)
+    assert float(st2.vel[0, 0]) > 3.0
+
+
+def test_raycast_down():
+    world = flat_world(h=1.0)
+    d, n, hit = raycast_down(world, jnp.array([0.0, 4.0, 0.0]), 10.0)
+    assert bool(hit) and abs(float(d) - 3.0) < 1e-5
+    np.testing.assert_allclose(np.asarray(n), [0, 1, 0], atol=1e-6)
+    d2, _, hit2 = raycast_down(world, jnp.array([0.0, 4.0, 0.0]), 2.0)
+    assert not bool(hit2)
+
+
+def test_capsule_contacts_on_slope():
+    world = slope_world(slope=0.5)
+    # capsule bottom sphere penetrating the slope at x=0 (h=0)
+    p = jnp.array([0.0, 0.65, 0.0])  # r=0.5, half_len=0.25: bottom sphere at 0.4
+    c = capsule_world_contacts(world, p - jnp.array([0, 0.25, 0]),
+                               p + jnp.array([0, 0.25, 0]), 0.5)
+    assert bool(jnp.any(c.valid))
+    d, n, pt, ok = __import__("clap_tpu.physics.narrowphase", fromlist=["deepest_contact"]).deepest_contact(c)
+    nv = np.array([-0.5, 1.0, 0.0]) / np.sqrt(1.25)
+    np.testing.assert_allclose(np.asarray(n), nv, atol=1e-3)
+
+
+def test_sweep_stops_at_wall():
+    # wall: two triangles at x=2 plane facing -x
+    wallq = np.array([
+        [[2, -5, -5], [2, 5, -5], [2, 5, 5]],
+        [[2, -5, -5], [2, 5, 5], [2, -5, 5]],
+    ], dtype=np.float32)
+    world = make_world(flat_world().hf, jnp.asarray(wallq))
+    params, st = one_sphere(r=0.5, pos=(0, 0.5, 0))
+    res = sweep_capsule(world, params, st.pos, jnp.int32(0),
+                        jnp.array([3.0, 0.0, 0.0], jnp.float32))
+    assert bool(res.hit)
+    # safe distance is 1.5 (wall at 2, radius 0.5) → frac = 0.5
+    assert abs(float(res.frac) - 0.5) < 0.15
+    np.testing.assert_allclose(np.asarray(res.normal), [-1, 0, 0], atol=1e-4)
+
+
+def test_sweep_no_obstacle():
+    world = flat_world()
+    params, st = one_sphere(r=0.5, pos=(0, 0.5, 0))
+    res = sweep_capsule(world, params, st.pos, jnp.int32(0),
+                        jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    assert float(res.frac) == 1.0
+
+
+def make_char(world, pos=(0.0, 1.0, 0.0)):
+    n = 4
+    params = W.body_params_empty(n)
+    r, hl, yoff, ray_off = W.capsule_auto_size(0.6, 2.0, 0.6)
+    params = params._replace(
+        active=params.active.at[0].set(True),
+        kinematic=params.kinematic.at[0].set(True),
+        radius=params.radius.at[0].set(r),
+        half_len=params.half_len.at[0].set(hl),
+        yoffset=params.yoffset.at[0].set(yoff),
+        ray_off=params.ray_off.at[0].set(ray_off),
+    )
+    st = W.phys_state_init(n)
+    geom_pos = jnp.array(pos, jnp.float32) + jnp.array([0, yoff, 0], jnp.float32)
+    st = st._replace(pos=st.pos.at[0].set(geom_pos))
+    cp = C.CharParams(body=jnp.int32(0), lin_speed=jnp.float32(2.0),
+                      jump_forward=jnp.float32(1.0), jump_upward=jnp.float32(4.0),
+                      can_dash=jnp.array(True))
+    cs = C.char_state_init()
+    return params, st, cp, cs
+
+
+def test_character_walks_on_flat():
+    world = flat_world()
+    params, st, cp, cs = make_char(world, pos=(0.0, 0.0, 0.0))
+    move = jax.jit(lambda pos, cs: C.character_move(
+        world, params, cp, cs, pos, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.array(False), jnp.float32(1 / 60)))
+    pos = st.pos
+    for _ in range(60):
+        p_new, cs = move(pos, cs)
+        pos = pos.at[0].set(p_new)
+    # walked ~ lin_speed * 1s in +x
+    assert 1.2 < float(pos[0, 0]) < 2.4
+    assert abs(float(pos[0, 1]) - float(params.yoffset[0])) < 0.1  # stays on ground
+    assert int(cs.state) == C.CS_MOVING
+    assert not bool(cs.airborne)
+
+
+def test_character_falls_off_edge():
+    # terrain only covers x in [-16, 16]; walk off the edge at +16
+    world = flat_world()
+    params, st, cp, cs = make_char(world, pos=(15.5, 0.0, 0.0))
+    move = jax.jit(lambda pos, cs: C.character_move(
+        world, params, cp, cs, pos, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.array(False), jnp.float32(1 / 60)))
+    pos = st.pos
+    for _ in range(240):
+        p_new, cs = move(pos, cs)
+        pos = pos.at[0].set(p_new)
+    assert bool(cs.airborne)
+    assert float(pos[0, 1]) < -5.0  # fell well below the plane
+    assert int(cs.state) == C.CS_FALLING
+
+
+def test_character_jump_arc():
+    world = flat_world()
+    params, st, cp, cs = make_char(world, pos=(0.0, 0.0, 0.0))
+    move = jax.jit(lambda pos, cs, jump: C.character_move(
+        world, params, cp, cs, pos, jnp.float32(0.0), jnp.float32(0.0),
+        jump, jnp.float32(1 / 60)))
+    pos = st.pos
+    max_y = 0.0
+    # frame 1 wakes the character (CS_START → CS_IDLE), frame 2 jumps
+    for _ in range(2):
+        p_new, cs = move(pos, cs, jnp.array(True))
+        pos = pos.at[0].set(p_new)
+    for i in range(120):
+        p_new, cs = move(pos, cs, jnp.array(False))
+        pos = pos.at[0].set(p_new)
+        max_y = max(max_y, float(pos[0, 1]))
+    # jumped: apex above standing height, then landed back
+    stand = float(params.yoffset[0])
+    assert max_y > stand + 0.3
+    assert abs(float(pos[0, 1]) - stand) < 0.1
+    assert not bool(cs.airborne)
+
+
+def test_limbo_rescue():
+    cs = C.char_state_init()
+    cs = cs._replace(history=cs.history.at[0].set(jnp.array([1.0, 2.0, 3.0])),
+                     hist_head=jnp.int32(1))
+    pos = jnp.array([1.0, -100.0, 3.0])
+    new_pos, cs2, fell = C.limbo_rescue(cs, pos, jnp.float32(30.0))
+    assert bool(fell)
+    np.testing.assert_allclose(np.asarray(new_pos), [1, 2, 3], atol=1e-6)
