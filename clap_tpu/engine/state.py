@@ -1,0 +1,100 @@
+"""Engine state schema (the TPU re-design of clap's pointer-soup scene).
+
+The reference threads per-frame updates through refcounted entity objects
+with callbacks (clap.c frame loop, scene.c:1159-1198, model.c:1649-1723).
+Here the whole engine is ONE pytree of SoA arrays with static capacities +
+validity masks, advanced by a pure jitted step. A leading env axis is
+added by vmap — thousands of independent scenes per chip — and sharded
+over a device mesh for scale-out (envs are embarrassingly parallel;
+SURVEY §2.12).
+
+Static (trace-time) data lives in SceneConfig: collision world, body
+parameters, entity↔body wiring, per-model AABBs. Dynamic data lives in
+EngineState.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..char.controller import CharParams, CharState, char_state_init
+from ..physics.narrowphase import StaticWorld
+from ..physics.world import BodyParams, PhysState, phys_state_init
+
+
+class EntityParams(NamedTuple):
+    """Static per-entity-slot data, (E,) arrays."""
+
+    active: jnp.ndarray       # bool
+    model_id: jnp.ndarray     # int32 index into model tables
+    body: jnp.ndarray         # int32 physics body slot, -1 = none
+    body_is_char: jnp.ndarray  # bool: body is a kinematic character capsule
+    yoffset: jnp.ndarray      # f32 geom offset (duplicated from BodyParams)
+    parent: jnp.ndarray       # int32 parent entity, -1 = world
+    skip_culling: jnp.ndarray  # bool (terrain sets ENTITY3D_SKIP_CULLING)
+
+
+class CameraState(NamedTuple):
+    """3rd-person orbit camera (camera.{c,h})."""
+
+    pitch: jnp.ndarray        # f32 radians
+    yaw: jnp.ndarray          # f32 radians
+    dist: jnp.ndarray         # f32 orbit distance
+    pos: jnp.ndarray          # (3,) derived eye position
+
+
+class EngineState(NamedTuple):
+    """Dynamic per-env state — the vmapped pytree."""
+
+    # entities (E slots)
+    pos: jnp.ndarray          # (E, 3)
+    rot: jnp.ndarray          # (E, 4) quats
+    scale: jnp.ndarray        # (E,)
+    visible: jnp.ndarray      # (E,) bool
+    mx: jnp.ndarray           # (E, 4, 4) world matrices (refreshed per step)
+    # physics
+    phys: PhysState
+    # characters (C slots, stacked CharState)
+    chars: CharState
+    # camera
+    camera: CameraState
+    # misc
+    time: jnp.ndarray         # f32 seconds
+    frame: jnp.ndarray        # int32
+
+
+class SceneConfig(NamedTuple):
+    """Static per-scene data shared by every env."""
+
+    world: StaticWorld
+    bodies: BodyParams
+    entities: EntityParams
+    char_params: CharParams   # (C,) stacked
+    model_aabb: jnp.ndarray   # (M, 2, 3) min/max per model
+    limbo_height: jnp.ndarray  # f32 (scene.h limbo_height)
+    gravity_y: jnp.ndarray    # f32
+
+
+def engine_state_init(n_entities: int, n_bodies: int, n_chars: int) -> EngineState:
+    import jax
+
+    chars = jax.tree.map(
+        lambda x: jnp.stack([x] * n_chars) if n_chars else x[None][:0],
+        char_state_init(),
+    )
+    return EngineState(
+        pos=jnp.zeros((n_entities, 3), jnp.float32),
+        rot=jnp.tile(jnp.array([0, 0, 0, 1], jnp.float32), (n_entities, 1)),
+        scale=jnp.ones((n_entities,), jnp.float32),
+        visible=jnp.zeros((n_entities,), bool),
+        mx=jnp.tile(jnp.eye(4, dtype=jnp.float32), (n_entities, 1, 1)),
+        phys=phys_state_init(n_bodies),
+        chars=chars,
+        camera=CameraState(
+            pitch=jnp.float32(-0.3), yaw=jnp.float32(0.0),
+            dist=jnp.float32(8.0), pos=jnp.zeros(3, jnp.float32),
+        ),
+        time=jnp.float32(0.0),
+        frame=jnp.int32(0),
+    )

@@ -1,0 +1,141 @@
+"""The per-frame engine step (clap_frame, clap.c:551-665, headless part).
+
+Order mirrors the reference frame loop:
+  input → scene_characters_move (motion → character_move) → phys_step →
+  scene_update (entity transforms from physics, TRS rebuild) → limbo →
+  camera update.
+
+The whole step is one pure function of (SceneConfig, EngineState, Inputs)
+→ EngineState, jit-compiled once and vmapped over the env axis. No
+data-dependent Python control flow — characters iterate as a trace-time
+loop over static char slots, everything else is masked array math.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import mathx as mx
+from ..char import controller as C
+from ..physics import world as W
+from .state import CameraState, EngineState, SceneConfig
+
+
+class Inputs(NamedTuple):
+    """Per-frame input record (the headless subset of struct
+    message_input, messagebus.h:33-89)."""
+
+    motion: jnp.ndarray   # (C, 2) dx, dz per character (camera-relative)
+    jump: jnp.ndarray     # (C,) bool
+    cam_delta: jnp.ndarray  # (3,) pitch, yaw, dist deltas
+
+
+def inputs_zero(n_chars: int) -> Inputs:
+    return Inputs(
+        motion=jnp.zeros((n_chars, 2), jnp.float32),
+        jump=jnp.zeros((n_chars,), bool),
+        cam_delta=jnp.zeros(3, jnp.float32),
+    )
+
+
+def _characters_move(cfg: SceneConfig, st: EngineState, inputs: Inputs, dt):
+    """scene_characters_move (scene.c:1058) → character_move per char.
+
+    Characters update sequentially (later characters see earlier ones'
+    new body positions, like the C entity list walk)."""
+    body_pos = st.phys.pos
+    n_chars = cfg.char_params.body.shape[0]
+    new_chars = []
+    for ci in range(n_chars):
+        cp = jax.tree.map(lambda x: x[ci], cfg.char_params)
+        cs = jax.tree.map(lambda x: x[ci], st.chars)
+        p_new, cs2 = C.character_move(
+            cfg.world, cfg.bodies, cp, cs, body_pos,
+            inputs.motion[ci, 0], inputs.motion[ci, 1], inputs.jump[ci], dt,
+        )
+        body_pos = body_pos.at[cp.body].set(p_new)
+        new_chars.append(cs2)
+    if n_chars:
+        chars = jax.tree.map(lambda *xs: jnp.stack(xs), *new_chars)
+    else:
+        chars = st.chars
+    return st._replace(phys=st.phys._replace(pos=body_pos), chars=chars)
+
+
+def _limbo(cfg: SceneConfig, st: EngineState):
+    """character_update's limbo teleport (character.c:546-599)."""
+    body_pos = st.phys.pos
+    n_chars = cfg.char_params.body.shape[0]
+    new_chars = []
+    for ci in range(n_chars):
+        cp = jax.tree.map(lambda x: x[ci], cfg.char_params)
+        cs = jax.tree.map(lambda x: x[ci], st.chars)
+        bp = body_pos[cp.body]
+        entity_pos = bp - jnp.array([0.0, 1.0, 0.0]) * cfg.bodies.yoffset[cp.body]
+        new_pos, cs2, fell = C.limbo_rescue(cs, entity_pos, cfg.limbo_height)
+        geom_pos = new_pos + jnp.array([0.0, 1.0, 0.0]) * cfg.bodies.yoffset[cp.body]
+        body_pos = body_pos.at[cp.body].set(jnp.where(fell, geom_pos, bp))
+        # falling stops on teleport
+        cs2 = cs2._replace(
+            velocity=jnp.where(fell, jnp.zeros(3), cs2.velocity))
+        new_chars.append(cs2)
+    if n_chars:
+        chars = jax.tree.map(lambda *xs: jnp.stack(xs), *new_chars)
+    else:
+        chars = st.chars
+    return st._replace(phys=st.phys._replace(pos=body_pos), chars=chars)
+
+
+def _scene_update(cfg: SceneConfig, st: EngineState):
+    """mq_update → entity3d default_update (model.c:1649-1723): sync
+    entity transforms from physics bodies, rebuild world matrices."""
+    ent = cfg.entities
+    has_body = ent.body >= 0
+    b = jnp.maximum(ent.body, 0)
+    geom_pos = st.phys.pos[b]
+    off = jnp.zeros_like(geom_pos).at[:, 1].set(cfg.bodies.yoffset[b])
+    pos = jnp.where(has_body[:, None], geom_pos - off, st.pos)
+    # (dynamic-body rotation sync lands with rigid-body orientation
+    # support; characters stay upright — physics.c:800-809)
+
+    # parent attachment (world-space; joint riding arrives with skinning)
+    has_parent = ent.parent >= 0
+    p = jnp.maximum(ent.parent, 0)
+    pos = jnp.where(has_parent[:, None], pos + st.pos[p], pos)
+
+    mxs = mx.mat4_compose_trs(pos, st.rot, st.scale)
+    return st._replace(pos=pos, mx=mxs)
+
+
+def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs):
+    """Orbit camera (camera.c:208-246): pitch-clamped quat orbit around
+    the controlled character's target point. Occlusion shrink uses the
+    physics raycast (camera.c:93-117) — wired in the render layer."""
+    cam = st.camera
+    pitch = jnp.clip(cam.pitch + inputs.cam_delta[0], -1.45, 1.45)
+    yaw = jnp.mod(cam.yaw + inputs.cam_delta[1] + jnp.pi, 2 * jnp.pi) - jnp.pi
+    dist = jnp.clip(cam.dist + inputs.cam_delta[2], 1.0, 50.0)
+
+    # target: controlled character (slot 0) at ~3/4 height (camera.c:174-206)
+    b0 = cfg.char_params.body[0] if cfg.char_params.body.shape[0] else 0
+    target = st.phys.pos[b0]
+
+    q = mx.qmul(
+        mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw),
+        mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), pitch),
+    )
+    eye = mx.transform_orbit(q, target, dist)
+    return st._replace(camera=CameraState(pitch=pitch, yaw=yaw, dist=dist, pos=eye))
+
+
+def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
+                dt=jnp.float32(1.0 / 60.0)) -> EngineState:
+    """One headless frame. Pure; jit/vmap over envs."""
+    st = _characters_move(cfg, st, inputs, dt)
+    st = st._replace(phys=W.phys_step(cfg.world, cfg.bodies, st.phys, dt))
+    st = _limbo(cfg, st)
+    st = _scene_update(cfg, st)
+    st = _camera_update(cfg, st, inputs)
+    return st._replace(time=st.time + dt, frame=st.frame + 1)

@@ -1,0 +1,167 @@
+"""Benchmark testbed scene builder (the ldjam56 "onehandclap" analogue).
+
+The reference demo loads scene.json + glTF assets (demo/ldjam56); the
+asset submodules are not in-tree (SURVEY §6), so the benchmark scene is
+reconstructed procedurally per SURVEY's guidance: the fully in-tree
+terrain pipeline (terrain.c:418-574) + a kinematic character capsule +
+dynamic bodies + instantiator-placed static entities (trees).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..char.controller import CharParams, char_state_init
+from ..engine.state import (EngineState, EntityParams, SceneConfig,
+                            engine_state_init)
+from ..physics.heightfield import heightfield_from_terrain
+from ..physics.narrowphase import make_world
+from ..physics.world import (BodyParams, body_params_empty, capsule_auto_size,
+                             phys_state_init)
+from ..utils.frand import Rand48
+from .terrain import terrain_init_square_landscape
+
+
+class Testbed(NamedTuple):
+    cfg: SceneConfig
+    state0: EngineState
+    terrain: object
+
+
+def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
+                  n_dynamic: int = 8, max_entities: int = 64,
+                  char_aabb=(0.6, 2.0, 0.6)) -> Testbed:
+    """Build the scene on host, upload as device constants + initial state."""
+    t = terrain_init_square_landscape(seed, -side / 2, 0.0, -side / 2,
+                                      side, nr_v)
+    hf = heightfield_from_terrain(t)
+    world = make_world(hf)
+
+    n_chars = 1
+    n_bodies = n_chars + n_dynamic
+    bodies = body_params_empty(n_bodies)
+
+    # character capsule (slot 0)
+    r, hl, yoff, ray_off = capsule_auto_size(*char_aabb)
+    def setb(arr, i, v):
+        return arr.at[i].set(v)
+
+    bodies = bodies._replace(
+        active=setb(bodies.active, 0, True),
+        kinematic=setb(bodies.kinematic, 0, True),
+        radius=setb(bodies.radius, 0, r),
+        half_len=setb(bodies.half_len, 0, hl),
+        yoffset=setb(bodies.yoffset, 0, yoff),
+        ray_off=setb(bodies.ray_off, 0, ray_off),
+        mass=setb(bodies.mass, 0, 70.0),
+    )
+
+    # dynamic spheres scattered above the terrain
+    rng = Rand48(seed ^ 0x5EED)
+    dyn_pos = []
+    for i in range(n_dynamic):
+        bi = n_chars + i
+        br = 0.3 + 0.2 * rng.drand48()
+        bx = (rng.drand48() - 0.5) * side * 0.8
+        bz = (rng.drand48() - 0.5) * side * 0.8
+        bodies = bodies._replace(
+            active=setb(bodies.active, bi, True),
+            radius=setb(bodies.radius, bi, br),
+            yoffset=setb(bodies.yoffset, bi, br),
+            ray_off=setb(bodies.ray_off, bi, br),
+            mass=setb(bodies.mass, bi, 1.0 + rng.drand48()),
+            bounce=setb(bodies.bounce, bi, 0.3),
+            bounce_vel=setb(bodies.bounce_vel, bi, 0.1),
+        )
+        dyn_pos.append((bx, 4.0 + 3.0 * rng.drand48(), bz))
+
+    char_params = CharParams(
+        body=jnp.array([0], jnp.int32),
+        lin_speed=jnp.array([char_aabb[1] * 1.2], jnp.float32),
+        jump_forward=jnp.array([1.2], jnp.float32),
+        jump_upward=jnp.array([5.0], jnp.float32),
+        can_dash=jnp.array([True]),
+    )
+
+    # entities: 0 = terrain, 1 = character, [2, 2+n_dynamic) = spheres,
+    # then instantiator trees
+    E = max_entities
+    ent = EntityParams(
+        active=jnp.zeros((E,), bool),
+        model_id=jnp.zeros((E,), jnp.int32),
+        body=jnp.full((E,), -1, jnp.int32),
+        body_is_char=jnp.zeros((E,), bool),
+        yoffset=jnp.zeros((E,), jnp.float32),
+        parent=jnp.full((E,), -1, jnp.int32),
+        skip_culling=jnp.zeros((E,), bool),
+    )
+    ent = ent._replace(
+        active=ent.active.at[0].set(True),
+        skip_culling=ent.skip_culling.at[0].set(True),  # terrain
+    )
+    ent = ent._replace(
+        active=ent.active.at[1].set(True),
+        model_id=ent.model_id.at[1].set(1),
+        body=ent.body.at[1].set(0),
+        body_is_char=ent.body_is_char.at[1].set(True),
+    )
+    for i in range(n_dynamic):
+        ei = 2 + i
+        ent = ent._replace(
+            active=ent.active.at[ei].set(True),
+            model_id=ent.model_id.at[ei].set(2),
+            body=ent.body.at[ei].set(n_chars + i),
+        )
+    tree_pos = []
+    for k, (name, dx, dy, dz) in enumerate(t.instantiators):
+        ei = 2 + n_dynamic + k
+        if ei >= E:
+            break
+        ent = ent._replace(
+            active=ent.active.at[ei].set(True),
+            model_id=ent.model_id.at[ei].set(3),
+        )
+        tree_pos.append((ei, (dx, dy, dz)))
+
+    model_aabb = jnp.array([
+        [[-side / 2, -10, -side / 2], [side / 2, 10, side / 2]],  # terrain
+        [[-0.3, 0.0, -0.3], [0.3, 2.0, 0.3]],                     # character
+        [[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]],                    # sphere
+        [[-0.5, 0.0, -0.5], [0.5, 3.0, 0.5]],                     # tree
+    ], jnp.float32)
+
+    cfg = SceneConfig(
+        world=world, bodies=bodies, entities=ent, char_params=char_params,
+        model_aabb=model_aabb, limbo_height=jnp.float32(40.0),
+        gravity_y=jnp.float32(-9.8),
+    )
+
+    # initial state
+    st = engine_state_init(E, n_bodies, n_chars)
+    # character spawns at terrain center, on the ground
+    from .terrain import terrain_height_np
+
+    cy = float(terrain_height_np(t, 0.0, 0.0))
+    st = st._replace(
+        phys=st.phys._replace(
+            pos=st.phys.pos.at[0].set(jnp.array([0.0, cy + yoff, 0.0]))
+        )
+    )
+    for i, p in enumerate(dyn_pos):
+        st = st._replace(
+            phys=st.phys._replace(
+                pos=st.phys.pos.at[n_chars + i].set(jnp.array(p, jnp.float32))
+            )
+        )
+    st = st._replace(visible=ent.active)
+    for ei, (dx, dy, dz) in tree_pos:
+        st = st._replace(pos=st.pos.at[ei].set(jnp.array([dx, dy, dz], jnp.float32)))
+    return Testbed(cfg=cfg, state0=st, terrain=t)
+
+
+def replicate_state(st: EngineState, n_envs: int) -> EngineState:
+    """Broadcast one initial state to an env batch."""
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (n_envs, *x.shape)), st)
