@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line with the north-star metric.
+
+North star (BASELINE.json): batched sim-steps/sec/chip for 4096 parallel
+testbed scenes; target 4096 envs × 60 Hz = 245,760 env-steps/s → 1.0
+vs_baseline. Sub-benchmarks cover the BASELINE.json configs that exist so
+far; they're reported in the "sub" field.
+
+Runs on whatever jax.default_backend() is (the driver provides a real TPU
+chip); falls back gracefully if a config fails.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    jax.block_until_ready(x)
+    return x
+
+
+def bench_ca2d():
+    """Config #1: ca2d 256², fixed rule, 1000 steps (one grid)."""
+    from clap_tpu.ops.ca2d import CA_TEST, ca2d_run_pallas, ca2d_seed
+
+    key = jax.random.PRNGKey(0)
+    grid = ca2d_seed(CA_TEST, key, (256, 256))
+    run = lambda g: ca2d_run_pallas(CA_TEST, g, 1000)
+    _sync(run(grid))  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = run(grid)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "ca2d_256_1000steps_ms", "value": dt * 1e3,
+            "cell_steps_per_s": 256 * 256 * 1000 / dt}
+
+
+def bench_headless(n_envs: int, frames: int = 30):
+    """Configs #2/#4: headless testbed step, single + batched."""
+    from clap_tpu.engine.step import engine_step, inputs_zero
+    from clap_tpu.scene.testbed import build_testbed, replicate_state
+
+    tb = build_testbed(seed=42, side=64.0, nr_v=128, n_dynamic=8,
+                       max_entities=64)
+    ins1 = inputs_zero(1)._replace(
+        motion=jnp.array([[1.0, 0.0]], jnp.float32))
+
+    if n_envs == 1:
+        step = jax.jit(lambda s, i: engine_step(tb.cfg, s, i))
+        st = tb.state0
+        ins = ins1
+    else:
+        step = jax.jit(jax.vmap(lambda s, i: engine_step(tb.cfg, s, i)))
+        st = replicate_state(tb.state0, n_envs)
+        ins = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_envs, *x.shape)), ins1)
+
+    st = step(st, ins)  # compile
+    _sync(st)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        st = step(st, ins)
+    _sync(st)
+    dt = (time.perf_counter() - t0) / frames
+    return dt  # seconds per frame
+
+
+def main():
+    backend = jax.default_backend()
+    sub = {}
+    try:
+        sub["ca2d"] = bench_ca2d()
+    except Exception as e:  # pragma: no cover
+        sub["ca2d"] = {"error": str(e)[:200]}
+
+    try:
+        dt1 = bench_headless(1)
+        sub["headless_single_ms"] = dt1 * 1e3
+    except Exception as e:  # pragma: no cover
+        sub["headless_single_ms"] = {"error": str(e)[:200]}
+
+    n_envs = 4096 if backend == "tpu" else 64
+    try:
+        dtN = bench_headless(n_envs)
+        env_steps_per_s = n_envs / dtN
+        sub[f"headless_{n_envs}_ms_per_frame"] = dtN * 1e3
+    except Exception as e:  # pragma: no cover
+        env_steps_per_s = 0.0
+        sub["headless_batched"] = {"error": str(e)[:200]}
+
+    target = 4096 * 60.0
+    print(json.dumps({
+        "metric": "batched env sim-steps/sec/chip (testbed scene, headless)",
+        "value": round(env_steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_steps_per_s / target, 4),
+        "backend": backend,
+        "n_envs": n_envs,
+        "sub": sub,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
