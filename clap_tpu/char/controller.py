@@ -183,29 +183,10 @@ def character_move(world: StaticWorld, params: BodyParams,
 
     # --- airborne branch (character.c:465-484)
     vel_air = velocity.at[1].add(GRAVITY[1] * dt)
+    rising = vel_air[1] > 0
+    falling = airborne & ~rising
 
-    def do_airborne(body_pos, vel):
-        rising = vel[1] > 0
-        delta = vel * dt
-        # rising: combined blocking sweep
-        p_rise, frac_rise = _sweep_delta(world, params, body_pos, idx, delta,
-                                         -1.0, True)
-        v_rise = jnp.where(frac_rise < 1.0, vel.at[1].set(0.0), vel)
-        # falling: split vertical (floor filter) + horizontal
-        v_delta = jnp.array([0.0, 1.0, 0.0]) * (vel[1] * dt)
-        p_v, frac_v = _sweep_delta(world, params, body_pos, idx, v_delta, 0.5, False)
-        bp2 = body_pos.at[idx].set(p_v)
-        h_delta = jnp.array([vel[0] * dt, 0.0, vel[2] * dt])
-        p_h, _ = _sweep_delta(world, params, bp2, idx, h_delta, -1.0, True)
-        v_fall = jnp.where(frac_v < 1.0, vel.at[1].set(0.0), vel)
-
-        pos_out = jnp.where(rising, p_rise, p_h)
-        vel_out = jnp.where(rising, v_rise, v_fall)
-        return pos_out, vel_out
-
-    p_air, v_air = do_airborne(body_pos, vel_air)
-
-    # --- grounded branch
+    # --- grounded motion setup
     motion = jnp.array([motion_dx, 0.0, motion_dz])
     has_motion = jnp.linalg.norm(motion) > 0
 
@@ -235,11 +216,29 @@ def character_move(world: StaticWorld, params: BodyParams,
     # movement only applies while moving (character_apply_velocity is only
     # called from the CS_MOVING transition, character.c:352-354)
     delta_g = jnp.where(has_motion & ~do_jump, v_move * dt, jnp.zeros(3))
-    p_ground, _ = _sweep_delta(world, params, body_pos, idx, delta_g, -1.0, True)
 
-    # --- select branch
-    new_pos = jnp.where(airborne, p_air, p_ground)
-    new_vel = jnp.where(airborne, v_air, v_ground)
+    # --- TWO shared sweeps cover all three movement modes (grounded /
+    # rising / falling) — the per-mode parameters are mask-selected so
+    # only two narrowphase passes are traced:
+    #   A: grounded full delta | rising combined delta | falling vertical
+    #   B: falling horizontal (zero-length otherwise → early-outs)
+    v_delta = jnp.array([0.0, 1.0, 0.0]) * (vel_air[1] * dt)
+    h_delta = jnp.array([vel_air[0] * dt, 0.0, vel_air[2] * dt])
+    delta_a = jnp.where(airborne,
+                        jnp.where(rising, vel_air * dt, v_delta), delta_g)
+    min_ny_a = jnp.where(falling, 0.5, -1.0)
+    stop_a = ~falling
+    p_a, frac_a = _sweep_delta(world, params, body_pos, idx, delta_a,
+                               min_ny_a, stop_a)
+    bp2 = body_pos.at[idx].set(p_a)
+    delta_b = jnp.where(falling, h_delta, jnp.zeros(3))
+    p_b, _ = _sweep_delta(world, params, bp2, idx, delta_b, -1.0, True)
+
+    new_pos = jnp.where(falling, p_b, p_a)
+    # vertical velocity cancels when the primary sweep hit (rising
+    # combined sweep or falling vertical sweep, character.c:269-301)
+    v_air_out = jnp.where(frac_a < 1.0, vel_air.at[1].set(0.0), vel_air)
+    new_vel = jnp.where(airborne, v_air_out, v_ground)
 
     # --- state machine (simplified transition table)
     new_state = state

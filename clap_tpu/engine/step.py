@@ -131,10 +131,15 @@ def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs):
 
 
 def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
-                dt=jnp.float32(1.0 / 60.0)) -> EngineState:
-    """One headless frame. Pure; jit/vmap over envs."""
+                dt=jnp.float32(1.0 / 60.0), max_substeps: int = 2) -> EngineState:
+    """One headless frame. Pure; jit/vmap over envs.
+
+    max_substeps=2 is exact for 60 Hz frames (dt/FIXED_DT = 2); pass up
+    to world.MAX_SUBSTEPS (5, the reference cap) for variable frame
+    rates."""
     st = _characters_move(cfg, st, inputs, dt)
-    st = st._replace(phys=W.phys_step(cfg.world, cfg.bodies, st.phys, dt))
+    st = st._replace(phys=W.phys_step(cfg.world, cfg.bodies, st.phys, dt,
+                                      max_substeps))
     st = _limbo(cfg, st)
     st = _scene_update(cfg, st)
     st = _camera_update(cfg, st, inputs)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -68,6 +69,38 @@ def hf_normal(hf: Heightfield, x, z):
     gx = jnp.clip(jnp.floor((x - hf.origin[0]) / square).astype(jnp.int32), 0, n - 1)
     gz = jnp.clip(jnp.floor((z - hf.origin[1]) / square).astype(jnp.int32), 0, n - 1)
     return hf.normals[gx, gz]
+
+
+def hf_face_plane(hf: Heightfield, x, z):
+    """Plane of the exact triangle under (x, z): returns (normal (...,3),
+    height (...,)). The point (x, height, z) lies on the plane (hf_height
+    is barycentric on the same triangle), so together they define it.
+    Positions outside the field report an invalid mask."""
+    n = hf.heights.shape[0]
+    square = hf.side / (n - 1)
+    tx = x - hf.origin[0]
+    tz = z - hf.origin[1]
+    inside = (tx >= 0) & (tx <= hf.side) & (tz >= 0) & (tz <= hf.side)
+    gx = jnp.floor(tx / square).astype(jnp.int32)
+    gz = jnp.floor(tz / square).astype(jnp.int32)
+    xoff = (tx - square * gx) / square
+    zoff = (tz - square * gz) / square
+    gx = jnp.clip(gx, 0, n - 2)
+    gz = jnp.clip(gz, 0, n - 2)
+    h00 = hf.heights[gx, gz]
+    h10 = hf.heights[gx + 1, gz]
+    h01 = hf.heights[gx, gz + 1]
+    h11 = hf.heights[gx + 1, gz + 1]
+    lower = xoff <= 1 - zoff
+    h = jnp.where(lower,
+                  h00 + (h10 - h00) * xoff + (h01 - h00) * zoff,
+                  h10 + (h11 - h10) * zoff + (h01 - h11) * (1 - xoff))
+    nx = jnp.where(lower, -(h10 - h00), -(h11 - h01))
+    nz = jnp.where(lower, -(h01 - h00), -(h11 - h10))
+    ny = jnp.broadcast_to(square, nx.shape)
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+    normal = jnp.stack([nx * inv, ny * inv, nz * inv], axis=-1)
+    return normal, h, inside
 
 
 def hf_face_normal(hf: Heightfield, x, z):

@@ -24,8 +24,10 @@ from .narrowphase import StaticWorld, capsule_world_contacts
 from .shapes import closest_pt_segment_segment
 from .world import BodyParams, capsule_segment
 
-MAX_SWEEP_STEPS = 8
+MAX_SWEEP_STEPS = 4   # C computes ceil(|delta|/(r/2)) dynamically; per-frame
+                      # deltas at 60 Hz stay ≤ 2 steps except extreme falls
 SWEEP_NDOT_CUTOFF = -0.1
+SWEEP_HF_SAMPLES = 5  # cardinal plane samples are enough for probe tests
 
 
 class SweepResult(NamedTuple):
@@ -35,48 +37,19 @@ class SweepResult(NamedTuple):
     hit_body: jnp.ndarray   # () int32: body index hit, -1 if static/none
 
 
-def _probe_contacts_min_frac(world, params: BodyParams, body_pos, self_idx,
-                             probe_pos, radius, half_len, direc, t, delta_len):
-    """All contacts of the probe at one position → min frac + its normal."""
-    p0, p1 = capsule_segment(probe_pos, half_len)
-    c = capsule_world_contacts(world, p0, p1, radius)
-
-    # body-vs-body contacts (other characters / dynamic bodies)
-    n_bodies = body_pos.shape[0]
-
-    def body_contact(j):
-        q0, q1 = capsule_segment(body_pos[j], params.half_len[j])
-        ci, cj = closest_pt_segment_segment(p0, p1, q0, q1)
-        diff = ci - cj
-        dist = jnp.linalg.norm(diff)
-        normal = jnp.where(dist > 1e-9, diff / jnp.maximum(dist, 1e-9),
-                           jnp.array([0.0, 1.0, 0.0]))
-        depth = radius + params.radius[j] - dist
-        ok = params.active[j] & (j != self_idx)
-        return jnp.where(ok, depth, -jnp.inf), normal
-
-    bd, bn = jax.vmap(body_contact)(jnp.arange(n_bodies))
-
-    depth = jnp.concatenate([jnp.where(c.valid, c.depth, -jnp.inf), bd])
-    normal = jnp.concatenate([c.normal, bn], axis=0)
-    src = jnp.concatenate([
-        jnp.full((c.depth.shape[0],), -1, jnp.int32), jnp.arange(n_bodies, dtype=jnp.int32)
-    ])
-
-    ndot = jnp.einsum("c,kc->k", direc, normal)
-    blocking = (depth > 0) & (ndot <= SWEEP_NDOT_CUTOFF)
-    backup = depth / jnp.maximum(-ndot, 1e-6)
-    safe = jnp.maximum(t * delta_len - backup, 0.0)
-    frac = jnp.where(blocking, safe / jnp.maximum(delta_len, 1e-9), jnp.inf)
-    i = jnp.argmin(frac)
-    return frac[i], normal[i], jnp.isfinite(frac[i]), src[i]
-
-
 def sweep_capsule(world: StaticWorld, params: BodyParams, body_pos,
-                  self_idx, delta) -> SweepResult:
+                  self_idx, delta,
+                  max_steps: int = MAX_SWEEP_STEPS) -> SweepResult:
     """Sweep body ``self_idx``'s capsule along ``delta``. body_pos is the
     (N, 3) current geom-center array (the probe starts at
-    body_pos[self_idx])."""
+    body_pos[self_idx]).
+
+    All MAX_SWEEP_STEPS probe positions are evaluated in one batched
+    narrowphase call; the C early-break (physics.c:655-656 stops marching
+    once best_frac < t) is replicated exactly with a prefix-min: later
+    steps' contacts are ignored once the running best frac drops below
+    the current step's t.
+    """
     radius = params.radius[self_idx]
     half_len = params.half_len[self_idx]
     start = body_pos[self_idx]
@@ -85,31 +58,70 @@ def sweep_capsule(world: StaticWorld, params: BodyParams, body_pos,
 
     nsteps = jnp.clip(
         jnp.ceil(delta_len / jnp.maximum(radius * 0.5, 1e-6)).astype(jnp.int32),
-        2, MAX_SWEEP_STEPS,
+        2, max_steps,
     )
+    s = jnp.arange(1, max_steps + 1)
+    ts = s.astype(jnp.float32) / nsteps.astype(jnp.float32)      # (S,)
+    live = s <= nsteps
 
-    def step(carry, s):
-        best_frac, best_n, best_hit, best_body, stopped = carry
-        t = s.astype(jnp.float32) / nsteps.astype(jnp.float32)
-        live = (s <= nsteps) & ~stopped
-        frac, n, hit, src = _probe_contacts_min_frac(
-            world, params, body_pos, self_idx,
-            start + delta * t, radius, half_len, direc, t, delta_len,
-        )
-        better = live & hit & (frac < best_frac)
-        best_frac = jnp.where(better, frac, best_frac)
-        best_n = jnp.where(better, n, best_n)
-        best_body = jnp.where(better, src, best_body)
-        best_hit = best_hit | better
-        stopped = stopped | (live & (best_frac < t))
-        return (best_frac, best_n, best_hit, best_body, stopped), None
+    probe_pos = start[None, :] + delta[None, :] * ts[:, None]    # (S, 3)
 
-    init = (jnp.float32(1.0), jnp.array([0.0, 1.0, 0.0], jnp.float32),
-            jnp.array(False), jnp.int32(-1), jnp.array(False))
-    (frac, normal, hit, hit_body, _), _ = jax.lax.scan(
-        step, init, jnp.arange(1, MAX_SWEEP_STEPS + 1)
+    def probe_contacts(pp):
+        p0, p1 = capsule_segment(pp, half_len)
+        c = capsule_world_contacts(world, p0, p1, radius, SWEEP_HF_SAMPLES)
+        n_bodies = body_pos.shape[0]
+
+        def body_contact(j):
+            q0, q1 = capsule_segment(body_pos[j], params.half_len[j])
+            ci, cj = closest_pt_segment_segment(p0, p1, q0, q1)
+            diff = ci - cj
+            dist = jnp.linalg.norm(diff)
+            normal = jnp.where(dist > 1e-9, diff / jnp.maximum(dist, 1e-9),
+                               jnp.array([0.0, 1.0, 0.0]))
+            depth = radius + params.radius[j] - dist
+            ok = params.active[j] & (j != self_idx)
+            return jnp.where(ok, depth, -jnp.inf), normal
+
+        bd, bn = jax.vmap(body_contact)(jnp.arange(n_bodies))
+        depth = jnp.concatenate([c.depth, bd])
+        normal = jnp.concatenate([c.normal, bn], axis=0)
+        src = jnp.concatenate([
+            jnp.full((c.depth.shape[0],), -1, jnp.int32),
+            jnp.arange(n_bodies, dtype=jnp.int32),
+        ])
+        return depth, normal, src
+
+    depth, normal, src = jax.vmap(probe_contacts)(probe_pos)   # (S,K[,3])
+
+    ndot = jnp.einsum("c,skc->sk", direc, normal)
+    blocking = (depth > 0) & (ndot <= SWEEP_NDOT_CUTOFF) & live[:, None]
+    backup = depth / jnp.maximum(-ndot, 1e-6)
+    safe = jnp.maximum(ts[:, None] * delta_len - backup, 0.0)
+    frac = jnp.where(blocking, safe / jnp.maximum(delta_len, 1e-9), jnp.inf)
+
+    # per-step min, then prefix-min emulating the sequential march
+    step_min = jnp.min(frac, axis=1)                            # (S,)
+    run_min = jax.lax.associative_scan(jnp.minimum, step_min)   # (S,)
+    # step s is examined iff no earlier step already stopped the march:
+    # stopped after step s' iff run_min[s'] < t[s']
+    stopped_before = jnp.concatenate([
+        jnp.zeros((1,), bool), (run_min < ts)[:-1]
+    ])
+    examined = ~jnp.cumsum(stopped_before.astype(jnp.int32)).astype(bool)
+    eff = jnp.where(examined[:, None], frac, jnp.inf)
+    flat = eff.reshape(-1)
+    best = jnp.argmin(flat)
+    best_frac = flat[best]
+    hit = jnp.isfinite(best_frac)
+    si, ki = best // frac.shape[1], best % frac.shape[1]
+    best_n = normal[si, ki]
+    best_src = src[si, ki]
+
+    frac_out = jnp.where(hit, best_frac, 1.0)
+    frac_out = jnp.where(delta_len < 1e-6, 1.0, frac_out)
+    return SweepResult(
+        frac=frac_out,
+        normal=jnp.where(hit, best_n, jnp.array([0.0, 1.0, 0.0], jnp.float32)),
+        hit=hit & (delta_len >= 1e-6),
+        hit_body=jnp.where(hit, best_src, -1),
     )
-    # zero-length sweep → frac 1 (physics.c:573-574)
-    frac = jnp.where(delta_len < 1e-6, 1.0, frac)
-    return SweepResult(frac=frac, normal=normal, hit=hit & (delta_len >= 1e-6),
-                       hit_body=hit_body)

@@ -287,8 +287,13 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
 
 
 def phys_step(world: StaticWorld, params: BodyParams, state: PhysState,
-              dt) -> PhysState:
-    """phys_step (physics.c:773-787): fixed-dt accumulator, ≤5 substeps."""
+              dt, max_substeps: int = MAX_SUBSTEPS) -> PhysState:
+    """phys_step (physics.c:773-787): fixed-dt accumulator, ≤5 substeps.
+
+    ``max_substeps`` trades worst-case dt coverage for traced-graph size:
+    at a fixed 60 Hz frame dt exactly 2 substeps ever run, so callers
+    with a known frame rate pass 2 and compile half the narrowphase.
+    """
     acc = state.time_acc + dt
 
     def body(i, carry):
@@ -298,7 +303,8 @@ def phys_step(world: StaticWorld, params: BodyParams, state: PhysState,
         st = jax.tree.map(lambda a, b: jnp.where(do, b, a), st, st2)
         return st, jnp.where(do, acc - FIXED_DT, acc)
 
-    state, acc = jax.lax.fori_loop(0, MAX_SUBSTEPS, body, (state, acc))
+    state, acc = jax.lax.fori_loop(0, max_substeps, body, (state, acc),
+                                   unroll=True)
     # cap hit → drop the remainder (physics.c:785-786)
     acc = jnp.where(acc >= FIXED_DT, 0.0, acc)
     return state._replace(time_acc=acc)

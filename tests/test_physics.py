@@ -143,7 +143,8 @@ def test_sweep_stops_at_wall():
     world = make_world(flat_world().hf, jnp.asarray(wallq))
     params, st = one_sphere(r=0.5, pos=(0, 0.5, 0))
     res = sweep_capsule(world, params, st.pos, jnp.int32(0),
-                        jnp.array([3.0, 0.0, 0.0], jnp.float32))
+                        jnp.array([3.0, 0.0, 0.0], jnp.float32),
+                        max_steps=12)  # C uses ceil(3.0/(r/2)) = 12
     assert bool(res.hit)
     # safe distance is 1.5 (wall at 2, radius 0.5) → frac = 0.5
     assert abs(float(res.frac) - 0.5) < 0.15
