@@ -1,13 +1,16 @@
 """Batched heightfield queries on device (reference: core/terrain.c:336-379).
 
 The terrain trimesh in the reference is fed to ODE's collision space; on
-TPU the regular-grid structure makes an explicit trimesh unnecessary for
-ground queries — height/normal lookups are two gathers and a select. The
-capsule-vs-terrain narrowphase (physics/capsule.py) builds on these.
+TPU the regular-grid structure makes an explicit trimesh unnecessary:
+every query resolves to ONE gather of a packed per-cell record (the four
+corner heights) from a flat table, followed by elementwise math — the
+gather-count is what dominates the batched narrowphase, so the packing
+matters more than the math.
 
 Heightfield layout: ``H[x, z]`` (nr_v, nr_v) float32, matching the host
-generator (scene/terrain.py). All query functions broadcast over leading
-batch axes and are jit/vmap-friendly.
+generator (scene/terrain.py). ``cells`` is the flattened
+((nr_v-1)², 4) [h00, h10, h01, h11] corner table. All query functions
+broadcast over arbitrary batch shapes and are jit/vmap-friendly.
 """
 from __future__ import annotations
 
@@ -21,61 +24,41 @@ class Heightfield(NamedTuple):
     """Static per-scene terrain data (device constants)."""
 
     heights: jnp.ndarray       # (nr_v, nr_v) [x][z]
+    cells: jnp.ndarray         # ((nr_v-1)², 4) packed corner heights
     normals: jnp.ndarray       # (nr_v, nr_v, 3) grid normals
     origin: jnp.ndarray        # (2,) [x0, z0]
     side: jnp.ndarray          # () scalar
-    # nr_vert is heights.shape[0] (static)
+
+
+def _pack_cells(heights: jnp.ndarray) -> jnp.ndarray:
+    h00 = heights[:-1, :-1]
+    h10 = heights[1:, :-1]
+    h01 = heights[:-1, 1:]
+    h11 = heights[1:, 1:]
+    return jnp.stack([h00, h10, h01, h11], axis=-1).reshape(-1, 4)
+
+
+def make_heightfield(heights, normals, origin, side) -> Heightfield:
+    heights = jnp.asarray(heights, jnp.float32)
+    return Heightfield(
+        heights=heights,
+        cells=_pack_cells(heights),
+        normals=jnp.asarray(normals, jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        side=jnp.asarray(side, jnp.float32),
+    )
 
 
 def heightfield_from_terrain(t) -> Heightfield:
     """Upload a host Terrain (scene/terrain.py) as device constants."""
-    return Heightfield(
-        heights=jnp.asarray(t.heights, dtype=jnp.float32),
-        normals=jnp.asarray(t.normals_grid, dtype=jnp.float32),
-        origin=jnp.array([t.x, t.z], dtype=jnp.float32),
-        side=jnp.asarray(t.side, dtype=jnp.float32),
-    )
+    return make_heightfield(t.heights, t.normals_grid,
+                            jnp.array([t.x, t.z]), t.side)
 
 
-def hf_height(hf: Heightfield, x, z):
-    """terrain_height (terrain.c:336-379): triangle-exact barycentric
-    interpolation, 0 outside the terrain bounds."""
-    n = hf.heights.shape[0]
-    square = hf.side / (n - 1)
-    tx = x - hf.origin[0]
-    tz = z - hf.origin[1]
-    gx = jnp.floor(tx / square).astype(jnp.int32)
-    gz = jnp.floor(tz / square).astype(jnp.int32)
-    xoff = (tx - square * gx) / square
-    zoff = (tz - square * gz) / square
-    oob = (tx < 0) | (tx > hf.side) | (tz < 0) | (tz > hf.side)
-    gx = jnp.clip(gx, 0, n - 2)
-    gz = jnp.clip(gz, 0, n - 2)
-    h00 = hf.heights[gx, gz]
-    h10 = hf.heights[gx + 1, gz]
-    h01 = hf.heights[gx, gz + 1]
-    h11 = hf.heights[gx + 1, gz + 1]
-    h_lower = h00 + (h10 - h00) * xoff + (h01 - h00) * zoff
-    h_upper = h10 + (h11 - h10) * zoff + (h01 - h11) * (1 - xoff)
-    h = jnp.where(xoff <= 1 - zoff, h_lower, h_upper)
-    return jnp.where(oob, 0.0, h)
+def _cell_query(hf: Heightfield, x, z):
+    """Shared cell lookup: ONE gather of the packed corner record.
 
-
-def hf_normal(hf: Heightfield, x, z):
-    """terrain_normal (terrain.c:316-324): grid-cell normal (not
-    interpolated — matches the reference's gameplay query)."""
-    n = hf.heights.shape[0]
-    square = hf.side / (n - 1)
-    gx = jnp.clip(jnp.floor((x - hf.origin[0]) / square).astype(jnp.int32), 0, n - 1)
-    gz = jnp.clip(jnp.floor((z - hf.origin[1]) / square).astype(jnp.int32), 0, n - 1)
-    return hf.normals[gx, gz]
-
-
-def hf_face_plane(hf: Heightfield, x, z):
-    """Plane of the exact triangle under (x, z): returns (normal (...,3),
-    height (...,)). The point (x, height, z) lies on the plane (hf_height
-    is barycentric on the same triangle), so together they define it.
-    Positions outside the field report an invalid mask."""
+    Returns (h00, h10, h01, h11, xoff, zoff, inside, square)."""
     n = hf.heights.shape[0]
     square = hf.side / (n - 1)
     tx = x - hf.origin[0]
@@ -87,10 +70,26 @@ def hf_face_plane(hf: Heightfield, x, z):
     zoff = (tz - square * gz) / square
     gx = jnp.clip(gx, 0, n - 2)
     gz = jnp.clip(gz, 0, n - 2)
-    h00 = hf.heights[gx, gz]
-    h10 = hf.heights[gx + 1, gz]
-    h01 = hf.heights[gx, gz + 1]
-    h11 = hf.heights[gx + 1, gz + 1]
+    rec = jnp.take(hf.cells, gx * (n - 1) + gz, axis=0)
+    return (rec[..., 0], rec[..., 1], rec[..., 2], rec[..., 3],
+            xoff, zoff, inside, square)
+
+
+def hf_height(hf: Heightfield, x, z):
+    """terrain_height (terrain.c:336-379): triangle-exact barycentric
+    interpolation, 0 outside the terrain bounds."""
+    h00, h10, h01, h11, xoff, zoff, inside, _ = _cell_query(hf, x, z)
+    h_lower = h00 + (h10 - h00) * xoff + (h01 - h00) * zoff
+    h_upper = h10 + (h11 - h10) * zoff + (h01 - h11) * (1 - xoff)
+    h = jnp.where(xoff <= 1 - zoff, h_lower, h_upper)
+    return jnp.where(inside, h, 0.0)
+
+
+def hf_face_plane(hf: Heightfield, x, z):
+    """Plane of the exact triangle under (x, z): returns (normal (...,3),
+    height (...,), inside (...)). The point (x, height, z) lies on the
+    plane (hf_height is barycentric on the same triangle)."""
+    h00, h10, h01, h11, xoff, zoff, inside, square = _cell_query(hf, x, z)
     lower = xoff <= 1 - zoff
     h = jnp.where(lower,
                   h00 + (h10 - h00) * xoff + (h01 - h00) * zoff,
@@ -103,31 +102,17 @@ def hf_face_plane(hf: Heightfield, x, z):
     return normal, h, inside
 
 
-def hf_face_normal(hf: Heightfield, x, z):
-    """Exact normal of the triangle under (x, z) — what ODE's trimesh
-    collider reports for contacts. Used by the contact solver."""
+def hf_normal(hf: Heightfield, x, z):
+    """terrain_normal (terrain.c:316-324): grid-cell normal (not
+    interpolated — matches the reference's gameplay query)."""
     n = hf.heights.shape[0]
     square = hf.side / (n - 1)
-    tx = x - hf.origin[0]
-    tz = z - hf.origin[1]
-    gx = jnp.floor(tx / square).astype(jnp.int32)
-    gz = jnp.floor(tz / square).astype(jnp.int32)
-    xoff = (tx - square * gx) / square
-    zoff = (tz - square * gz) / square
-    gx = jnp.clip(gx, 0, n - 2)
-    gz = jnp.clip(gz, 0, n - 2)
-    h00 = hf.heights[gx, gz]
-    h10 = hf.heights[gx + 1, gz]
-    h01 = hf.heights[gx, gz + 1]
-    h11 = hf.heights[gx + 1, gz + 1]
-    s = square
-    lower = xoff <= 1 - zoff
-    # lower tri edges: (s,h10-h00,0), (0,h01-h00,s); upper: (0,h11-h10,s), (-s,h01-h11,0)
-    ex = jnp.where(lower, h10 - h00, h11 - h10)
-    ez = jnp.where(lower, h01 - h00, h01 - h11)
-    # normal = cross(edge_x, edge_z) for lower, cross(edge_z, edge_x2)… both
-    # reduce to (-dy/dx, 1, -dy/dz) scaled:
-    nx = jnp.where(lower, -(h10 - h00), -(h11 - h01))
-    nz = jnp.where(lower, -(h01 - h00), -(h11 - h10))
-    v = jnp.stack([nx, jnp.broadcast_to(s, nx.shape), nz], axis=-1)
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    gx = jnp.clip(jnp.floor((x - hf.origin[0]) / square).astype(jnp.int32), 0, n - 1)
+    gz = jnp.clip(jnp.floor((z - hf.origin[1]) / square).astype(jnp.int32), 0, n - 1)
+    return hf.normals[gx, gz]
+
+
+def hf_face_normal(hf: Heightfield, x, z):
+    """Exact normal of the triangle under (x, z) — what ODE's trimesh
+    collider reports for contacts."""
+    return hf_face_plane(hf, x, z)[0]

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from clap_tpu.physics.heightfield import Heightfield
+from clap_tpu.physics.heightfield import make_heightfield
 from clap_tpu.physics.narrowphase import make_world, raycast_down, capsule_world_contacts
 from clap_tpu.physics import world as W
 from clap_tpu.physics.sweep import sweep_capsule
@@ -18,9 +18,7 @@ def flat_world(h=0.0, n=17, side=32.0):
     H = np.full((n, n), h, np.float32)
     N = np.zeros((n, n, 3), np.float32)
     N[..., 1] = 1.0
-    hf = Heightfield(heights=jnp.asarray(H), normals=jnp.asarray(N),
-                     origin=jnp.array([-side / 2, -side / 2], jnp.float32),
-                     side=jnp.float32(side))
+    hf = make_heightfield(H, N, [-side / 2, -side / 2], side)
     return make_world(hf)
 
 
@@ -30,9 +28,7 @@ def slope_world(slope=0.3, n=33, side=32.0):
     N = np.zeros((n, n, 3), np.float32)
     nv = np.array([-slope, 1.0, 0.0]) / np.sqrt(1 + slope**2)
     N[:] = nv
-    hf = Heightfield(heights=jnp.asarray(H), normals=jnp.asarray(N),
-                     origin=jnp.array([-side / 2, -side / 2], jnp.float32),
-                     side=jnp.float32(side))
+    hf = make_heightfield(H, N, [-side / 2, -side / 2], side)
     return make_world(hf)
 
 
