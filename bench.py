@@ -41,6 +41,65 @@ def bench_ca2d():
             "cell_steps_per_s": 256 * 256 * 1000 / dt}
 
 
+def bench_skinning(n_inst: int = 1024, n_joints: int = 64, n_verts: int = 4096):
+    """Config #3: pose sampling + blend + skinning, 1024 instances.
+
+    Synthetic rig (assets aren't in-tree, SURVEY §6): J-joint chain, one
+    looping clip with rotation+translation channels per joint, V-vert
+    skinned mesh with 4 random bone weights."""
+    import numpy as np
+
+    from clap_tpu.anim.clips import (PATH_ROTATION, PATH_TRANSLATION,
+                                     build_library, sample_pose)
+    from clap_tpu.anim.joints import build_skeleton, joint_matrices
+    from clap_tpu.anim.skin import skin_verts
+
+    rng = np.random.default_rng(0)
+    parent = [-1] + list(range(n_joints - 1))
+    invbind = np.tile(np.eye(4, dtype=np.float32), (n_joints, 1, 1))
+    base_t = rng.standard_normal((n_joints, 3)).astype(np.float32) * 0.1
+    base_r = np.tile(np.array([0, 0, 0, 1], np.float32), (n_joints, 1))
+    base_s = np.ones((n_joints, 3), np.float32)
+    sk = build_skeleton(parent, invbind, base_t, base_r, base_s)
+
+    keys = np.linspace(0, 2.0, 16)
+    def qr():
+        q = rng.standard_normal((16, 4)).astype(np.float32)
+        return q / np.linalg.norm(q, axis=-1, keepdims=True)
+    clip = []
+    for j in range(n_joints):
+        clip.append((j, PATH_ROTATION, keys, qr()))
+        clip.append((j, PATH_TRANSLATION, keys,
+                     rng.standard_normal((16, 3)).astype(np.float32) * 0.05))
+    lib = build_library([clip], n_joints)
+
+    verts = jnp.asarray(rng.standard_normal((n_verts, 3)), jnp.float32)
+    normals = verts / jnp.linalg.norm(verts, axis=-1, keepdims=True)
+    w = rng.random((n_verts, 4)).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    w = jnp.asarray(w)
+    ji = jnp.asarray(rng.integers(0, n_joints, (n_verts, 4)), jnp.int32)
+
+    @jax.jit
+    def pose_and_skin(ts):
+        def one(t):
+            pose = sample_pose(lib, sk.base, jnp.int32(0), t)
+            jt = joint_matrices(sk, pose)
+            return skin_verts(jt, verts, normals, w, ji)[0]
+        return jax.vmap(one)(ts)
+
+    ts = jnp.linspace(0.0, 2.0, n_inst)
+    _sync(pose_and_skin(ts))
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = pose_and_skin(ts)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "skinning_1024inst_ms", "value": dt * 1e3,
+            "skinned_verts_per_s": n_inst * n_verts / dt}
+
+
 def bench_headless(n_envs: int, frames: int = 30):
     """Configs #2/#4: headless testbed step, single + batched."""
     from clap_tpu.engine.step import engine_step, inputs_zero
@@ -77,6 +136,11 @@ def main():
         sub["ca2d"] = bench_ca2d()
     except Exception as e:  # pragma: no cover
         sub["ca2d"] = {"error": str(e)[:200]}
+
+    try:
+        sub["skinning"] = bench_skinning()
+    except Exception as e:  # pragma: no cover
+        sub["skinning"] = {"error": str(e)[:200]}
 
     try:
         dt1 = bench_headless(1)
