@@ -1,0 +1,154 @@
+"""Rasterizer tests: analytic coverage + binned-vs-brute equivalence."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clap_tpu.render.raster import (
+    GBuffer, assemble_tri_records, bin_triangles, project_to_screen,
+    raster_brute, raster_scene, rasterize,
+)
+from clap_tpu.render.view import frustum_planes, aabb_in_frustum, make_subview
+from clap_tpu import mathx as mx
+
+
+def screen_tri(pts, width=128, height=32, z=0.0):
+    """Build clip-space verts for screen-space points (orthographic)."""
+    pts = np.asarray(pts, np.float32)
+    x = pts[:, 0] / width * 2 - 1
+    y = -(pts[:, 1] / height * 2 - 1)
+    clip = np.stack([x, y, np.full(len(pts), z, np.float32),
+                     np.ones(len(pts), np.float32)], -1)
+    return jnp.asarray(clip)
+
+
+def test_single_triangle_coverage():
+    # CCW triangle in screen space covering a known block
+    clip = screen_tri([[10, 2], [50, 2], [10, 25]])
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    gb = raster_scene(clip, faces, 128, 32)
+    img = np.asarray(gb.tri_id)
+    assert img[3, 12] == 0          # inside
+    assert img[2, 45] == 0          # near the top edge, inside
+    assert img[30, 100] == -1       # outside
+    assert img[20, 40] == -1        # outside the hypotenuse
+    # barycentrics sum <= 1 and >= 0 where covered
+    b = np.asarray(gb.bary)
+    cov = img == 0
+    assert (b[cov].sum(-1) <= 1 + 1e-4).all()
+    assert (b[cov] >= -1e-4).all()
+
+
+def test_depth_ordering():
+    near = screen_tri([[0, 0], [128, 0], [0, 32]], z=-0.5)
+    far = screen_tri([[0, 0], [128, 0], [0, 32]], z=0.5)
+    clip = jnp.concatenate([far, near])
+    faces = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    gb = raster_scene(clip, faces, 128, 32)
+    img = np.asarray(gb.tri_id)
+    assert (img[img >= 0] == 1).all()  # near triangle wins everywhere covered
+    d = np.asarray(gb.depth)
+    assert abs(d[5, 5] - (-0.5)) < 1e-5
+
+
+def test_backface_culled():
+    clip = screen_tri([[10, 2], [10, 25], [50, 2]])  # CW winding
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    gb = raster_scene(clip, faces, 128, 32)
+    assert (np.asarray(gb.tri_id) == -1).all()
+
+
+def _random_scene(rng, T=40, width=256, height=64):
+    # random CCW triangles in clip space with varying depth and w
+    pts = rng.uniform(-1.2, 1.2, (T, 3, 2)).astype(np.float32)
+    # enforce CCW in screen space: flip if signed area (with y flip) negative
+    z = rng.uniform(-0.9, 0.9, (T, 1)).astype(np.float32)
+    w = rng.uniform(0.5, 2.0, (T, 1)).astype(np.float32)
+    clip = np.concatenate([
+        pts * w[..., None], np.broadcast_to(z[..., None] * w[..., None], (T, 3, 1)),
+        np.broadcast_to(w[..., None], (T, 3, 1)),
+    ], axis=-1).reshape(T * 3, 4)
+    faces = np.arange(T * 3, dtype=np.int32).reshape(T, 3)
+    sx, sy, zz, iw = project_to_screen(jnp.asarray(clip), width, height)
+    rec, ok = assemble_tri_records(sx, sy, zz, iw, jnp.asarray(faces))
+    # fix winding: recompute area and swap v1/v2 where negative
+    area = (rec[:, 2] - rec[:, 0]) * (rec[:, 5] - rec[:, 1]) \
+        - (rec[:, 3] - rec[:, 1]) * (rec[:, 4] - rec[:, 0])
+    faces_fixed = np.where((np.asarray(area) < 0)[:, None],
+                           faces[:, [0, 2, 1]], faces)
+    rec, ok = assemble_tri_records(sx, sy, zz, iw, jnp.asarray(faces_fixed))
+    return rec, ok
+
+
+def test_binned_matches_brute():
+    rng = np.random.default_rng(3)
+    width, height = 256, 64
+    rec, ok = _random_scene(rng, T=40, width=width, height=height)
+    binned = bin_triangles(rec, ok, width, height)
+    gb_fast = rasterize(rec, binned, width, height)
+    gb_ref = raster_brute(rec, ok, width, height)
+    id_f = np.asarray(gb_fast.tri_id)
+    id_r = np.asarray(gb_ref.tri_id)
+    # identical coverage except where two tris have exactly equal depth
+    same = id_f == id_r
+    frac = same.mean()
+    assert frac > 0.999, frac
+    d_f = np.asarray(gb_fast.depth)[same]
+    d_r = np.asarray(gb_ref.depth)[same]
+    m = np.isfinite(d_r)
+    np.testing.assert_allclose(d_f[m], d_r[m], atol=1e-5)
+    b_f = np.asarray(gb_fast.bary)[same]
+    b_r = np.asarray(gb_ref.bary)[same]
+    np.testing.assert_allclose(b_f, b_r, atol=1e-4)
+
+
+def test_big_triangle_path():
+    # one triangle covering the whole screen exceeds the span cap
+    width, height = 1280, 128  # 10 x 16 tiles
+    clip = screen_tri([[0, 0], [1280, 0], [0, 128]], width, height, z=0.2)
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    gb = raster_scene(clip, faces, width, height)
+    img = np.asarray(gb.tri_id)
+    assert img[5, 5] == 0
+    assert img[60, 600] == 0
+    assert img[120, 1270] == -1
+
+
+def test_perspective_correct_bary():
+    # quad edge-on: vertex 0 at w=1, vertex 1 at w=4 — screen midpoint is
+    # NOT attribute midpoint
+    clip = jnp.array([
+        [-0.5, -0.5, 0.0, 1.0],
+        [4.0 * 0.5, -4.0 * 0.5, 0.0, 4.0],
+        [-0.5, 0.5, 0.0, 1.0],
+    ], jnp.float32)
+    faces = jnp.array([[0, 2, 1]], jnp.int32)  # CCW in screen space
+    width = height = 64
+    gb = raster_scene(clip, faces, width, height)
+    img = np.asarray(gb.tri_id)
+    ys, xs = np.nonzero(img == 0)
+    assert len(ys) > 0
+    # pick a pixel near the screen-space middle of edge v0→v1
+    row = ys[np.argmin(np.abs(ys - 40))]
+    cov = xs[ys == row]
+    mid = cov[len(cov) // 2]
+    b = np.asarray(gb.bary)[row, mid]
+    b2 = 1.0 - b[0] - b[1]  # far vertex (w=4) is face slot 2
+    # perspective-correct weight of the far vertex at the screen midpoint
+    # of the edge is 1/(1+4) = 0.2, not 0.5
+    assert b2 < 0.4
+
+
+def test_frustum_cull():
+    view = mx.mat4_look_at(jnp.array([0.0, 0.0, 5.0]), jnp.zeros(3),
+                           jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    sv = make_subview(view, proj)
+    inside = aabb_in_frustum(sv.planes, jnp.array([-1.0, -1, -1]),
+                             jnp.array([1.0, 1, 1]))
+    assert bool(inside)
+    behind = aabb_in_frustum(sv.planes, jnp.array([-1.0, -1, 8]),
+                             jnp.array([1.0, 1, 10]))
+    assert not bool(behind)
+    far_left = aabb_in_frustum(sv.planes, jnp.array([-500.0, -1, -1]),
+                               jnp.array([-400.0, 1, 1]))
+    assert not bool(far_left)
