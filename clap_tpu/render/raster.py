@@ -28,15 +28,22 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 8
+TILE_H = 16
 TILE_W = 128
-MAX_PER_TILE = 256
-MAX_SPAN_X = 8       # bbox span cap in tiles (beyond → big-tri list)
-MAX_SPAN_Y = 8
-MAX_BIG_TRIS = 64
+MAX_PER_TILE = 128
+MAX_SPAN_X = 4       # bbox span cap in tiles (beyond → big-tri list)
+MAX_SPAN_Y = 4
+MAX_BIG_TRIS = 128
+
+# packed per-tri record column layout: 3 × [x, y, z, 1/w]
+_XC = (0, 4, 8)
+_YC = (1, 5, 9)
+_ZC = (2, 6, 10)
+_WC = (3, 7, 11)
 
 
 class GBuffer(NamedTuple):
@@ -59,22 +66,23 @@ def project_to_screen(clip: jnp.ndarray, width: int, height: int):
 
 def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None):
     """Build the packed (T, 12) per-triangle record the kernel consumes:
-    [x0,y0,x1,y1,x2,y2,z0,z1,z2,iw0,iw1,iw2]. Also returns per-tri
-    validity (area > 0 i.e. front-facing CCW, on-screen w>0, caller
-    mask)."""
-    v0, v1, v2 = faces[:, 0], faces[:, 1], faces[:, 2]
-    rec = jnp.stack([
-        sx[v0], sy[v0], sx[v1], sy[v1], sx[v2], sy[v2],
-        z[v0], z[v1], z[v2], iw[v0], iw[v1], iw[v2],
-    ], axis=-1)
-    area = (sx[v1] - sx[v0]) * (sy[v2] - sy[v0]) \
-        - (sy[v1] - sy[v0]) * (sx[v2] - sx[v0])
+    three [x, y, z, 1/w] vertex groups (_XC/_YC/_ZC/_WC columns). One
+    packed (V, 4) vertex table keeps this to 3 wide gathers. Also
+    returns per-tri validity (area > 0 i.e. front-facing CCW, w>0 at all
+    corners, caller mask)."""
+    vrec = jnp.stack([sx, sy, z, iw], axis=-1)            # (V, 4)
+    rec = jnp.concatenate(
+        [vrec[faces[:, 0]], vrec[faces[:, 1]], vrec[faces[:, 2]]], axis=-1
+    )                                                      # (T, 12)
+    x0, y0 = rec[:, _XC[0]], rec[:, _YC[0]]
+    x1, y1 = rec[:, _XC[1]], rec[:, _YC[1]]
+    x2, y2 = rec[:, _XC[2]], rec[:, _YC[2]]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     # w>0 for all corners (no near-plane clipping in v1: crossing tris drop)
-    ok = (area > 1e-8) & (iw[v0] > 0) & (iw[v1] > 0) & (iw[v2] > 0)
-    # z within [-1, 1] loosely
-    zmax = jnp.maximum(jnp.maximum(z[v0], z[v1]), z[v2])
-    zmin = jnp.minimum(jnp.minimum(z[v0], z[v1]), z[v2])
-    ok = ok & (zmin <= 1.0) & (zmax >= -1.0)
+    ok = (area > 1e-8) & (rec[:, _WC[0]] > 0) & (rec[:, _WC[1]] > 0) \
+        & (rec[:, _WC[2]] > 0)
+    zs = rec[:, _ZC, ]
+    ok = ok & (zs.min(-1) <= 1.0) & (zs.max(-1) >= -1.0)
     if valid_mask is not None:
         ok = ok & valid_mask
     return rec, ok
@@ -89,8 +97,8 @@ def bin_triangles(rec, ok, width: int, height: int):
     n_tiles = ntx * nty
     T = rec.shape[0]
 
-    xs = rec[:, 0:6:2]
-    ys = rec[:, 1:6:2]
+    xs = rec[:, _XC, ]
+    ys = rec[:, _YC, ]
     x0 = jnp.clip(jnp.floor(xs.min(1) / TILE_W).astype(jnp.int32), 0, ntx - 1)
     x1 = jnp.clip(jnp.floor(xs.max(1) / TILE_W).astype(jnp.int32), 0, ntx - 1)
     y0 = jnp.clip(jnp.floor(ys.min(1) / TILE_H).astype(jnp.int32), 0, nty - 1)
@@ -115,12 +123,14 @@ def bin_triangles(rec, ok, width: int, height: int):
     tri_id = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None, None],
                               tile_id.shape)
 
-    flat_tile = tile_id.reshape(-1)
-    flat_tri = tri_id.reshape(-1)
-    # sort by tile; stable so tri order (≈ draw order) is preserved
-    order = jnp.argsort(flat_tile, stable=True)
-    st = flat_tile[order]
-    stri = flat_tri[order]
+    # single-key sort: key = tile * 2^K + tri is unique, so a plain
+    # (unstable) sort both groups by tile and keeps tris in draw order —
+    # much cheaper than argsort + permutation gather on TPU
+    kbits = max(int(np.ceil(np.log2(max(T, 2)))), 1)
+    key = (tile_id.astype(jnp.uint32) << kbits) | tri_id.astype(jnp.uint32)
+    skey = jnp.sort(key.reshape(-1))
+    st = (skey >> kbits).astype(jnp.int32)
+    stri = (skey & ((1 << kbits) - 1)).astype(jnp.int32)
 
     starts = jnp.searchsorted(st, jnp.arange(n_tiles))
     ends = jnp.searchsorted(st, jnp.arange(n_tiles) + 1)
@@ -138,59 +148,89 @@ def bin_triangles(rec, ok, width: int, height: int):
     return tile_list, counts, big_idx, big_count
 
 
-def _raster_tile_kernel(n_tri_rows: int, width: int, height: int,
-                        count_ref, big_count_ref, list_ref, big_ref,
-                        rec_ref, depth_ref, id_ref, b0_ref, b1_ref):
+TRI_CHUNK = 8  # triangles processed per vectorized kernel step
+
+
+def _raster_tile_kernel(width: int, height: int,
+                        count_ref, trec_ref, brec_ref,
+                        depth_ref, slot_ref, b0_ref, b1_ref):
+    """One 8×128 pixel tile. Triangle data arrives PRE-GATHERED per tile
+    ((1, MAX_PER_TILE, 12) block) so the inner loop is pure vector math:
+    each step evaluates TRI_CHUNK triangles against the whole pixel
+    lattice at once — no scalar extraction, no dynamic VMEM gathers, no
+    vector-lane broadcasts (all Mosaic pain points). The winner's LIST
+    SLOT (a value derived from loop counters/constants only) is written;
+    the caller resolves slot → triangle id with one XLA gather."""
     ti = pl.program_id(0)
     ntx = pl.cdiv(width, TILE_W)
     tx0 = (ti % ntx) * TILE_W
     ty0 = (ti // ntx) * TILE_H
 
-    px = (tx0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    px = (tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
           ).astype(jnp.float32) + 0.5
-    py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
           ).astype(jnp.float32) + 0.5
 
-    def shade_tri(tri, carry):
-        depth, tid, b0o, b1o = carry
-        r = rec_ref[tri, :]
-        x0, y0, x1, y1, x2, y2 = r[0], r[1], r[2], r[3], r[4], r[5]
-        z0, z1, z2 = r[6], r[7], r[8]
-        iw0, iw1, iw2 = r[9], r[10], r[11]
-        # edge functions (CCW inside: e >= 0)
+    def shade_chunk(slab, slot_base, n_valid, carry):
+        """slab: (TRI_CHUNK, 12); slot_base: scalar slot of slab row 0;
+        n_valid: how many rows are real."""
+        depth, slot, b0o, b1o = carry
+        def col(i):
+            return slab[:, i][:, None, None]            # (C, 1, 1)
+        x0, x1, x2 = col(_XC[0]), col(_XC[1]), col(_XC[2])
+        y0, y1, y2 = col(_YC[0]), col(_YC[1]), col(_YC[2])
+        z0, z1, z2 = col(_ZC[0]), col(_ZC[1]), col(_ZC[2])
+        iw0, iw1, iw2 = col(_WC[0]), col(_WC[1]), col(_WC[2])
         e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
         e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
         e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
         area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (area > 1e-8)
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1, 1), 0)
+                 < n_valid)
         inv_area = 1.0 / jnp.where(area == 0, 1.0, area)
         b0 = e0 * inv_area
         b1 = e1 * inv_area
         b2 = 1.0 - b0 - b1
         z = b0 * z0 + b1 * z1 + b2 * z2
-        win = inside & (z < depth) & (z >= -1.0) & (z <= 1.0)
-        # perspective-correct barycentrics for the G-buffer
+        zok = inside & valid & (z >= -1.0) & (z <= 1.0)
+        zm = jnp.where(zok, z, jnp.inf)                  # (C, TH, TW)
         d0 = b0 * iw0
         d1 = b1 * iw1
         d2 = b2 * iw2
         inv_s = 1.0 / jnp.maximum(d0 + d1 + d2, 1e-20)
-        depth = jnp.where(win, z, depth)
-        tid = jnp.where(win, tri, tid)
-        b0o = jnp.where(win, d0 * inv_s, b0o)
-        b1o = jnp.where(win, d1 * inv_s, b1o)
-        return depth, tid, b0o, b1o
+        pb0 = d0 * inv_s
+        pb1 = d1 * inv_s
+        # chunk reduce: min depth wins, FIRST of equal depths wins (draw
+        # order). The winning chunk-row index is built from python-int
+        # constants, so no vector-lane broadcast is needed.
+        rd = zm[0]
+        ridx = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+        rb0 = pb0[0]
+        rb1 = pb1[0]
+        for c in range(1, TRI_CHUNK):
+            w = zm[c] < rd
+            rd = jnp.where(w, zm[c], rd)
+            ridx = jnp.where(w, c, ridx)
+            rb0 = jnp.where(w, pb0[c], rb0)
+            rb1 = jnp.where(w, pb1[c], rb1)
+        win = rd < depth
+        return (jnp.where(win, rd, depth),
+                jnp.where(win, slot_base + ridx, slot),
+                jnp.where(win, rb0, b0o),
+                jnp.where(win, rb1, b1o))
+
+    count = count_ref[ti, 0]
+    big_count = count_ref[ti, 1]
 
     def small_body(k, carry):
-        return jax.lax.cond(
-            k < count_ref[0],
-            lambda c: shade_tri(list_ref[0, k], c),
-            lambda c: c, carry)
+        slab = trec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
+        return shade_chunk(slab, k * TRI_CHUNK, count - k * TRI_CHUNK, carry)
 
     def big_body(k, carry):
-        return jax.lax.cond(
-            k < big_count_ref[0],
-            lambda c: shade_tri(big_ref[0, k], c),
-            lambda c: c, carry)
+        slab = brec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
+        return shade_chunk(slab, MAX_PER_TILE + k * TRI_CHUNK,
+                           big_count - k * TRI_CHUNK, carry)
 
     init = (
         jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
@@ -198,11 +238,11 @@ def _raster_tile_kernel(n_tri_rows: int, width: int, height: int,
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
     )
-    carry = jax.lax.fori_loop(0, MAX_PER_TILE, small_body, init)
-    carry = jax.lax.fori_loop(0, MAX_BIG_TRIS, big_body, carry)
-    depth, tid, b0o, b1o = carry
+    carry = jax.lax.fori_loop(0, pl.cdiv(count, TRI_CHUNK), small_body, init)
+    carry = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body, carry)
+    depth, slot, b0o, b1o = carry
     depth_ref[:] = depth
-    id_ref[:] = tid
+    slot_ref[:] = slot
     b0_ref[:] = b0o
     b1_ref[:] = b1o
 
@@ -217,7 +257,15 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
     n_tiles = ntx * nty
     Hp, Wp = nty * TILE_H, ntx * TILE_W
 
-    kern = partial(_raster_tile_kernel, rec.shape[0], width, height)
+    # pre-gather triangle records per tile (XLA gather — keeps the kernel
+    # free of dynamic indexing)
+    trec = rec[tile_list]                       # (n_tiles, MAX_PER_TILE, 12)
+    brec = rec[big_idx][None]                   # (1, MAX_BIG_TRIS, 12)
+    counts2 = jnp.stack(
+        [counts, jnp.broadcast_to(big_count, counts.shape)], axis=-1
+    ).astype(jnp.int32)                         # (n_tiles, 2)
+
+    kern = partial(_raster_tile_kernel, width, height)
     out_shape = [
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
@@ -228,17 +276,15 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
     def out_map(i):
         return (i // ntx, i % ntx)
 
-    depth, tid, b0, b1 = pl.pallas_call(
+    depth, slot, b0, b1 = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, MAX_PER_TILE), lambda i: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (n_tiles, 2)
+            pl.BlockSpec((1, MAX_PER_TILE, 12), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MAX_BIG_TRIS), lambda i: (0, 0),
+            pl.BlockSpec((1, MAX_BIG_TRIS, 12), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), out_map, memory_space=pltpu.VMEM),
@@ -248,12 +294,23 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
         ],
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
-    )(counts, big_count[None], tile_list, big_idx[None, :], rec)
+    )(counts2, trec, brec)
 
-    return GBuffer(depth=depth[:height, :width],
-                   tri_id=tid[:height, :width],
-                   bary=jnp.stack([b0[:height, :width],
-                                   b1[:height, :width]], axis=-1))
+    # resolve slot → triangle id with one image-sized gather
+    depth = depth[:height, :width]
+    slot = slot[:height, :width]
+    b0 = b0[:height, :width]
+    b1 = b1[:height, :width]
+    yy = jnp.arange(height)[:, None] // TILE_H
+    xx = jnp.arange(width)[None, :] // TILE_W
+    pix_tile = yy * ntx + xx
+    small = (slot >= 0) & (slot < MAX_PER_TILE)
+    tri_small = tile_list[pix_tile, jnp.clip(slot, 0, MAX_PER_TILE - 1)]
+    tri_big = big_idx[jnp.clip(slot - MAX_PER_TILE, 0, MAX_BIG_TRIS - 1)]
+    tri = jnp.where(slot < 0, -1, jnp.where(small, tri_small, tri_big))
+
+    return GBuffer(depth=depth, tri_id=tri.astype(jnp.int32),
+                   bary=jnp.stack([b0, b1], axis=-1))
 
 
 def raster_scene(clip_verts, faces, width: int, height: int,
@@ -273,9 +330,10 @@ def raster_brute(rec, ok, width: int, height: int) -> GBuffer:
     py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
 
     def per_tri(r):
-        x0, y0, x1, y1, x2, y2 = r[0], r[1], r[2], r[3], r[4], r[5]
-        z0, z1, z2 = r[6], r[7], r[8]
-        iw0, iw1, iw2 = r[9], r[10], r[11]
+        x0, x1, x2 = r[_XC[0]], r[_XC[1]], r[_XC[2]]
+        y0, y1, y2 = r[_YC[0]], r[_YC[1]], r[_YC[2]]
+        z0, z1, z2 = r[_ZC[0]], r[_ZC[1]], r[_ZC[2]]
+        iw0, iw1, iw2 = r[_WC[0]], r[_WC[1]], r[_WC[2]]
         e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
         e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
         e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
