@@ -1,0 +1,220 @@
+"""Frame graph (reference: core/pipeline.c + pipeline-builder.c:182-613).
+
+The reference builds a pass DAG of FBOs; here each pass is a pure
+function over image arrays and the "graph" is ordinary function
+composition, assembled according to RenderOptions — the analogue of the
+~45-field runtime options struct (pipeline.h:15-57) that the reference
+diff-checks to rebuild its pipeline (clap.c:453-524). Under jit, XLA
+fuses the elementwise chains; disabled passes trace to nothing.
+
+Canonical chain (pipeline-builder.c):
+  4×CSM shadow (VSM moments) → model MRT (lighting/emission/normals/
+  depth via the tile rasterizer + deferred shading) → bloom → edge
+  (sobel|laplace) → SMAA blend-weights → SSAO → combine (fog, contrast,
+  LUT, tonemap, grain, OETF).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import mathx as mx
+from . import post, shade
+from .lights import Lights, light_grid
+from .raster import (GBuffer, assemble_tri_records, bin_triangles,
+                     project_to_screen, rasterize)
+from .view import CASCADES_MAX, cascade_subviews, make_subview
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """render_options (pipeline.h:15-57) — the subset that drives pass
+    assembly. Static (trace-time) switches."""
+
+    width: int = 1280
+    height: int = 720
+    shadow_size: int = 1024
+    shadow_vsm: bool = True
+    ssao: bool = True
+    bloom: bool = True
+    edge_aa: bool = True            # SMAA-lite
+    edge_sobel: bool = True         # else laplace on depth
+    lighting_lut: bool = False
+    hdr: bool = False               # PQ output instead of sRGB
+    bloom_intensity: float = 1.0
+    bloom_threshold: float = 1.0
+    lighting_exposure: float = 1.0
+    contrast: float = 0.1
+    fog_near: float = 80.0
+    fog_far: float = 160.0
+    fog_color: tuple = (0.58, 0.68, 0.78)
+    film_grain: float = 0.03
+    tonemap_aces: bool = True
+
+
+class SceneGeometry(NamedTuple):
+    """Device-side render geometry for one scene: merged vertex/face
+    buffers (world space baked per frame by the caller) + materials."""
+
+    verts: jnp.ndarray      # (V, 3) world-space positions
+    normals: jnp.ndarray    # (V, 3)
+    faces: jnp.ndarray      # (T, 3) int32
+    face_valid: jnp.ndarray  # (T,) bool
+    base_color: jnp.ndarray  # (V, 3) per-vertex base color
+    rough_metal: jnp.ndarray  # (V, 2)
+    emission: jnp.ndarray   # (V, 3)
+
+
+def clip_transform(verts, view, proj):
+    vp = proj @ view
+    v4 = jnp.concatenate([verts, jnp.ones_like(verts[..., :1])], -1)
+    return jnp.einsum("ij,vj->vi", vp, v4)
+
+
+def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
+                light_proj):
+    """One cascade: depth-only raster → linearized VSM moments (d, d²)
+    (shadow_vsm.frag:8-13)."""
+    s = opts.shadow_size
+    clip = clip_transform(geom.verts, light_view, light_proj)
+    sx, sy, z, iw = project_to_screen(clip, s, s)
+    rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces, geom.face_valid)
+    # shadow casting is two-sided: also accept back faces by flipping
+    rec2, ok2 = assemble_tri_records(sx, sy, z, iw,
+                                     geom.faces[:, [0, 2, 1]], geom.face_valid)
+    rec = jnp.concatenate([rec, rec2])
+    ok = jnp.concatenate([ok, ok2])
+    binned = bin_triangles(rec, ok, s, s)
+    gb = rasterize(rec, binned, s, s)
+    d = jnp.where(jnp.isfinite(gb.depth), gb.depth * 0.5 + 0.5, 1.0)
+    return jnp.stack([d, d * d], axis=-1)      # (S, S, 2)
+
+
+def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
+               lights: Lights, eye, shadow_moments=None, shadow_mvps=None,
+               cascade_dists=None):
+    """MRT model pass (pipeline-builder.c:329-364) as raster + deferred
+    shading. Returns (hdr lighting, emission, view normals, gbuffer,
+    view_pos)."""
+    W, H = opts.width, opts.height
+    clip = clip_transform(geom.verts, cam_view, cam_proj)
+    sx, sy, z, iw = project_to_screen(clip, W, H)
+    rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces, geom.face_valid)
+    binned = bin_triangles(rec, ok, W, H)
+    gb = rasterize(rec, binned, W, H)
+
+    vattrs = jnp.concatenate([
+        geom.verts, geom.normals, geom.base_color, geom.rough_metal,
+        geom.emission,
+    ], axis=-1)                                  # (V, 14)
+    attrs = shade.interpolate_attrs(gb, geom.faces, vattrs)
+    wpos = attrs[..., 0:3]
+    nrm = attrs[..., 3:6]
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+    base = attrs[..., 6:9]
+    rough = attrs[..., 9]
+    metal = attrs[..., 10]
+    emission = attrs[..., 11:14]
+
+    # view-space data
+    vpos = mx.mat4_transform_point(cam_view, wpos)
+    vnrm = mx.mat4_transform_dir(cam_view, nrm)
+    view_depth = -vpos[..., 2]
+
+    sf = None
+    if shadow_moments is not None:
+        sf = shade.vsm_shadow(shadow_moments, shadow_mvps, cascade_dists,
+                              wpos, view_depth)
+        # grazing fade (shadow.glsl:202): mix(sf, 1, (1-NdotL)^1.3)
+        l0 = -lights.direction[0]
+        ndl = jnp.clip(jnp.sum(nrm * l0[None, None], -1), 0.0, 1.0)
+        sf = sf + (1.0 - sf) * jnp.power(1.0 - ndl, 1.3)
+
+    tile_mask = light_grid(lights, cam_view, cam_proj, W, H)
+    mat = shade.Material(base_color=base, roughness=rough, metallic=metal,
+                         emission=emission)
+    hdr = shade.shade_pixels(wpos, nrm, eye, mat, lights, tile_mask,
+                             shadow_factor=sf)
+    hit = (gb.tri_id >= 0)[..., None]
+    hdr = jnp.where(hit, hdr, jnp.array(opts.fog_color)[None, None])
+    emit = post.bloom_threshold(emission, opts.bloom_threshold,
+                                opts.bloom_intensity)
+    return hdr, emit, vnrm, gb, vpos
+
+
+def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
+                 cam_proj, lights: Lights, eye, far: float = 200.0,
+                 ssao_kernel_arr=None, grain_noise=None):
+    """The full canonical frame (pipeline_build chain). Returns the
+    final LDR (or PQ) image (H, W, 3)."""
+    W, H = opts.width, opts.height
+
+    shadow_moments = shadow_mvps = cascade_dists = None
+    if lights.active.shape[0] > 0:
+        ldir = lights.direction[0]
+        casc, cascade_dists = cascade_subviews(cam_view, cam_proj, ldir,
+                                               0.1, far)
+        moments = []
+        mvps = []
+        for i in range(CASCADES_MAX):
+            m = shadow_pass(opts, geom, casc.view[i], casc.proj[i])
+            moments.append(m)
+            mvps.append(casc.proj[i] @ casc.view[i])
+        shadow_moments = jnp.stack(moments)
+        shadow_mvps = jnp.stack(mvps)
+
+    hdr, emit, vnrm, gb, vpos = model_pass(
+        opts, geom, cam_view, cam_proj, lights, eye,
+        shadow_moments, shadow_mvps, cascade_dists,
+    )
+
+    if opts.bloom:
+        # ¼-res blur of the thresholded emission, re-added in HDR
+        # (pipeline-builder.c:366-411)
+        hdr = hdr + post.upsample2(
+            post.gauss_blur_v(post.gauss_blur_h(
+                post.downsample2(post.downsample2(emit)))), H, W,
+        ) * opts.bloom_intensity
+
+    # edges
+    if opts.edge_sobel:
+        luma = jnp.sum(vnrm * 0.5 + 0.5, -1) / 3.0
+        edges = post.sobel_edges(luma)
+    else:
+        d = jnp.where(jnp.isfinite(gb.depth), gb.depth, 1.0)
+        edges = post.laplace_edges(d)
+    edge_mask = jnp.clip(edges * 2.0, 0.0, 1.0)
+
+    if opts.edge_aa:
+        weights = post.smaa_blend_weights(edge_mask)
+        hdr = post.smaa_neighborhood_blend(hdr, weights)
+
+    if opts.ssao:
+        import jax as _jax
+
+        kern = ssao_kernel_arr if ssao_kernel_arr is not None else \
+            post.ssao_kernel(_jax.random.PRNGKey(7))
+        q_pos = vpos[::4, ::4]
+        q_nrm = vnrm[::4, ::4]
+        ao_q = post.ssao_blur(post.ssao(q_pos, q_nrm, kern))
+        ao = post.upsample2(post.upsample2(
+            ao_q, ao_q.shape[0] * 2, ao_q.shape[1] * 2), H, W)
+        hdr = hdr * (0.4 + 0.6 * ao[..., None])
+
+    # combine: exposure → fog → contrast → tonemap → grain → OETF
+    view_dist = jnp.linalg.norm(vpos, axis=-1)
+    view_dist = jnp.where(gb.tri_id >= 0, view_dist, 1e9)
+    color = hdr * opts.lighting_exposure
+    color = post.radial_fog(color, view_dist, jnp.array(opts.fog_color),
+                            opts.fog_near, opts.fog_far)
+    color = shade.tonemap_aces(color) if opts.tonemap_aces else \
+        shade.tonemap_reinhard(color)
+    color = post.contrast(color, opts.contrast)
+    if opts.film_grain > 0 and grain_noise is not None:
+        color = post.film_grain(color, grain_noise, opts.film_grain)
+    if opts.hdr:
+        return shade.oetf_pq(color)
+    return shade.oetf_srgb(color)

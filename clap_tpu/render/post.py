@@ -1,0 +1,218 @@
+"""Post-processing image ops (reference: shaders/ post chain; SURVEY §8.6).
+
+Every pass is a pure image function (H, W[, C]) → image. XLA fuses the
+elementwise chains; the separable blurs lower to cheap shifted adds.
+These are the building blocks pipeline.py assembles into the reference's
+pass graph (pipeline-builder.c:182-613).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shift2(img, dy, dx):
+    """Clamped-edge shift (texture clamp-to-edge semantics)."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def downsample2(img):
+    """½-res box-ish downsample; chained twice for the bloom ¼ buffer
+    (downsample.frag: 4-corner + center weighted)."""
+    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+    c = img[:h, :w]
+    q = (c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2] + c[1::2, 1::2]) * 0.25
+    return q
+
+
+def upsample2(img, out_h: int, out_w: int):
+    """Bilinear 2× upsample (upsample.frag)."""
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "bilinear")
+
+
+# 11-tap Gaussian, matching the reference's separable blur weights
+_G11 = np.array([0.0093, 0.028002, 0.065984, 0.121703, 0.175713, 0.198596,
+                 0.175713, 0.121703, 0.065984, 0.028002, 0.0093], np.float32)
+_G11 /= _G11.sum()
+
+
+def gauss_blur_h(img):
+    acc = jnp.zeros_like(img)
+    for i, wgt in enumerate(_G11):
+        acc = acc + wgt * _shift2(img, 0, i - 5)
+    return acc
+
+
+def gauss_blur_v(img):
+    acc = jnp.zeros_like(img)
+    for i, wgt in enumerate(_G11):
+        acc = acc + wgt * _shift2(img, i - 5, 0)
+    return acc
+
+
+def bloom_threshold(emission, threshold, intensity):
+    """RT1 emission shaping (model.frag:84-101):
+    max(e - threshold, 0) · |intensity|."""
+    return jnp.maximum(emission - threshold, 0.0) * jnp.abs(intensity)
+
+
+def bloom_chain(hdr_emission, out_h: int, out_w: int, intensity=1.0,
+                exposure=1.0):
+    """¼-res downsample → v/h Gaussian → upsample recombine
+    (pipeline-builder.c:366-411; upsample.frag math)."""
+    q = downsample2(downsample2(hdr_emission))
+    q = gauss_blur_v(gauss_blur_h(q))
+    up = upsample2(q, out_h, out_w)
+    return (hdr_emission + up * intensity) * exposure
+
+
+# ---------------------------------------------------------------------------
+# edge detection (edge_filter.glsl:22-101)
+# ---------------------------------------------------------------------------
+
+def sobel_edges(img_luma):
+    """Sobel magnitude on a single-channel image."""
+    gx = (_shift2(img_luma, -1, 1) + 2 * _shift2(img_luma, 0, 1) + _shift2(img_luma, 1, 1)
+          - _shift2(img_luma, -1, -1) - 2 * _shift2(img_luma, 0, -1) - _shift2(img_luma, 1, -1))
+    gy = (_shift2(img_luma, 1, -1) + 2 * _shift2(img_luma, 1, 0) + _shift2(img_luma, 1, 1)
+          - _shift2(img_luma, -1, -1) - 2 * _shift2(img_luma, -1, 0) - _shift2(img_luma, -1, 1))
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def laplace_edges(depth_lin, kernel: int = 3):
+    """Laplacian on linearized depth (edge_filter.glsl laplace path)."""
+    if kernel == 3:
+        acc = -4.0 * depth_lin
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            acc = acc + _shift2(depth_lin, dy, dx)
+    else:  # 5-point ring
+        acc = -8.0 * depth_lin
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == dx == 0:
+                    continue
+                acc = acc + _shift2(depth_lin, dy, dx)
+    return jnp.abs(acc)
+
+
+# ---------------------------------------------------------------------------
+# SMAA-lite (smaa-blend-weights.frag:13-52 + neighborhood blend)
+# ---------------------------------------------------------------------------
+
+def smaa_blend_weights(edges):
+    """4-direction edge continuity weights from an edge-strength image."""
+    el = _shift2(edges, 0, -1)
+    er = _shift2(edges, 0, 1)
+    eu = _shift2(edges, -1, 0)
+    ed = _shift2(edges, 1, 0)
+    tot = el + er + eu + ed + 1e-6
+    return jnp.stack([el, er, eu, ed], -1) / tot[..., None] \
+        * jnp.clip(edges, 0.0, 1.0)[..., None]
+
+
+def smaa_neighborhood_blend(color, weights):
+    """Blend each pixel toward its neighbors by the SMAA weights
+    (combine.frag:67-68, 94-97)."""
+    wsum = jnp.sum(weights, -1, keepdims=True)
+    blended = (
+        weights[..., 0:1] * _shift2(color, 0, -1)
+        + weights[..., 1:2] * _shift2(color, 0, 1)
+        + weights[..., 2:3] * _shift2(color, -1, 0)
+        + weights[..., 3:4] * _shift2(color, 1, 0)
+    )
+    return color * (1 - wsum * 0.5) + blended * 0.5
+
+
+# ---------------------------------------------------------------------------
+# SSAO (ssao.frag:17-59; kernel per ssao.{c,h}: 16 hemisphere samples)
+# ---------------------------------------------------------------------------
+
+SSAO_KERNEL_SIZE = 16  # shader_constants.h:11-12
+
+
+def ssao_kernel(key):
+    """16 hemisphere samples, scaled toward the center (ssao.c:81)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    v = jnp.stack([
+        jax.random.uniform(k1, (SSAO_KERNEL_SIZE,), minval=-1, maxval=1),
+        jax.random.uniform(k2, (SSAO_KERNEL_SIZE,), minval=-1, maxval=1),
+        jax.random.uniform(k3, (SSAO_KERNEL_SIZE,), minval=0, maxval=1),
+    ], -1)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    scale = jnp.linspace(0.1, 1.0, SSAO_KERNEL_SIZE) ** 2
+    return v * scale[:, None]
+
+
+def ssao(view_pos, view_normal, kernel, radius=0.5, bias=0.025):
+    """Screen-space AO: sample view-space offsets around each pixel,
+    compare stored depth (ssao.frag:17-59). view_pos: (H, W, 3) view
+    -space positions (from depth); returns (H, W) occlusion in [0, 1]
+    (1 = unoccluded)."""
+    H, W = view_pos.shape[:2]
+    occ = jnp.zeros((H, W))
+    # TBN per pixel from a cheap per-pixel rotation (blue-noise analogue)
+    xs = jnp.arange(W)[None, :].astype(jnp.float32)
+    ys = jnp.arange(H)[:, None].astype(jnp.float32)
+    ang = (xs * 12.9898 + ys * 78.233) % (2 * jnp.pi)
+    rnd = jnp.stack([jnp.cos(ang), jnp.sin(ang), jnp.zeros_like(ang)], -1)
+    n = view_normal
+    t = rnd - n * jnp.sum(rnd * n, -1, keepdims=True)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-6)
+    b = jnp.cross(n, t)
+
+    depth = view_pos[..., 2]
+    for i in range(SSAO_KERNEL_SIZE):
+        k = kernel[i]
+        offs = t * k[0] + b * k[1] + n * k[2]
+        sample = view_pos + offs * radius
+        # project the sample's xy back to pixel space: approximate with
+        # the local pixel-to-view scale (orthographic local neighborhood)
+        dzdx = jnp.gradient(view_pos[..., 0], axis=1) + 1e-6
+        dzdy = jnp.gradient(view_pos[..., 1], axis=0) + 1e-6
+        du = (sample[..., 0] - view_pos[..., 0]) / dzdx
+        dv = (sample[..., 1] - view_pos[..., 1]) / dzdy
+        su = jnp.clip(xs + du, 0, W - 1).astype(jnp.int32)
+        sv = jnp.clip(ys + dv, 0, H - 1).astype(jnp.int32)
+        stored = depth[sv, su]
+        range_check = jnp.clip(radius / jnp.maximum(
+            jnp.abs(depth - stored), 1e-4), 0.0, 1.0)
+        occ = occ + jnp.where(stored >= sample[..., 2] + bias, 1.0, 0.0) * range_check
+    return 1.0 - occ / SSAO_KERNEL_SIZE
+
+
+def ssao_blur(ao):
+    """4×4 box blur of the ¼-res AO (pipeline-builder.c:457-486)."""
+    acc = jnp.zeros_like(ao)
+    for dy in (-1, 0, 1, 2):
+        for dx in (-1, 0, 1, 2):
+            acc = acc + _shift2(ao, dy, dx)
+    return acc / 16.0
+
+
+# ---------------------------------------------------------------------------
+# combine helpers (combine.frag:35-117)
+# ---------------------------------------------------------------------------
+
+def radial_fog(color, view_dist, fog_color, fog_near, fog_far, noise=None):
+    f = jnp.clip((view_dist - fog_near) / jnp.maximum(fog_far - fog_near, 1e-6),
+                 0.0, 1.0)
+    fc = fog_color[None, None, :]
+    if noise is not None:
+        fc = fc * (0.75 + 0.5 * noise[..., None])
+    return color * (1 - f[..., None]) + fc * f[..., None]
+
+
+def contrast(color, amount):
+    """Contrast about 0.5 (contrast.frag; combine.frag)."""
+    return jnp.clip((color - 0.5) * (1.0 + amount) + 0.5, 0.0, 1.0)
+
+
+def film_grain(color, noise2d, strength=0.04):
+    """Blue-noise luma-weighted grain (combine.frag:50-63)."""
+    luma = jnp.sum(color * jnp.array([0.2126, 0.7152, 0.0722]), -1, keepdims=True)
+    weight = 1.0 - jnp.clip(luma, 0.0, 1.0)
+    return color + (noise2d[..., None] - 0.5) * strength * weight

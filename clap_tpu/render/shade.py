@@ -1,0 +1,303 @@
+"""Deferred shading: BRDF, materials, shadows, tonemap (reference:
+shaders/lighting.glsl, shaders/shadow.glsl, shaders/tonemap.glsl,
+shaders/oetf.glsl — formulas per SURVEY §8).
+
+All functions are pure elementwise image math over (..., H, W[, C])
+arrays — one fused XLA pass per shading stage. Attribute interpolation
+gathers packed per-vertex records by the G-buffer's triangle id (the
+same single-gather packing trick as the heightfield/skinning paths).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .lights import LIGHT_TILE, Lights
+from .raster import GBuffer
+
+
+# ---------------------------------------------------------------------------
+# G-buffer attribute interpolation
+# ---------------------------------------------------------------------------
+
+def interpolate_attrs(gb: GBuffer, faces, vattrs):
+    """Per-pixel interpolated vertex attributes.
+
+    faces: (T, 3) int32; vattrs: (V, A) packed per-vertex attributes.
+    Returns (H, W, A); background pixels get zeros."""
+    tid = jnp.maximum(gb.tri_id, 0)
+    f = faces[tid]                       # (H, W, 3)
+    a0 = vattrs[f[..., 0]]               # (H, W, A)
+    a1 = vattrs[f[..., 1]]
+    a2 = vattrs[f[..., 2]]
+    b0 = gb.bary[..., 0:1]
+    b1 = gb.bary[..., 1:2]
+    b2 = 1.0 - b0 - b1
+    out = a0 * b0 + a1 * b1 + a2 * b2
+    return jnp.where((gb.tri_id >= 0)[..., None], out, 0.0)
+
+
+def face_attr(gb: GBuffer, per_face):
+    """Per-pixel flat (per-face) attribute gather, e.g. material id."""
+    tid = jnp.maximum(gb.tri_id, 0)
+    out = per_face[tid]
+    fill = jnp.zeros_like(out)
+    return jnp.where(
+        (gb.tri_id >= 0).reshape(gb.tri_id.shape + (1,) * (out.ndim - 2)),
+        out, fill,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cook-Torrance GGX (lighting.glsl:94-139)
+# ---------------------------------------------------------------------------
+
+class Material(NamedTuple):
+    base_color: jnp.ndarray   # (..., 3)
+    roughness: jnp.ndarray    # (...)
+    metallic: jnp.ndarray     # (...)
+    emission: jnp.ndarray     # (..., 3)
+
+
+def ggx_brdf(n, v, l, base_color, roughness, metallic):
+    """Per-light Cook-Torrance term (lighting.glsl:94-139). Inputs are
+    unit vectors (..., 3); returns (diffuse (...,3), specular (...,3))
+    each already scaled by NdotL."""
+    alpha = jnp.clip(roughness * roughness, 0.05, 0.98)
+    h = v + l
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-6)
+    ndl = jnp.maximum(jnp.sum(n * l, -1), 0.0)
+    ndv = jnp.maximum(jnp.sum(n * v, -1), 1e-4)
+    ndh = jnp.maximum(jnp.sum(n * h, -1), 0.0)
+    vdh = jnp.maximum(jnp.sum(v * h, -1), 0.0)
+
+    a2 = alpha * alpha
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    D = a2 / jnp.maximum(jnp.pi * denom * denom, 1e-6)
+
+    f0 = 0.04 * (1.0 - metallic[..., None]) + base_color * metallic[..., None]
+    F = f0 + (1.0 - f0) * jnp.power(1.0 - vdh, 5.0)[..., None]
+
+    k = (alpha + 1.0) ** 2 / 8.0
+    g1 = ndl / jnp.maximum(ndl * (1 - k) + k, 1e-6)
+    g2 = ndv / jnp.maximum(ndv * (1 - k) + k, 1e-6)
+    G = g1 * g2
+
+    spec = F * (D * G / jnp.maximum(4.0 * ndl * ndv, 1e-6))[..., None]
+    kd = (1.0 - F) * (1.0 - metallic[..., None])
+    diff = kd * base_color / jnp.pi
+    return diff * ndl[..., None], spec * ndl[..., None]
+
+
+def attenuation(att, dist):
+    """1/(kc + kl·d + kq·d²) (lighting.glsl:98-99)."""
+    return 1.0 / jnp.maximum(
+        att[..., 0] + att[..., 1] * dist + att[..., 2] * dist * dist, 1e-6
+    )
+
+
+def spot_factor(l, light_dir, cutoff):
+    """Spotlight smoothstep between cos(cutoff) and cos(cutoff+5°)
+    (lighting.glsl:57-66). cutoff <= -1 → point light (factor 1)."""
+    cd = jnp.sum(-l * light_dir, axis=-1)
+    co = jnp.cos(jnp.arccos(jnp.clip(cutoff, -1.0, 1.0)) + jnp.deg2rad(5.0))
+    t = jnp.clip((cd - co) / jnp.maximum(cutoff - co, 1e-6), 0.0, 1.0)
+    f = t * t * (3.0 - 2.0 * t)
+    return jnp.where(cutoff <= -1.0, 1.0, f)
+
+
+def shade_pixels(world_pos, normal, view_pos, mat: Material, lights: Lights,
+                 tile_mask, shadow_factor=None, ambient=0.1,
+                 shadow_tint=None):
+    """Accumulate all lights for an image (H, W) (model.frag main loop,
+    lighting.glsl:141-207).
+
+    tile_mask: (nty, ntx, L) from light_grid; light 0 is the shadow
+    caster (lighting.glsl:184-190): its diffuse is tinted and specular
+    zeroed where shadowed."""
+    H, W = world_pos.shape[:2]
+    v = view_pos[None, None, :] - world_pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
+
+    ty = jnp.arange(H) // LIGHT_TILE
+    tx = jnp.arange(W) // LIGHT_TILE
+    pix_mask = tile_mask[jnp.clip(ty[:, None], 0, tile_mask.shape[0] - 1),
+                         jnp.clip(tx[None, :], 0, tile_mask.shape[1] - 1)]
+
+    L = lights.pos.shape[0]
+    total = jnp.zeros_like(mat.base_color)
+    if shadow_factor is None:
+        shadow_factor = jnp.ones((H, W))
+    if shadow_tint is None:
+        shadow_tint = jnp.array([0.3, 0.3, 0.4])
+
+    for li in range(L):  # static light capacity; masked per pixel
+        to_l = jnp.where(lights.is_dir[li], -lights.direction[li][None, None],
+                         lights.pos[li][None, None] - world_pos)
+        dist = jnp.linalg.norm(to_l, axis=-1)
+        l = to_l / jnp.maximum(dist[..., None], 1e-6)
+        diff, spec = ggx_brdf(normal, v, l, mat.base_color,
+                              mat.roughness, mat.metallic)
+        att = jnp.where(lights.is_dir[li], 1.0,
+                        attenuation(lights.attenuation[li], dist))
+        att = att * spot_factor(l, lights.direction[li][None, None],
+                                lights.cutoff[li])
+        contrib = (diff + spec) * (lights.color[li][None, None] * att[..., None])
+        if li == 0:
+            # shadow caster: mix diffuse toward tinted, kill spec in shadow
+            lit = diff * lights.color[li][None, None] * att[..., None]
+            shadowed = lit * shadow_tint[None, None]
+            sf = shadow_factor[..., None]
+            contrib = lit * sf + shadowed * (1 - sf) \
+                + spec * lights.color[li][None, None] * att[..., None] * sf
+        total = total + jnp.where(pix_mask[..., li : li + 1], contrib, 0.0)
+
+    amb_tint = 1.0 * shadow_factor[..., None] \
+        + shadow_tint[None, None] * (1 - shadow_factor[..., None])
+    total = total + ambient * mat.base_color * amb_tint
+    return total
+
+
+# ---------------------------------------------------------------------------
+# material noise (lighting.glsl:20-50) — procedural roughness/metallic
+# ---------------------------------------------------------------------------
+
+def _hash3(p):
+    q = jnp.sin(jnp.sum(p * jnp.array([127.1, 311.7, 74.7]), -1)) * 43758.5453
+    return q - jnp.floor(q)
+
+
+def value_noise3(p):
+    """Cheap 3D value noise for material fBm (noise.glsl analogue)."""
+    i = jnp.floor(p)
+    f = p - i
+    u = f * f * (3.0 - 2.0 * f)
+
+    def corner(dx, dy, dz):
+        return _hash3(i + jnp.array([dx, dy, dz], p.dtype))
+
+    c000, c100 = corner(0, 0, 0), corner(1, 0, 0)
+    c010, c110 = corner(0, 1, 0), corner(1, 1, 0)
+    c001, c101 = corner(0, 0, 1), corner(1, 0, 1)
+    c011, c111 = corner(0, 1, 1), corner(1, 1, 1)
+    x00 = c000 * (1 - u[..., 0]) + c100 * u[..., 0]
+    x10 = c010 * (1 - u[..., 0]) + c110 * u[..., 0]
+    x01 = c001 * (1 - u[..., 0]) + c101 * u[..., 0]
+    x11 = c011 * (1 - u[..., 0]) + c111 * u[..., 0]
+    y0 = x00 * (1 - u[..., 1]) + x10 * u[..., 1]
+    y1 = x01 * (1 - u[..., 1]) + x11 * u[..., 1]
+    return y0 * (1 - u[..., 2]) + y1 * u[..., 2]
+
+
+def material_fbm(local_pos, amp, octaves: int, scale):
+    """fBm of local-space position driving roughness/metallic
+    (lighting.glsl:20-50): result lerps material floor→ceil."""
+    total = jnp.zeros(local_pos.shape[:-1], local_pos.dtype)
+    freq = 1.0
+    a = amp
+    for _ in range(octaves):
+        total = total + a * value_noise3(local_pos * (scale * freq))
+        freq *= 2.0
+        a *= 0.5
+    return jnp.clip(total, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# shadow estimators (shadow.glsl; SURVEY §8.4)
+# ---------------------------------------------------------------------------
+
+def select_cascade(view_depth, cascade_dists):
+    """First cascade whose far distance exceeds the pixel's view depth
+    (shadow.glsl:148-155)."""
+    d = view_depth[..., None]
+    past = d >= cascade_dists[None, None, :]
+    return jnp.minimum(jnp.sum(past, -1), cascade_dists.shape[0] - 1)
+
+
+def _bilinear(img, u, v):
+    """Bilinear sample of (S, S[, C]) image at pixel coords (u, v)."""
+    s = img.shape[0]
+    u = jnp.clip(u, 0.0, s - 1.001)
+    v = jnp.clip(v, 0.0, s - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - u0)[..., None] if img.ndim == 3 else (u - u0)
+    fv = (v - v0)[..., None] if img.ndim == 3 else (v - v0)
+    a = img[v0, u0]
+    b = img[v0, u0 + 1]
+    c = img[v0 + 1, u0]
+    d = img[v0 + 1, u0 + 1]
+    return (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
+
+
+def vsm_shadow(moments_maps, shadow_mvps, cascade_dists, world_pos,
+               view_depth, light_bleed=0.8):
+    """Variance shadow maps (shadow.glsl:97-121): Chebyshev bound with
+    light-bleed clamp + smoothstep remap.
+
+    moments_maps: (CASCADES, S, S, 2) linearized (d, d²) moments;
+    shadow_mvps: (CASCADES, 4, 4). Returns shadow factor (H, W) in [0,1].
+    """
+    casc = select_cascade(view_depth, cascade_dists)          # (H, W)
+    mvp = shadow_mvps[casc]                                    # (H, W, 4, 4)
+    p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    sp = jnp.einsum("hwij,hwj->hwi", mvp, p)
+    w = sp[..., 3]
+    ok = w > 1e-3
+    ndc = sp[..., :3] / jnp.where(ok, w, 1.0)[..., None]
+    uv = ndc[..., :2] * 0.5 + 0.5
+    d = ndc[..., 2] * 0.5 + 0.5
+
+    s = moments_maps.shape[1]
+    u = uv[..., 0] * (s - 1)
+    v = (1.0 - uv[..., 1]) * (s - 1)
+
+    # gather per-pixel cascade maps: vmap over cascades then select
+    def sample_c(ci):
+        return _bilinear(moments_maps[ci], u, v)
+
+    all_m = jnp.stack([sample_c(i) for i in range(moments_maps.shape[0])])
+    m = jnp.take_along_axis(all_m, casc[None, ..., None], axis=0)[0]
+    mu, m2 = m[..., 0], m[..., 1]
+    var = jnp.maximum(m2 - mu * mu, 1e-5)
+    diff = d - mu
+    cheb = var / (var + diff * diff)
+    p_lit = jnp.where(diff <= 0, 1.0, cheb)
+    # light-bleed reduction: remap [bleed_clamp, 1]
+    t = jnp.clip((p_lit - 0.15) / (0.95 - 0.15), 0.0, 1.0)
+    p_lit = t * t * (3 - 2 * t)
+    inb = ok & (uv[..., 0] >= 0) & (uv[..., 0] <= 1) \
+        & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)
+    return jnp.where(inb, p_lit, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# tonemap + OETF (tonemap.glsl, oetf.glsl)
+# ---------------------------------------------------------------------------
+
+def tonemap_reinhard(x):
+    """1 - exp(-x) variant (tonemap.glsl:4-7)."""
+    return 1.0 - jnp.exp(-x)
+
+
+def tonemap_aces(x):
+    """ACES filmic approximation (tonemap.glsl:8-12, Narkowicz fit)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def oetf_srgb(x):
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.where(x <= 0.0031308, 12.92 * x,
+                     1.055 * jnp.power(x, 1 / 2.4) - 0.055)
+
+
+def oetf_pq(x, peak_nits=1000.0):
+    """SMPTE ST.2084 PQ (oetf.glsl HDR output path)."""
+    m1, m2 = 0.1593017578125, 78.84375
+    c1, c2, c3 = 0.8359375, 18.8515625, 18.6875
+    y = jnp.clip(x * peak_nits / 10000.0, 0.0, 1.0)
+    yp = jnp.power(y, m1)
+    return jnp.power((c1 + c2 * yp) / (1.0 + c3 * yp), m2)

@@ -1,0 +1,162 @@
+"""Render stack tests: lights/grid, BRDF sanity, post ops, full frame."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clap_tpu import mathx as mx
+from clap_tpu.render import post, shade
+from clap_tpu.render.lights import Lights, lights_empty, light_grid, light_radius
+from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
+                                      render_frame)
+
+
+def test_light_radius():
+    l = lights_empty(2)
+    l = l._replace(
+        attenuation=jnp.array([[1.0, 0.0, 0.1], [1.0, 0.0, 0.0]]),
+        active=jnp.array([True, True]),
+        is_dir=jnp.array([False, True]),
+    )
+    r = np.asarray(light_radius(l))
+    # 1/(1 + 0.1 d²) = 0.02 → d ≈ 22.1
+    assert abs(r[0] - np.sqrt(49 / 0.1)) < 1.0
+    assert r[1] > 1e8  # directional = everywhere
+
+
+def test_light_grid_point_light_local():
+    l = lights_empty(1)
+    l = l._replace(
+        pos=jnp.array([[0.0, 0.0, 0.0]]),
+        attenuation=jnp.array([[1.0, 0.0, 1.0]]),  # small radius ~7
+        active=jnp.array([True]),
+    )
+    view = mx.mat4_look_at(jnp.array([0.0, 0.0, 20.0]), jnp.zeros(3),
+                           jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    grid = np.asarray(light_grid(l, view, proj, 512, 512))
+    # light projects to screen center: center tiles lit, corners not
+    assert grid[4, 4, 0]
+    assert not grid[0, 0, 0]
+
+
+def test_brdf_energy_and_shape():
+    n = jnp.array([[[0.0, 0.0, 1.0]]])
+    v = jnp.array([[[0.0, 0.0, 1.0]]])
+    l = jnp.array([[[0.0, 0.0, 1.0]]])
+    base = jnp.array([[[0.8, 0.8, 0.8]]])
+    d, s = shade.ggx_brdf(n, v, l, base, jnp.array([[0.5]]), jnp.array([[0.0]]))
+    assert float(d[0, 0, 0]) > 0
+    # grazing light → zero
+    l2 = jnp.array([[[1.0, 0.0, -0.01]]])
+    l2 = l2 / jnp.linalg.norm(l2)
+    d2, s2 = shade.ggx_brdf(n, v, l2, base, jnp.array([[0.5]]), jnp.array([[0.0]]))
+    assert float(d2[0, 0, 0]) == 0.0
+    # metallic kills diffuse
+    d3, s3 = shade.ggx_brdf(n, v, l, base, jnp.array([[0.5]]), jnp.array([[1.0]]))
+    assert float(d3[0, 0, 0]) < 1e-6
+
+
+def test_tonemap_oetf_ranges():
+    x = jnp.linspace(0, 10, 64).reshape(8, 8)
+    for f in (shade.tonemap_reinhard, shade.tonemap_aces):
+        y = np.asarray(f(x))
+        assert y.min() >= 0 and y.max() <= 1.0 + 1e-5
+        assert np.all(np.diff(np.asarray(f(jnp.linspace(0, 4, 32)))) >= -1e-6)
+    y = np.asarray(shade.oetf_srgb(jnp.linspace(0, 1, 32)))
+    assert y[0] == 0 and abs(y[-1] - 1) < 1e-5
+
+
+def test_blur_preserves_mean():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((32, 64)).astype(np.float32))
+    out = post.gauss_blur_v(post.gauss_blur_h(img))
+    assert abs(float(img.mean()) - float(out.mean())) < 2e-2
+
+
+def test_downsample_upsample():
+    img = jnp.ones((16, 32, 3))
+    q = post.downsample2(img)
+    assert q.shape == (8, 16, 3)
+    up = post.upsample2(q, 16, 32)
+    np.testing.assert_allclose(np.asarray(up), 1.0, atol=1e-6)
+
+
+def test_sobel_detects_edge():
+    img = jnp.zeros((16, 128)).at[:, 64:].set(1.0)
+    e = np.asarray(post.sobel_edges(img))
+    assert e[8, 64] > 1.0
+    assert e[8, 10] == 0.0
+
+
+def test_vsm_shadow_basic():
+    # one cascade, light looking down -z at a plane z=0; occluder at z=0.5
+    s = 64
+    view = mx.mat4_look_at(jnp.array([0.0, 0.0, 5.0]), jnp.zeros(3),
+                           jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_ortho(-2.0, 2.0, -2.0, 2.0, 0.1, 10.0)
+    mvp = proj @ view
+    # moments: left half of the map sees depth 0.2 (occluder), right 0.9
+    d = jnp.where(jnp.arange(s)[None, :] < s // 2, 0.2, 0.9)
+    d = jnp.broadcast_to(d, (s, s))
+    moments = jnp.stack([d, d * d], -1)[None]
+    mvps = mvp[None]
+    dists = jnp.array([100.0])
+    # world points: center-left (occluded, stored 0.2 < its own depth),
+    # center-right (lit)
+    wpos = jnp.array([[[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
+    vd = jnp.array([[1.0, 1.0]])
+    sf = np.asarray(shade.vsm_shadow(moments, mvps, dists, wpos, vd))
+    assert sf[0, 0] < 0.3   # occluded
+    assert sf[0, 1] > 0.9   # lit
+
+
+def make_cube_geom():
+    # unit cube at origin, 12 tris, CCW outward
+    v = np.array([[x, y, z] for z in (-1, 1) for y in (-1, 1) for x in (-1, 1)],
+                 np.float32) * 0.5
+    quads = [
+        (0, 2, 3, 1), (4, 5, 7, 6),   # z- (back), z+ (front)
+        (0, 1, 5, 4), (2, 6, 7, 3),   # y-, y+
+        (0, 4, 6, 2), (1, 3, 7, 5),   # x-, x+
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [(a, b, c), (a, c, d)]
+    faces = np.array(faces, np.int32)
+    verts = jnp.asarray(v)
+    # face normals for lighting: use vertex positions as normals (sphere-ish)
+    normals = verts / jnp.linalg.norm(verts, axis=-1, keepdims=True)
+    return SceneGeometry(
+        verts=verts,
+        normals=normals,
+        faces=jnp.asarray(faces),
+        face_valid=jnp.ones((len(faces),), bool),
+        base_color=jnp.full((8, 3), 0.7),
+        rough_metal=jnp.tile(jnp.array([[0.6, 0.0]]), (8, 1)),
+        emission=jnp.zeros((8, 3)),
+    )
+
+
+def test_full_frame_smoke():
+    opts = RenderOptions(width=128, height=96, shadow_size=64,
+                         film_grain=0.0)
+    geom = make_cube_geom()
+    eye = jnp.array([1.5, 1.2, 2.0])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 128 / 96, 0.1, 50.0)
+    lights = lights_empty(2)
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(
+            jnp.array([-0.4, -0.8, -0.4]) / np.linalg.norm([-0.4, -0.8, -0.4])),
+        color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True),
+    )
+    img = render_frame(opts, geom, view, proj, lights, eye)
+    arr = np.asarray(img)
+    assert arr.shape == (96, 128, 3)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= 0 and arr.max() <= 1.0
+    # the cube is visible: center pixels differ from the background corner
+    assert abs(arr[48, 64] - arr[2, 2]).sum() > 0.05
