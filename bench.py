@@ -129,6 +129,56 @@ def bench_headless(n_envs: int, frames: int = 30):
     return dt  # seconds per frame
 
 
+def bench_full_frame(width=1280, height=720):
+    """Config #5: full frame — culling + rasterizer + shadow/SSAO/bloom/
+    SMAA chain at 720p on a procedural scene (terrain + cubes)."""
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.lights import lights_empty
+    from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
+                                          render_frame)
+    from clap_tpu.scene.terrain import terrain_init_square_landscape
+
+    t = terrain_init_square_landscape(3, -32.0, 0.0, -32.0, 64.0, 96)
+    verts = jnp.asarray(t.vx)
+    normals = jnp.asarray(t.norm)
+    faces = jnp.asarray(t.idx.reshape(-1, 3))
+    V = verts.shape[0]
+    geom = SceneGeometry(
+        verts=verts, normals=normals, faces=faces,
+        face_valid=jnp.ones((faces.shape[0],), bool),
+        base_color=jnp.full((V, 3), 0.45),
+        rough_metal=jnp.tile(jnp.array([[0.8, 0.0]]), (V, 1)),
+        emission=jnp.zeros((V, 3)),
+    )
+    opts = RenderOptions(width=width, height=height, shadow_size=1024,
+                         film_grain=0.0)
+    eye = jnp.array([0.0, 18.0, 28.0])
+    view = mx.mat4_look_at(eye, jnp.array([0.0, 2.0, 0.0]),
+                           jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, width / height, 0.1, 200.0)
+    lights = lights_empty(2)
+    d = jnp.array([-0.4, -0.8, -0.4])
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True),
+    )
+
+    frame = jax.jit(lambda: render_frame(opts, geom, view, proj, lights, eye))
+    _sync(frame())
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        img = frame()
+    _sync(img)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "full_frame_720p_ms", "value": dt * 1e3,
+            "fps": 1.0 / dt, "tris": int(faces.shape[0])}
+
+
 def main():
     backend = jax.default_backend()
     sub = {}
@@ -141,6 +191,11 @@ def main():
         sub["skinning"] = bench_skinning()
     except Exception as e:  # pragma: no cover
         sub["skinning"] = {"error": str(e)[:200]}
+
+    try:
+        sub["full_frame"] = bench_full_frame()
+    except Exception as e:  # pragma: no cover
+        sub["full_frame"] = {"error": str(e)[:200]}
 
     try:
         dt1 = bench_headless(1)
