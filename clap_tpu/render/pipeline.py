@@ -147,7 +147,7 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
 
 def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                  cam_proj, lights: Lights, eye, far: float = 200.0,
-                 ssao_kernel_arr=None, grain_noise=None):
+                 ssao_kernel_arr=None, grain_noise=None, lut_volume=None):
     """The full canonical frame (pipeline_build chain). Returns the
     final LDR (or PQ) image (H, W, 3)."""
     W, H = opts.width, opts.height
@@ -213,6 +213,10 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     color = shade.tonemap_aces(color) if opts.tonemap_aces else \
         shade.tonemap_reinhard(color)
     color = post.contrast(color, opts.contrast)
+    if opts.lighting_lut and lut_volume is not None:
+        from .lut import apply_lut
+
+        color = apply_lut(color, lut_volume)
     if opts.film_grain > 0 and grain_noise is not None:
         color = post.film_grain(color, grain_noise, opts.film_grain)
     if opts.hdr:

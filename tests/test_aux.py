@@ -1,0 +1,100 @@
+"""Aux subsystems: profiler, checkpoint, fuzzer, settings, bus, telemetry."""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clap_tpu.utils.profiler import Profiler
+from clap_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from clap_tpu.utils.settings import Settings
+from clap_tpu.utils.bus import MT, Message, MessageBus
+from clap_tpu.utils.telemetry import TelemetryClient, TelemetryServer
+from clap_tpu.engine.fuzzer import fuzz_inputs, fuzz_batch
+
+
+def test_profiler_segments():
+    p = Profiler()
+    for _ in range(3):
+        p.frame_begin()
+        time.sleep(0.001)
+        p.step("move")
+        time.sleep(0.002)
+        p.step("phys")
+        p.frame_end()
+    r = p.report()
+    assert r["fps"] > 0
+    assert r["phys_ms"] >= r["move_ms"] * 0.5
+    assert set(r) == {"fps", "move_ms", "phys_ms"}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from clap_tpu.engine.state import engine_state_init
+
+    st = engine_state_init(8, 4, 1)
+    st = st._replace(pos=st.pos.at[2].set(jnp.array([1.0, 2.0, 3.0])),
+                     frame=jnp.int32(77))
+    path = save_checkpoint(str(tmp_path / "ckpt"), st)
+    st2 = load_checkpoint(path, st)
+    np.testing.assert_allclose(np.asarray(st2.pos), np.asarray(st.pos))
+    assert int(st2.frame) == 77
+
+
+def test_fuzzer_deterministic():
+    key = jax.random.PRNGKey(5)
+    a = fuzz_inputs(key, jnp.int32(10))
+    b = fuzz_inputs(key, jnp.int32(10))
+    c = fuzz_inputs(key, jnp.int32(11))
+    np.testing.assert_array_equal(np.asarray(a.motion), np.asarray(b.motion))
+    assert not np.array_equal(np.asarray(a.motion), np.asarray(c.motion))
+    batch = fuzz_batch(key, jnp.int32(0), 4)
+    assert batch.motion.shape == (4, 1, 2)
+    # envs get different streams
+    m = np.asarray(batch.motion)
+    assert np.std(m[:, 0, 0]) > 0
+
+
+def test_settings_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_STATE_HOME", str(tmp_path))
+    s = Settings("t.json")
+    s.set("window.width", 1280)
+    s.set("sound.volume", 0.5)
+    s2 = Settings("t.json")
+    assert s2.get("window.width") == 1280
+    assert s2.get("sound.volume") == 0.5
+    assert s2.get("missing.key", 42) == 42
+
+
+def test_messagebus():
+    bus = MessageBus()
+    got = []
+    bus.subscribe(MT.COMMAND, lambda m: got.append(m.data) or 0)
+    n = bus.send(Message(MT.COMMAND, data={"cmd": "restart"}))
+    assert n == 1 and got == [{"cmd": "restart"}]
+    assert bus.send(Message(MT.LOG, data={})) == 0
+
+
+def test_telemetry_roundtrip():
+    received = []
+    srv = TelemetryServer(port=0, on_message=lambda m, a: received.append(m))
+    cli = TelemetryClient(port=srv.port)
+    assert cli.connected
+    cli.log("info", "hello")
+    cli.status(fps=60)
+    deadline = time.time() + 3
+    while len(received) < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    assert len(received) >= 2
+    assert received[0]["type"] == "log" and received[0]["msg"] == "hello"
+
+    commands = []
+    cli.on_command = lambda m: commands.append(m)
+    srv.broadcast_restart()
+    deadline = time.time() + 3
+    while not commands and time.time() < deadline:
+        cli.poll()
+        time.sleep(0.05)
+    assert commands and commands[0]["command"] == "restart"
+    cli.close()
+    srv.close()
