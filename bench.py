@@ -10,10 +10,18 @@ Runs on whatever jax.default_backend() is (the driver provides a real TPU
 chip); falls back gracefully if a config fails.
 """
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: the graphs here are large and the remote
+# TPU compile is slow — cache across processes so repeat runs are fast
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CLAP_TPU_COMP_CACHE", "/root/.cache/jaxcomp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -152,7 +160,7 @@ def bench_full_frame(width=1280, height=720):
         rough_metal=jnp.tile(jnp.array([[0.8, 0.0]]), (V, 1)),
         emission=jnp.zeros((V, 3)),
     )
-    opts = RenderOptions(width=width, height=height, shadow_size=1024,
+    opts = RenderOptions(width=width, height=height, shadow_size=512,
                          film_grain=0.0)
     eye = jnp.array([0.0, 18.0, 28.0])
     view = mx.mat4_look_at(eye, jnp.array([0.0, 2.0, 0.0]),
