@@ -81,12 +81,9 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
     s = opts.shadow_size
     clip = clip_transform(geom.verts, light_view, light_proj)
     sx, sy, z, iw = project_to_screen(clip, s, s)
-    rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces, geom.face_valid)
-    # shadow casting is two-sided: also accept back faces by flipping
-    rec2, ok2 = assemble_tri_records(sx, sy, z, iw,
-                                     geom.faces[:, [0, 2, 1]], geom.face_valid)
-    rec = jnp.concatenate([rec, rec2])
-    ok = jnp.concatenate([ok, ok2])
+    # shadow casting is two-sided: back faces flip instead of culling
+    rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces,
+                                   geom.face_valid, two_sided=True)
     binned = bin_triangles(rec, ok, s, s)
     gb = rasterize(rec, binned, s, s)
     d = jnp.where(jnp.isfinite(gb.depth), gb.depth * 0.5 + 0.5, 1.0)

@@ -30,7 +30,17 @@ def downsample2(img):
 
 
 def upsample2(img, out_h: int, out_w: int):
-    """Bilinear 2× upsample (upsample.frag)."""
+    """Upsample to (out_h, out_w) (upsample.frag). Integer scale factors
+    take a repeat + half-pixel smooth path — far cheaper on TPU than a
+    general gather-based resize; other shapes fall back to
+    jax.image.resize."""
+    h, w = img.shape[0], img.shape[1]
+    if out_h % h == 0 and out_w % w == 0:
+        fy, fx = out_h // h, out_w // w
+        up = jnp.repeat(jnp.repeat(img, fy, axis=0), fx, axis=1)
+        # one smoothing tap to soften the blocks (bloom/AO are low-freq)
+        return 0.25 * (up + _shift2(up, 0, 1) + _shift2(up, 1, 0)
+                       + _shift2(up, 1, 1))
     return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "bilinear")
 
 
@@ -165,14 +175,15 @@ def ssao(view_pos, view_normal, kernel, radius=0.5, bias=0.025):
     b = jnp.cross(n, t)
 
     depth = view_pos[..., 2]
+    # pixel↔view scale is loop-invariant: hoist (was recomputed per tap)
+    dzdx = (_shift2(view_pos[..., 0], 0, 1) - _shift2(view_pos[..., 0], 0, -1)) * 0.5
+    dzdy = (_shift2(view_pos[..., 1], 1, 0) - _shift2(view_pos[..., 1], -1, 0)) * 0.5
+    dzdx = jnp.where(jnp.abs(dzdx) < 1e-6, 1e-6, dzdx)
+    dzdy = jnp.where(jnp.abs(dzdy) < 1e-6, 1e-6, dzdy)
     for i in range(SSAO_KERNEL_SIZE):
         k = kernel[i]
         offs = t * k[0] + b * k[1] + n * k[2]
         sample = view_pos + offs * radius
-        # project the sample's xy back to pixel space: approximate with
-        # the local pixel-to-view scale (orthographic local neighborhood)
-        dzdx = jnp.gradient(view_pos[..., 0], axis=1) + 1e-6
-        dzdy = jnp.gradient(view_pos[..., 1], axis=0) + 1e-6
         du = (sample[..., 0] - view_pos[..., 0]) / dzdx
         dv = (sample[..., 1] - view_pos[..., 1]) / dzdy
         su = jnp.clip(xs + du, 0, W - 1).astype(jnp.int32)

@@ -64,12 +64,17 @@ def project_to_screen(clip: jnp.ndarray, width: int, height: int):
     return sx, sy, ndc[..., 2], iw
 
 
-def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None):
+def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
+                         two_sided: bool = False):
     """Build the packed (T, 12) per-triangle record the kernel consumes:
     three [x, y, z, 1/w] vertex groups (_XC/_YC/_ZC/_WC columns). One
     packed (V, 4) vertex table keeps this to 3 wide gathers. Also
     returns per-tri validity (area > 0 i.e. front-facing CCW, w>0 at all
-    corners, caller mask)."""
+    corners, caller mask).
+
+    two_sided: instead of culling back faces, swap their v1/v2 groups so
+    the kernel's CCW test accepts them (shadow passes are two-sided
+    without doubling the triangle count)."""
     vrec = jnp.stack([sx, sy, z, iw], axis=-1)            # (V, 4)
     rec = jnp.concatenate(
         [vrec[faces[:, 0]], vrec[faces[:, 1]], vrec[faces[:, 2]]], axis=-1
@@ -78,8 +83,15 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None):
     x1, y1 = rec[:, _XC[1]], rec[:, _YC[1]]
     x2, y2 = rec[:, _XC[2]], rec[:, _YC[2]]
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    if two_sided:
+        flipped = jnp.concatenate([rec[:, 0:4], rec[:, 8:12], rec[:, 4:8]],
+                                  axis=-1)
+        rec = jnp.where((area < 0)[:, None], flipped, rec)
+        ok = jnp.abs(area) > 1e-8
+    else:
+        ok = area > 1e-8
     # w>0 for all corners (no near-plane clipping in v1: crossing tris drop)
-    ok = (area > 1e-8) & (rec[:, _WC[0]] > 0) & (rec[:, _WC[1]] > 0) \
+    ok = ok & (rec[:, _WC[0]] > 0) & (rec[:, _WC[1]] > 0) \
         & (rec[:, _WC[2]] > 0)
     zs = rec[:, _ZC, ]
     ok = ok & (zs.min(-1) <= 1.0) & (zs.max(-1) >= -1.0)

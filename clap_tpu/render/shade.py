@@ -121,10 +121,10 @@ def shade_pixels(world_pos, normal, view_pos, mat: Material, lights: Lights,
     v = view_pos[None, None, :] - world_pos
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
 
-    ty = jnp.arange(H) // LIGHT_TILE
-    tx = jnp.arange(W) // LIGHT_TILE
-    pix_mask = tile_mask[jnp.clip(ty[:, None], 0, tile_mask.shape[0] - 1),
-                         jnp.clip(tx[None, :], 0, tile_mask.shape[1] - 1)]
+    # expand the tile grid by repeat (regular tiling → no gathers)
+    up = jnp.repeat(jnp.repeat(tile_mask, LIGHT_TILE, axis=0),
+                    LIGHT_TILE, axis=1)
+    pix_mask = up[:H, :W]
 
     L = lights.pos.shape[0]
     total = jnp.zeros_like(mat.base_color)
@@ -239,11 +239,19 @@ def vsm_shadow(moments_maps, shadow_mvps, cascade_dists, world_pos,
 
     moments_maps: (CASCADES, S, S, 2) linearized (d, d²) moments;
     shadow_mvps: (CASCADES, 4, 4). Returns shadow factor (H, W) in [0,1].
+
+    TPU shape: per-pixel cascade selection uses DENSE math (project
+    against all cascades, one-hot select) and ONE bilinear fetch from a
+    vertically stacked cascade atlas — per-pixel matrix/map gathers are
+    the expensive thing on TPU, not the extra flops.
     """
+    n_casc = moments_maps.shape[0]
     casc = select_cascade(view_depth, cascade_dists)          # (H, W)
-    mvp = shadow_mvps[casc]                                    # (H, W, 4, 4)
     p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
-    sp = jnp.einsum("hwij,hwj->hwi", mvp, p)
+    sps = jnp.einsum("cij,hwj->chwi", shadow_mvps, p)          # (C, H, W, 4)
+    sp = jnp.zeros_like(sps[0])
+    for c in range(n_casc):
+        sp = sp + jnp.where((casc == c)[..., None], sps[c], 0.0)
     w = sp[..., 3]
     ok = w > 1e-3
     ndc = sp[..., :3] / jnp.where(ok, w, 1.0)[..., None]
@@ -253,13 +261,20 @@ def vsm_shadow(moments_maps, shadow_mvps, cascade_dists, world_pos,
     s = moments_maps.shape[1]
     u = uv[..., 0] * (s - 1)
     v = (1.0 - uv[..., 1]) * (s - 1)
-
-    # gather per-pixel cascade maps: vmap over cascades then select
-    def sample_c(ci):
-        return _bilinear(moments_maps[ci], u, v)
-
-    all_m = jnp.stack([sample_c(i) for i in range(moments_maps.shape[0])])
-    m = jnp.take_along_axis(all_m, casc[None, ..., None], axis=0)[0]
+    # atlas fetch: clamp v inside the selected cascade's band
+    atlas = moments_maps.reshape(n_casc * s, s, 2)
+    u = jnp.clip(u, 0.0, s - 1.001)
+    v = jnp.clip(v, 0.0, s - 1.001) + casc.astype(jnp.float32) * s
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    v0 = jnp.minimum(v0, n_casc * s - 2)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    a = atlas[v0, u0]
+    b = atlas[v0, u0 + 1]
+    cc = atlas[v0 + 1, u0]
+    dd = atlas[v0 + 1, u0 + 1]
+    m = (a * (1 - fu) + b * fu) * (1 - fv) + (cc * (1 - fu) + dd * fu) * fv
     mu, m2 = m[..., 0], m[..., 1]
     var = jnp.maximum(m2 - mu * mu, 1e-5)
     diff = d - mu
