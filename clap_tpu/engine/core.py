@@ -1,0 +1,172 @@
+"""Engine orchestrator (reference: core/clap.{c,h} — context, init
+ordering, frame loop, timers, CLI, restart).
+
+``Engine`` owns the host rim: scene/content, settings, telemetry, the
+profiler, frame timers, and the jitted step+render functions. The
+per-frame order mirrors clap_frame (clap.c:551-665):
+
+  timers → input dispatch → [jitted: characters_move → phys_step →
+  scene sync → camera] → gameplay rules → [jitted render] → UI
+  composite → profiler/telemetry.
+
+clap_init's ordered bring-up (clap.c:1053-1173) maps to Engine.__init__;
+clap_restart (clap.c:833-848: teardown + execve self) is replicated for
+the dev loop.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.bus import MT, Message, MessageBus
+from ..utils.profiler import Profiler
+from ..utils.settings import Settings
+from ..utils.telemetry import TelemetryClient
+from .fuzzer import fuzz_inputs
+from .step import Inputs, engine_step, inputs_zero
+
+
+@dataclass
+class ClapConfig:
+    """struct clap_config (clap.h:413-439): subsystem enables +
+    callbacks."""
+
+    title: str = "clap-tpu"
+    graphics: bool = False
+    input: bool = True
+    sound: bool = False
+    phys: bool = True
+    fuzzer: bool = False
+    settings: bool = True
+    networking: bool = False
+    server_ip: str = "127.0.0.1"
+    width: int = 1280
+    height: int = 720
+    frame_cb: Callable | None = None
+    early_init: Callable | None = None
+    graphics_init: Callable | None = None
+    exit_after: int = 0          # seconds; 0 = run forever (-e CLI)
+    abort_on_error: bool = False
+
+
+def parse_cli(argv, cfg: ClapConfig) -> ClapConfig:
+    """Declarative option handling (clap.c:868-925: --help/--fullscreen/
+    --exitafter/--aoe/--server)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog=cfg.title)
+    p.add_argument("-e", "--exitafter", type=int, default=cfg.exit_after,
+                   help="exit after N seconds (automated runs)")
+    p.add_argument("-E", "--aoe", action="store_true",
+                   help="abort on error")
+    p.add_argument("-F", "--fullscreen", action="store_true")
+    p.add_argument("-S", "--server", default=cfg.server_ip,
+                   help="telemetry server ip")
+    p.add_argument("--fuzzer", action="store_true")
+    args, _ = p.parse_known_args(argv)
+    cfg.exit_after = args.exitafter
+    cfg.abort_on_error = args.aoe
+    cfg.server_ip = args.server
+    cfg.fuzzer = cfg.fuzzer or args.fuzzer
+    return cfg
+
+
+class Engine:
+    """The clap context analogue."""
+
+    def __init__(self, cfg: ClapConfig, scene_cfg, state0, argv=()):
+        self.cfg = parse_cli(list(argv), cfg)
+        self.bus = MessageBus()
+        self.bus.subscribe(MT.COMMAND, self._handle_command)
+        self.profiler = Profiler()
+        self.telemetry = None
+        if cfg.networking:
+            self.telemetry = TelemetryClient(
+                cfg.server_ip, on_command=self._net_command)
+        if cfg.early_init:
+            cfg.early_init(self)
+        self.settings = Settings(on_load=None) if cfg.settings else None
+        self.scene_cfg = scene_cfg
+        self.state = state0
+        self.timers: list[tuple[float, Callable]] = []
+        self._restart = False
+        self._stop = False
+        self.frame_no = 0
+        self.fuzz_key = jax.random.PRNGKey(0)
+        n_chars = scene_cfg.char_params.body.shape[0]
+        self._step = jax.jit(
+            lambda s, i: engine_step(scene_cfg, s, i))
+        self._zero_inputs = inputs_zero(n_chars)
+        if cfg.graphics_init:
+            cfg.graphics_init(self)
+
+    # --- timers (clap.c:339-439: sorted one-shot list) ---
+    def timer_set(self, delay_s: float, fn: Callable):
+        self.timers.append((time.monotonic() + delay_s, fn))
+        self.timers.sort(key=lambda t: t[0])
+
+    def _timers_run(self):
+        now = time.monotonic()
+        while self.timers and self.timers[0][0] <= now:
+            _, fn = self.timers.pop(0)
+            fn(self)
+
+    def _handle_command(self, msg: Message) -> int:
+        if msg.data.get("cmd") == "restart":
+            self._restart = True
+        elif msg.data.get("cmd") == "exit":
+            self._stop = True
+        return 0
+
+    def _net_command(self, msg):
+        self.bus.send(Message(MT.COMMAND, data={"cmd": msg.get("command")}))
+
+    # --- frame (clap_frame, clap.c:551-665, headless core) ---
+    def frame(self, inputs: Inputs | None = None, dt: float = 1 / 60):
+        self.profiler.frame_begin()
+        self._timers_run()
+        self.profiler.step("timers")
+
+        if inputs is None:
+            if self.cfg.fuzzer:
+                inputs = fuzz_inputs(self.fuzz_key, jnp.int32(self.frame_no))
+            else:
+                inputs = self._zero_inputs
+        self.profiler.step("input")
+
+        self.state = self._step(self.state, inputs)
+        self.profiler.step("sim")
+
+        if self.cfg.frame_cb:
+            self.cfg.frame_cb(self)
+        self.profiler.step("callback")
+
+        self.frame_no += 1
+        self.profiler.frame_end()
+        if self.telemetry and self.frame_no % 60 == 0:  # 1 Hz status
+            self.telemetry.status(fps=self.profiler.fps,
+                                  frame=self.frame_no)
+            self.telemetry.poll()
+
+    def run(self, max_frames: int | None = None):
+        """display_main_loop analogue (display-glfw.c:356-361)."""
+        deadline = (time.monotonic() + self.cfg.exit_after
+                    if self.cfg.exit_after else None)
+        while not self._stop and not self._restart:
+            self.frame()
+            if max_frames is not None and self.frame_no >= max_frames:
+                break
+            if deadline and time.monotonic() >= deadline:
+                break
+        if self._restart:
+            self.restart()
+
+    def restart(self):
+        """clap_restart (clap.c:833-848): re-exec self."""
+        os.execv(sys.executable, [sys.executable] + sys.argv)
