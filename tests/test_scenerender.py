@@ -1,0 +1,78 @@
+"""Engine-state → renderer glue: instancing, culling, LOD selection."""
+import numpy as np
+import jax.numpy as jnp
+
+from clap_tpu import mathx as mx
+from clap_tpu.render.scenerender import (LOD_DISTANCES, ModelData,
+                                         assemble_scene_geometry,
+                                         build_render_tables,
+                                         model_from_mesh)
+from clap_tpu.render.view import make_subview
+from clap_tpu.scene.primitives import cube
+
+
+def make_tables():
+    v, n, uv, f = cube(1.0)
+    m = model_from_mesh(v, n, f, with_lods=False)
+    entity_model = np.array([0, 0, 0], np.int32)
+    active = np.array([True, True, False])
+    return build_render_tables([m], entity_model, active)
+
+
+def test_instancing_shapes():
+    rt = make_tables()
+    assert rt.verts.shape[0] == 48          # 2 active instances × 24
+    assert rt.faces.shape[0] == 24          # 2 × 12 tris
+    assert int(rt.face_entity.max()) == 1
+
+
+def test_transform_and_cull():
+    rt = make_tables()
+    # entity 0 at origin, entity 1 far left out of view
+    mx0 = mx.mat4_compose_trs(jnp.array([[0.0, 0, 0], [-500.0, 0, 0],
+                                         [0.0, 0, 0]]),
+                              mx.qidentity((3,)), jnp.ones(3))
+    eye = jnp.array([0.0, 0.0, 5.0])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    sv = make_subview(view, proj)
+    geom = assemble_scene_geometry(rt, mx0, jnp.array([True, True, True]),
+                                   sv.planes, eye)
+    fv = np.asarray(geom.face_valid)
+    fe = np.asarray(rt.face_entity)
+    assert fv[fe == 0].any()        # entity 0 visible
+    assert not fv[fe == 1].any()    # entity 1 culled
+    # world verts moved: entity 1's verts translated by -500
+    wv = np.asarray(geom.verts)
+    ve = np.asarray(rt.vert_entity)
+    assert wv[ve == 1][:, 0].max() < -490
+
+
+def test_lod_selection():
+    v, n, uv, f = cube(1.0)
+    # fake 2 LODs: full cube + a single tri
+    m = ModelData(verts=v, normals=n,
+                  base_color=np.full((24, 3), 0.5, np.float32),
+                  rough_metal=np.full((24, 2), 0.5, np.float32),
+                  emission=np.zeros((24, 3), np.float32),
+                  lod_faces=[f, f[:1]])
+    rt = build_render_tables([m, m], np.array([0, 1], np.int32),
+                             np.array([True, True]))
+    # entity 0 near, entity 1 beyond the first LOD distance
+    far = LOD_DISTANCES[0] + 10
+    mats = mx.mat4_compose_trs(jnp.array([[0.0, 0, 0], [0.0, 0, -far]]),
+                               mx.qidentity((2,)), jnp.ones(2))
+    eye = jnp.array([0.0, 0.0, 5.0])
+    view = mx.mat4_look_at(eye, jnp.array([0.0, 0.0, -50.0]),
+                           jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
+    sv = make_subview(view, proj)
+    geom = assemble_scene_geometry(rt, mats, jnp.array([True, True]),
+                                   sv.planes, eye)
+    fv = np.asarray(geom.face_valid)
+    fe = np.asarray(rt.face_entity)
+    fl = np.asarray(rt.face_lod)
+    assert fv[(fe == 0) & (fl == 0)].all()       # near → LOD 0
+    assert not fv[(fe == 0) & (fl == 1)].any()
+    assert fv[(fe == 1) & (fl == 1)].all()       # far → LOD 1
+    assert not fv[(fe == 1) & (fl == 0)].any()
