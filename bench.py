@@ -19,7 +19,7 @@ import jax
 # persistent compilation cache: the graphs here are large and the remote
 # TPU compile is slow — cache across processes so repeat runs are fast
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("CLAP_TPU_COMP_CACHE", "/root/.cache/jaxcomp"))
+                  os.environ.get("CLAP_TPU_COMP_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
