@@ -123,7 +123,10 @@ def _static_contacts(world: StaticWorld, params: BodyParams, pos):
     Returns (depth, normal, point) of shape (N, K[, 3])."""
     def per_body(p, r, hl):
         p0, p1 = capsule_segment(p, hl)
-        c = capsule_world_contacts(world, p0, p1, r)
+        # cardinal heightfield samples only: the deepest-K dedupe keeps
+        # one contact per plane anyway, and diagonal planes only matter
+        # for fast lateral motion (covered by the sweep path)
+        c = capsule_world_contacts(world, p0, p1, r, n_samples=5)
         # keep near-contacts too (depth ≤ 0 within CONTACT_MARGIN) so the
         # velocity solve sees persistent resting contacts; c.depth is
         # already -inf for masked slots
