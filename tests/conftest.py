@@ -19,6 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: several tests jit large graphs (sweeps,
+# raster interpret mode); cache makes repeat suite runs much faster
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:

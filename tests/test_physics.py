@@ -138,9 +138,11 @@ def test_sweep_stops_at_wall():
     ], dtype=np.float32)
     world = make_world(flat_world().hf, jnp.asarray(wallq))
     params, st = one_sphere(r=0.5, pos=(0, 0.5, 0))
-    res = sweep_capsule(world, params, st.pos, jnp.int32(0),
-                        jnp.array([3.0, 0.0, 0.0], jnp.float32),
-                        max_steps=12)  # C uses ceil(3.0/(r/2)) = 12
+    sweep12 = jax.jit(lambda bp, d: sweep_capsule(world, params, bp,
+                                                  jnp.int32(0), d,
+                                                  max_steps=12))
+    res = sweep12(st.pos, jnp.array([3.0, 0.0, 0.0], jnp.float32))
+    # C uses ceil(3.0/(r/2)) = 12 steps
     assert bool(res.hit)
     # safe distance is 1.5 (wall at 2, radius 0.5) → frac = 0.5
     assert abs(float(res.frac) - 0.5) < 0.15
@@ -150,8 +152,9 @@ def test_sweep_stops_at_wall():
 def test_sweep_no_obstacle():
     world = flat_world()
     params, st = one_sphere(r=0.5, pos=(0, 0.5, 0))
-    res = sweep_capsule(world, params, st.pos, jnp.int32(0),
-                        jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    res = jax.jit(lambda bp, d: sweep_capsule(world, params, bp,
+                                              jnp.int32(0), d))(
+        st.pos, jnp.array([1.0, 0.0, 0.0], jnp.float32))
     assert float(res.frac) == 1.0
 
 
