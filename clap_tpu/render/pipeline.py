@@ -90,6 +90,45 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
     return jnp.stack([d, d * d], axis=-1)      # (S, S, 2)
 
 
+def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
+                    casc_projs):
+    """All CASCADES_MAX cascades in ONE raster over a vertically stacked
+    (C·S, S) atlas — one binning sort and one kernel launch instead of
+    four (the reference's CONFIG_SHADOW_MAP_ARRAY geometry-shader
+    instancing plays the same trick, shadow.geom:5-27).
+
+    Returns (CASCADES, S, S, 2) VSM moments."""
+    s = opts.shadow_size
+    n_casc = casc_views.shape[0]
+    sxs, sys_, zs, iws = [], [], [], []
+    for c in range(n_casc):
+        clip = clip_transform(geom.verts, casc_views[c], casc_projs[c])
+        sx, sy, z, iw = project_to_screen(clip, s, s)
+        sxs.append(sx)
+        sys_.append(sy + c * s)       # atlas band offset
+        zs.append(z)
+        iws.append(iw)
+    sx = jnp.concatenate(sxs)
+    sy = jnp.concatenate(sys_)
+    z = jnp.concatenate(zs)
+    iw = jnp.concatenate(iws)
+    V = geom.verts.shape[0]
+    faces = jnp.concatenate([geom.faces + c * V for c in range(n_casc)])
+    valid = jnp.concatenate([geom.face_valid] * n_casc)
+    rec, ok = assemble_tri_records(sx, sy, z, iw, faces, valid,
+                                   two_sided=True)
+    from .raster import TILE_H
+
+    T = geom.faces.shape[0]
+    band = jnp.repeat(jnp.arange(n_casc, dtype=jnp.int32), T)
+    binned = bin_triangles(rec, ok, s, n_casc * s,
+                           band_id=band, band_tiles=s // TILE_H)
+    gb = rasterize(rec, binned, s, n_casc * s)
+    d = jnp.where(jnp.isfinite(gb.depth), gb.depth * 0.5 + 0.5, 1.0)
+    m = jnp.stack([d, d * d], axis=-1)
+    return m.reshape(n_casc, s, s, 2)
+
+
 def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
                lights: Lights, eye, shadow_moments=None, shadow_mvps=None,
                cascade_dists=None):
@@ -154,14 +193,8 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         ldir = lights.direction[0]
         casc, cascade_dists = cascade_subviews(cam_view, cam_proj, ldir,
                                                0.1, far)
-        moments = []
-        mvps = []
-        for i in range(CASCADES_MAX):
-            m = shadow_pass(opts, geom, casc.view[i], casc.proj[i])
-            moments.append(m)
-            mvps.append(casc.proj[i] @ casc.view[i])
-        shadow_moments = jnp.stack(moments)
-        shadow_mvps = jnp.stack(mvps)
+        shadow_moments = shadow_pass_all(opts, geom, casc.view, casc.proj)
+        shadow_mvps = jnp.einsum("cij,cjk->cik", casc.proj, casc.view)
 
     hdr, emit, vnrm, gb, vpos = model_pass(
         opts, geom, cam_view, cam_proj, lights, eye,

@@ -32,9 +32,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 16
-TILE_W = 128
-MAX_PER_TILE = 128
+TILE_H = 32
+TILE_W = 256
+MAX_PER_TILE = 512
 MAX_SPAN_X = 4       # bbox span cap in tiles (beyond → big-tri list)
 MAX_SPAN_Y = 4
 MAX_BIG_TRIS = 128
@@ -76,16 +76,20 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     the kernel's CCW test accepts them (shadow passes are two-sided
     without doubling the triangle count)."""
     vrec = jnp.stack([sx, sy, z, iw], axis=-1)            # (V, 4)
+    tri_f = jnp.arange(faces.shape[0], dtype=jnp.float32)[:, None]
     rec = jnp.concatenate(
-        [vrec[faces[:, 0]], vrec[faces[:, 1]], vrec[faces[:, 2]]], axis=-1
-    )                                                      # (T, 12)
+        [vrec[faces[:, 0]], vrec[faces[:, 1]], vrec[faces[:, 2]], tri_f],
+        axis=-1,
+    )                                                      # (T, 13): + tri id
+    # (float tri ids are exact below 2^24 — they ride the kernel's
+    # winner-select chain so no per-pixel id gather is ever needed)
     x0, y0 = rec[:, _XC[0]], rec[:, _YC[0]]
     x1, y1 = rec[:, _XC[1]], rec[:, _YC[1]]
     x2, y2 = rec[:, _XC[2]], rec[:, _YC[2]]
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     if two_sided:
-        flipped = jnp.concatenate([rec[:, 0:4], rec[:, 8:12], rec[:, 4:8]],
-                                  axis=-1)
+        flipped = jnp.concatenate([rec[:, 0:4], rec[:, 8:12], rec[:, 4:8],
+                                   rec[:, 12:13]], axis=-1)
         rec = jnp.where((area < 0)[:, None], flipped, rec)
         ok = jnp.abs(area) > 1e-8
     else:
@@ -100,10 +104,15 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     return rec, ok
 
 
-def bin_triangles(rec, ok, width: int, height: int):
+def bin_triangles(rec, ok, width: int, height: int,
+                  band_id=None, band_tiles: int = 0):
     """Sort-based binning → (tile_list (n_tiles, MAX_PER_TILE) i32,
     tile_count (n_tiles,) i32, big_list (MAX_BIG_TRIS,) i32, big_count).
-    """
+
+    band_id/band_tiles: optional per-triangle vertical band clamp — used
+    by the cascade-atlas shadow pass so each cascade's triangles only
+    bin into its own rows (the viewport-clip analogue; pixels of other
+    bands are never touched)."""
     ntx = pl.cdiv(width, TILE_W)
     nty = pl.cdiv(height, TILE_H)
     n_tiles = ntx * nty
@@ -111,22 +120,36 @@ def bin_triangles(rec, ok, width: int, height: int):
 
     xs = rec[:, _XC, ]
     ys = rec[:, _YC, ]
+    ylo, yhi = 0, nty - 1
+    if band_id is not None:
+        ylo = band_id * band_tiles
+        yhi = ylo + band_tiles - 1
     x0 = jnp.clip(jnp.floor(xs.min(1) / TILE_W).astype(jnp.int32), 0, ntx - 1)
     x1 = jnp.clip(jnp.floor(xs.max(1) / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    y0 = jnp.clip(jnp.floor(ys.min(1) / TILE_H).astype(jnp.int32), 0, nty - 1)
-    y1 = jnp.clip(jnp.floor(ys.max(1) / TILE_H).astype(jnp.int32), 0, nty - 1)
+    y0 = jnp.clip(jnp.floor(ys.min(1) / TILE_H).astype(jnp.int32), ylo, yhi)
+    y1 = jnp.clip(jnp.floor(ys.max(1) / TILE_H).astype(jnp.int32), ylo, yhi)
     # offscreen?
     off = (xs.max(1) < 0) | (xs.min(1) >= width) | (ys.max(1) < 0) | (ys.min(1) >= height)
     ok = ok & ~off
 
     spanx = x1 - x0 + 1
     spany = y1 - y0 + 1
-    big = ok & ((spanx > MAX_SPAN_X) | (spany > MAX_SPAN_Y))
-    small = ok & ~big
+    if band_id is not None:
+        # band mode: spans are clamped to the band, so nothing is "big"
+        # (big tris are walked by EVERY tile — they would leak across
+        # cascade bands)
+        sx_span = min(MAX_SPAN_X, ntx)
+        sy_span = band_tiles
+        big = jnp.zeros_like(ok)
+        small = ok
+    else:
+        sx_span, sy_span = MAX_SPAN_X, MAX_SPAN_Y
+        big = ok & ((spanx > sx_span) | (spany > sy_span))
+        small = ok & ~big
 
-    # pair expansion (T, MAX_SPAN_Y, MAX_SPAN_X)
-    dy = jnp.arange(MAX_SPAN_Y)
-    dx = jnp.arange(MAX_SPAN_X)
+    # pair expansion (T, sy_span, sx_span)
+    dy = jnp.arange(sy_span)
+    dx = jnp.arange(sx_span)
     ty = y0[:, None, None] + dy[None, :, None]
     tx = x0[:, None, None] + dx[None, None, :]
     pair_ok = small[:, None, None] & (ty <= y1[:, None, None]) & (tx <= x1[:, None, None])
@@ -170,9 +193,10 @@ def _raster_tile_kernel(width: int, height: int,
     ((1, MAX_PER_TILE, 12) block) so the inner loop is pure vector math:
     each step evaluates TRI_CHUNK triangles against the whole pixel
     lattice at once — no scalar extraction, no dynamic VMEM gathers, no
-    vector-lane broadcasts (all Mosaic pain points). The winner's LIST
-    SLOT (a value derived from loop counters/constants only) is written;
-    the caller resolves slot → triangle id with one XLA gather."""
+    vector-lane broadcasts (all Mosaic pain points). The winner's
+    triangle id travels as a FLOAT record column through the same
+    select chain as the barycentrics (exact below 2^24), so no
+    per-pixel id resolution gather is needed afterwards."""
     ti = pl.program_id(0)
     ntx = pl.cdiv(width, TILE_W)
     tx0 = (ti % ntx) * TILE_W
@@ -183,10 +207,9 @@ def _raster_tile_kernel(width: int, height: int,
     py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
           ).astype(jnp.float32) + 0.5
 
-    def shade_chunk(slab, slot_base, n_valid, carry):
-        """slab: (TRI_CHUNK, 12); slot_base: scalar slot of slab row 0;
-        n_valid: how many rows are real."""
-        depth, slot, b0o, b1o = carry
+    def shade_chunk(slab, n_valid, carry):
+        """slab: (TRI_CHUNK, 13); n_valid: how many rows are real."""
+        depth, tidf, b0o, b1o = carry
         def col(i):
             return slab[:, i][:, None, None]            # (C, 1, 1)
         x0, x1, x2 = col(_XC[0]), col(_XC[1]), col(_XC[2])
@@ -213,22 +236,24 @@ def _raster_tile_kernel(width: int, height: int,
         inv_s = 1.0 / jnp.maximum(d0 + d1 + d2, 1e-20)
         pb0 = d0 * inv_s
         pb1 = d1 * inv_s
-        # chunk reduce: min depth wins, FIRST of equal depths wins (draw
-        # order). The winning chunk-row index is built from python-int
-        # constants, so no vector-lane broadcast is needed.
+        # float tri id, broadcast to full tile shape through arithmetic
+        # (standalone (C,1,1)→(C,H,W) vector broadcasts are a Mosaic
+        # unsupported path; riding an add is not)
+        ptid = col(12) + z * 0.0
+        # chunk reduce: min depth wins, FIRST of equal depths wins
         rd = zm[0]
-        ridx = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+        rtid = ptid[0]
         rb0 = pb0[0]
         rb1 = pb1[0]
         for c in range(1, TRI_CHUNK):
             w = zm[c] < rd
             rd = jnp.where(w, zm[c], rd)
-            ridx = jnp.where(w, c, ridx)
+            rtid = jnp.where(w, ptid[c], rtid)
             rb0 = jnp.where(w, pb0[c], rb0)
             rb1 = jnp.where(w, pb1[c], rb1)
         win = rd < depth
         return (jnp.where(win, rd, depth),
-                jnp.where(win, slot_base + ridx, slot),
+                jnp.where(win, rtid, tidf),
                 jnp.where(win, rb0, b0o),
                 jnp.where(win, rb1, b1o))
 
@@ -237,24 +262,26 @@ def _raster_tile_kernel(width: int, height: int,
 
     def small_body(k, carry):
         slab = trec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        return shade_chunk(slab, k * TRI_CHUNK, count - k * TRI_CHUNK, carry)
+        return shade_chunk(slab, count - k * TRI_CHUNK, carry)
 
     def big_body(k, carry):
         slab = brec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        return shade_chunk(slab, MAX_PER_TILE + k * TRI_CHUNK,
-                           big_count - k * TRI_CHUNK, carry)
+        return shade_chunk(slab, big_count - k * TRI_CHUNK, carry)
 
     init = (
         jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
-        jnp.full((TILE_H, TILE_W), -1, jnp.int32),
+        jnp.full((TILE_H, TILE_W), -1.0, jnp.float32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
         jnp.zeros((TILE_H, TILE_W), jnp.float32),
     )
+    # dynamic trip counts: tiles only walk their real triangle lists.
+    # (Static-bound variants measured SLOWER — the ~50µs/tile cost is
+    # fixed per grid step, hence the large 32×256 tiles.)
     carry = jax.lax.fori_loop(0, pl.cdiv(count, TRI_CHUNK), small_body, init)
     carry = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body, carry)
-    depth, slot, b0o, b1o = carry
+    depth, tidf, b0o, b1o = carry
     depth_ref[:] = depth
-    slot_ref[:] = slot
+    slot_ref[:] = tidf
     b0_ref[:] = b0o
     b1_ref[:] = b1o
 
@@ -271,8 +298,8 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
 
     # pre-gather triangle records per tile (XLA gather — keeps the kernel
     # free of dynamic indexing)
-    trec = rec[tile_list]                       # (n_tiles, MAX_PER_TILE, 12)
-    brec = rec[big_idx][None]                   # (1, MAX_BIG_TRIS, 12)
+    trec = rec[tile_list]                       # (n_tiles, MAX_PER_TILE, 13)
+    brec = rec[big_idx][None]                   # (1, MAX_BIG_TRIS, 13)
     counts2 = jnp.stack(
         [counts, jnp.broadcast_to(big_count, counts.shape)], axis=-1
     ).astype(jnp.int32)                         # (n_tiles, 2)
@@ -280,7 +307,7 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
     kern = partial(_raster_tile_kernel, width, height)
     out_shape = [
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),  # float tri id
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
     ]
@@ -288,14 +315,14 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
     def out_map(i):
         return (i // ntx, i % ntx)
 
-    depth, slot, b0, b1 = pl.pallas_call(
+    depth, tidf, b0, b1 = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (n_tiles, 2)
-            pl.BlockSpec((1, MAX_PER_TILE, 12), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, MAX_PER_TILE, 13), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MAX_BIG_TRIS, 12), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, MAX_BIG_TRIS, 13), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -308,20 +335,11 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
         interpret=jax.default_backend() != "tpu",
     )(counts2, trec, brec)
 
-    # resolve slot → triangle id with one image-sized gather
     depth = depth[:height, :width]
-    slot = slot[:height, :width]
+    tri = tidf[:height, :width].astype(jnp.int32)   # float ids are exact
     b0 = b0[:height, :width]
     b1 = b1[:height, :width]
-    yy = jnp.arange(height)[:, None] // TILE_H
-    xx = jnp.arange(width)[None, :] // TILE_W
-    pix_tile = yy * ntx + xx
-    small = (slot >= 0) & (slot < MAX_PER_TILE)
-    tri_small = tile_list[pix_tile, jnp.clip(slot, 0, MAX_PER_TILE - 1)]
-    tri_big = big_idx[jnp.clip(slot - MAX_PER_TILE, 0, MAX_BIG_TRIS - 1)]
-    tri = jnp.where(slot < 0, -1, jnp.where(small, tri_small, tri_big))
-
-    return GBuffer(depth=depth, tri_id=tri.astype(jnp.int32),
+    return GBuffer(depth=depth, tri_id=tri,
                    bary=jnp.stack([b0, b1], axis=-1))
 
 
