@@ -175,12 +175,14 @@ def bench_full_frame(width=1280, height=720):
         active=lights.active.at[0].set(True),
     )
 
-    frame = jax.jit(lambda: render_frame(opts, geom, view, proj, lights, eye))
-    _sync(frame())
+    # real arguments (a zero-arg closure would let XLA constant-fold the
+    # whole frame at compile time)
+    frame = jax.jit(lambda g, v, p, e: render_frame(opts, g, v, p, lights, e))
+    _sync(frame(geom, view, proj, eye))
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
-        img = frame()
+        img = frame(geom, view, proj, eye)
     _sync(img)
     dt = (time.perf_counter() - t0) / reps
     return {"metric": "full_frame_720p_ms", "value": dt * 1e3,

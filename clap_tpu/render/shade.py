@@ -22,20 +22,29 @@ from .raster import GBuffer
 # G-buffer attribute interpolation
 # ---------------------------------------------------------------------------
 
+def pack_tri_attrs(faces, vattrs):
+    """(T, 3A) per-triangle attribute records: the three corners'
+    attributes concatenated. Built once per frame at triangle scale so
+    the per-pixel stage needs ONE image-sized gather (gather op count at
+    image scale dominates the shading cost on TPU)."""
+    return jnp.concatenate(
+        [vattrs[faces[:, 0]], vattrs[faces[:, 1]], vattrs[faces[:, 2]]],
+        axis=-1)
+
+
 def interpolate_attrs(gb: GBuffer, faces, vattrs):
     """Per-pixel interpolated vertex attributes.
 
     faces: (T, 3) int32; vattrs: (V, A) packed per-vertex attributes.
     Returns (H, W, A); background pixels get zeros."""
+    tri_attrs = pack_tri_attrs(faces, vattrs)          # (T, 3A)
+    A = vattrs.shape[-1]
     tid = jnp.maximum(gb.tri_id, 0)
-    f = faces[tid]                       # (H, W, 3)
-    a0 = vattrs[f[..., 0]]               # (H, W, A)
-    a1 = vattrs[f[..., 1]]
-    a2 = vattrs[f[..., 2]]
+    rec = tri_attrs[tid]                               # (H, W, 3A): 1 gather
     b0 = gb.bary[..., 0:1]
     b1 = gb.bary[..., 1:2]
     b2 = 1.0 - b0 - b1
-    out = a0 * b0 + a1 * b1 + a2 * b2
+    out = rec[..., :A] * b0 + rec[..., A:2 * A] * b1 + rec[..., 2 * A:] * b2
     return jnp.where((gb.tri_id >= 0)[..., None], out, 0.0)
 
 
