@@ -162,12 +162,19 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
 
     sf = None
     if shadow_moments is not None:
-        # shadow factor at half res: VSM is already a filtered estimator,
-        # so the factor field is smooth — quarter the projection +
-        # atlas-fetch cost, upsample with one bilinear-ish tap
-        sf_h = shade.vsm_shadow(shadow_moments, shadow_mvps, cascade_dists,
-                                wpos[::2, ::2], view_depth[::2, ::2])
-        sf = post.upsample2(sf_h[..., None], H, W)[..., 0]
+        if opts.shadow_vsm:
+            # shadow factor at half res: VSM is already a filtered
+            # estimator, so the factor field is smooth — quarter the
+            # projection + atlas-fetch cost, upsample with one tap
+            sf_h = shade.vsm_shadow(shadow_moments, shadow_mvps,
+                                    cascade_dists,
+                                    wpos[::2, ::2], view_depth[::2, ::2])
+            sf = post.upsample2(sf_h[..., None], H, W)[..., 0]
+        else:
+            # PCF 5×5 on the depth channel (shadow.glsl non-VSM path)
+            sf = shade.pcf_shadow(shadow_moments[..., 0], shadow_mvps,
+                                  cascade_dists, wpos, view_depth, nrm,
+                                  lights.direction[0])
         # grazing fade (shadow.glsl:202): mix(sf, 1, (1-NdotL)^1.3)
         l0 = -lights.direction[0]
         ndl = jnp.clip(jnp.sum(nrm * l0[None, None], -1), 0.0, 1.0)

@@ -297,6 +297,57 @@ def vsm_shadow(moments_maps, shadow_mvps, cascade_dists, world_pos,
     return jnp.where(inb, p_lit, 1.0)
 
 
+def pcf_shadow(depth_maps, shadow_mvps, cascade_dists, world_pos,
+               view_depth, normal, light_dir, kernel: int = 5):
+    """PCF shadow estimator (shadow.glsl:20-50, 167-168): k×k depth
+    compares with the slope-scaled bias
+    max(0.0005·(1-NdotL), 0.0008)·max(w·0.02, 1).
+
+    depth_maps: (CASCADES, S, S) stored depths in [0,1] (closer = smaller
+    — the non-reversed convention of our shadow pass). Returns (H, W)
+    shadow factor. The reference's reverse-z trick exists to fight fp
+    precision on GL depth buffers; our maps are f32 linear so the
+    straight compare is already well-conditioned.
+    """
+    n_casc = depth_maps.shape[0]
+    casc = select_cascade(view_depth, cascade_dists)
+    p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    sps = jnp.einsum("cij,hwj->chwi", shadow_mvps, p)
+    sp = jnp.zeros_like(sps[0])
+    for c in range(n_casc):
+        sp = sp + jnp.where((casc == c)[..., None], sps[c], 0.0)
+    w = sp[..., 3]
+    ok = w > 1e-3
+    ndc = sp[..., :3] / jnp.where(ok, w, 1.0)[..., None]
+    uv = ndc[..., :2] * 0.5 + 0.5
+    d = ndc[..., 2] * 0.5 + 0.5
+
+    ndl = jnp.clip(jnp.sum(normal * (-light_dir)[None, None], -1), 0.0, 1.0)
+    bias = jnp.maximum(0.0005 * (1.0 - ndl), 0.0008) \
+        * jnp.maximum(w * 0.02, 1.0)
+
+    s = depth_maps.shape[1]
+    atlas = depth_maps.reshape(n_casc * s, s)
+    u = jnp.clip(uv[..., 0] * (s - 1), 0.0, s - 1.0)
+    v = jnp.clip((1.0 - uv[..., 1]) * (s - 1), 0.0, s - 1.0) \
+        + casc.astype(jnp.float32) * s
+    ui = u.astype(jnp.int32)
+    vi = jnp.minimum(v.astype(jnp.int32), n_casc * s - 1)
+
+    r = kernel // 2
+    lit = jnp.zeros_like(d)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            su = jnp.clip(ui + dx, 0, s - 1)
+            sv = jnp.clip(vi + dy, casc * s, (casc + 1) * s - 1)
+            stored = atlas[sv, su]
+            lit = lit + jnp.where(d - bias <= stored, 1.0, 0.0)
+    sf = lit / float(kernel * kernel)
+    inb = ok & (uv[..., 0] >= 0) & (uv[..., 0] <= 1) \
+        & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)
+    return jnp.where(inb, sf, 1.0)
+
+
 # ---------------------------------------------------------------------------
 # tonemap + OETF (tonemap.glsl, oetf.glsl)
 # ---------------------------------------------------------------------------
