@@ -189,6 +189,57 @@ def bench_full_frame(width=1280, height=720):
             "fps": 1.0 / dt, "tris": int(faces.shape[0])}
 
 
+def bench_batched_render(n_envs: int = 32, res: int = 256):
+    """North-star rendering half: N envs × 256² frames (shared scene,
+    per-env cameras) — one vmapped frame program."""
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.lights import lights_empty
+    from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
+                                          render_frame)
+    from clap_tpu.scene.terrain import terrain_init_square_landscape
+
+    t = terrain_init_square_landscape(11, -16.0, 0.0, -16.0, 32.0, 48)
+    V = t.vx.shape[0]
+    geom = SceneGeometry(
+        verts=jnp.asarray(t.vx), normals=jnp.asarray(t.norm),
+        faces=jnp.asarray(t.idx.reshape(-1, 3)),
+        face_valid=jnp.ones((t.idx.size // 3,), bool),
+        base_color=jnp.full((V, 3), 0.45),
+        rough_metal=jnp.tile(jnp.array([[0.8, 0.0]]), (V, 1)),
+        emission=jnp.zeros((V, 3)),
+    )
+    opts = RenderOptions(width=res, height=res, shadow_size=256,
+                         film_grain=0.0, ssao=False)
+    lights = lights_empty(1)
+    d = jnp.array([-0.4, -0.8, -0.4])
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.ones(3)),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True))
+    ang = jnp.linspace(0, 2 * jnp.pi, n_envs, endpoint=False)
+    eyes = jnp.stack([12 * jnp.cos(ang), jnp.full((n_envs,), 9.0),
+                      12 * jnp.sin(ang)], -1)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+
+    frame = jax.jit(jax.vmap(
+        lambda vw, e: render_frame(opts, geom, vw, proj, lights, e,
+                                   far=100.0)))
+    _sync(frame(views, eyes))
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        img = frame(views, eyes)
+    _sync(img)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": f"batched_render_{n_envs}x{res}_ms", "value": dt * 1e3,
+            "frames_per_s": n_envs / dt}
+
+
 def main():
     backend = jax.default_backend()
     sub = {}
@@ -206,6 +257,11 @@ def main():
         sub["full_frame"] = bench_full_frame()
     except Exception as e:  # pragma: no cover
         sub["full_frame"] = {"error": str(e)[:200]}
+
+    try:
+        sub["batched_render"] = bench_batched_render()
+    except Exception as e:  # pragma: no cover
+        sub["batched_render"] = {"error": str(e)[:200]}
 
     try:
         dt1 = bench_headless(1)
