@@ -1,0 +1,88 @@
+"""Unified game step: simulation + gameplay rules + animation +
+particles in one jitted program.
+
+``engine_step`` covers the physics/character core (clap_frame's
+move/phys/update segments); this module composes the remaining
+per-frame systems the demos otherwise wire by hand — the full analogue
+of the reference's frame update (clap.c:551-628 before rendering):
+
+  engine_step → game rules (switch/platform/roster, gamelogic.py)
+  → animation (state → clips → skinning matrices, anim/system.py)
+  → particles (ops/particles.py)
+
+Everything stays pure and vmap-able over envs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..anim.system import AnimConfig, AnimInstance, anim_step
+from ..ops.particles import ParticleParams, ParticleState, particles_update
+from .gamelogic import GameConfig, GameState, game_update
+from .state import EngineState, SceneConfig
+from .step import Inputs, engine_step
+
+
+class GameWorld(NamedTuple):
+    """Static configuration of the full game (per scene)."""
+
+    scene: SceneConfig
+    game: GameConfig | None = None
+    anim: AnimConfig | None = None
+    anim_sk: object = None          # Skeleton
+    anim_lib: object = None         # AnimLibrary
+    particles: ParticleParams | None = None
+    particle_entity: jnp.ndarray | None = None   # (S,) entity each system tracks
+
+
+class GameSessionState(NamedTuple):
+    """Dynamic state of the full game."""
+
+    engine: EngineState
+    game: GameState | None = None
+    anim: AnimInstance | None = None             # controlled character's rig
+    particles: ParticleState | None = None
+    joint_mats: jnp.ndarray | None = None        # (J, 4, 4) current pose
+
+
+def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
+              dt=jnp.float32(1.0 / 60.0),
+              next_character=None) -> GameSessionState:
+    """One full frame of simulation + gameplay."""
+    st = engine_step(gw.scene, gs.engine, inputs, dt)
+
+    game = gs.game
+    if gw.game is not None and game is not None:
+        # controlled character's ground entity: slot 0's body standing →
+        # the entity its ground body maps to (terrain entity is 0 in the
+        # builders; richer mapping comes from the body→entity table)
+        grounded = ~st.chars.airborne[0]
+        ground_ent = jnp.where(grounded, 0, -1).astype(jnp.int32)
+        char_body = gw.scene.char_params.body
+        char_pos = st.phys.pos[char_body]
+        nxt = next_character if next_character is not None else jnp.array(False)
+        game, vis, pos = game_update(gw.game, game, ground_ent, char_pos,
+                                     st.phys.pos[char_body[game.control], 1],
+                                     nxt)
+        is_plat = gw.game.platform_group >= 0
+        st = st._replace(
+            visible=jnp.where(is_plat, vis, st.visible),
+            pos=jnp.where(is_plat[:, None], pos, st.pos),
+        )
+
+    anim = gs.anim
+    jt = gs.joint_mats
+    if gw.anim is not None and anim is not None:
+        anim, jt = anim_step(gw.anim, gw.anim_sk, gw.anim_lib, anim,
+                             st.chars.state[0], dt)
+
+    parts = gs.particles
+    if gw.particles is not None and parts is not None:
+        centers = st.pos[gw.particle_entity]
+        parts = particles_update(gw.particles, parts, centers)
+
+    return GameSessionState(engine=st, game=game, anim=anim,
+                            particles=parts, joint_mats=jt)

@@ -1,0 +1,103 @@
+"""Full game step: sim + rules + animation + particles in one jit, plus
+controller mask edge cases (SURVEY §7.3: the early-return paths the C
+handles must be mask-correct here)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clap_tpu.anim.system import anim_instance_init, default_state_map
+from clap_tpu.engine.game import GameSessionState, GameWorld, game_step
+from clap_tpu.engine.gamelogic import game_config_empty, game_state_init
+from clap_tpu.engine.step import inputs_zero
+from clap_tpu.ops.particles import (PARTICLES_MAX, ParticleParams,
+                                    particles_init)
+from clap_tpu.scene.testbed import build_testbed
+from test_anim_system import make_lib
+from test_anim import make_rig
+
+
+def build_gameworld():
+    tb = build_testbed(seed=7, side=32.0, nr_v=32, n_dynamic=2,
+                       max_entities=16)
+    E = 16
+    gcfg = game_config_empty(1, E)._replace(
+        switch_entity=jnp.array([0], jnp.int32),       # terrain is a switch
+        switch_valid=jnp.array([True]),
+        switch_group=jnp.array([0], jnp.int32),
+        switch_permanent=jnp.array([True]),
+        platform_group=game_config_empty(1, E).platform_group.at[5].set(0),
+        platform_on_pos=game_config_empty(1, E).platform_on_pos.at[5].set(
+            jnp.array([3.0, 1.0, 0.0])),
+    )
+    sk = make_rig()
+    lib, names = make_lib()
+    acfg = default_state_map(names)
+    pparams = ParticleParams(
+        active=jnp.array([True]), radius=jnp.array([1.5]),
+        min_radius=jnp.array([0.5]), velocity=jnp.array([0.02]),
+        dist=jnp.array([1], jnp.int32),
+        count=jnp.array([PARTICLES_MAX], jnp.int32))
+    gw = GameWorld(scene=tb.cfg, game=gcfg, anim=acfg, anim_sk=sk,
+                   anim_lib=lib, particles=pparams,
+                   particle_entity=jnp.array([1], jnp.int32))
+    parts = particles_init(pparams, tb.state0.pos[jnp.array([1])],
+                           jax.random.PRNGKey(1))
+    gs = GameSessionState(engine=tb.state0, game=game_state_init(1, 1),
+                          anim=anim_instance_init(), particles=parts,
+                          joint_mats=jnp.tile(jnp.eye(4), (3, 1, 1)))
+    return gw, gs
+
+
+def test_game_step_composes():
+    gw, gs = build_gameworld()
+    step = jax.jit(lambda s, i: game_step(gw, s, i))
+    ins = inputs_zero(1)._replace(motion=jnp.array([[1.0, 0.0]], jnp.float32))
+    for _ in range(30):
+        gs = step(gs, ins)
+    assert int(gs.engine.frame) == 30
+    # character grounded on terrain → permanent switch latched →
+    # platform entity 5 visible at its on-position
+    assert bool(gs.game.switch_on[0])
+    assert bool(gs.engine.visible[5])
+    np.testing.assert_allclose(np.asarray(gs.engine.pos[5]), [3, 1, 0],
+                               atol=1e-5)
+    # animation advanced into the MOVING clip
+    assert int(gs.anim.queue.clip[0]) >= 0
+    # particles moved but stayed near their system center
+    d = np.linalg.norm(np.asarray(gs.particles.pos[0]
+                                  - gs.engine.pos[1][None]), axis=-1)
+    assert d.max() < 2.5
+    assert np.isfinite(np.asarray(gs.joint_mats)).all()
+
+
+def test_controller_zero_dt_edge():
+    """dt=0: the C bails via `if (dt_sec < 1e-6) goto rotate` — masks must
+    keep the character frozen, not NaN."""
+    from clap_tpu.engine.step import engine_step
+
+    gw, gs = build_gameworld()
+    st = gs.engine
+    step = jax.jit(lambda s, i: engine_step(gw.scene, s, i,
+                                            dt=jnp.float32(0.0)))
+    out = step(st, inputs_zero(1))
+    assert np.isfinite(np.asarray(out.phys.pos)).all()
+    # ground_collide's epsilon snap (1e-3) still applies at dt=0, like
+    # the C (the dt guard is inside character_apply_velocity, not move)
+    np.testing.assert_allclose(np.asarray(out.phys.pos[0]),
+                               np.asarray(st.phys.pos[0]), atol=3e-3)
+
+
+def test_controller_huge_dt_clamped():
+    """Frame spikes clamp to 1/30 (character.c:252-254)."""
+    from clap_tpu.engine.step import engine_step
+
+    gw, gs = build_gameworld()
+    step = jax.jit(lambda s, i: engine_step(gw.scene, s, i,
+                                            dt=jnp.float32(0.5),
+                                            max_substeps=5))
+    ins = inputs_zero(1)._replace(motion=jnp.array([[1.0, 0.0]], jnp.float32))
+    out = step(gs.engine, ins)
+    # character moved at most lin_speed * (1/30), not * 0.5
+    moved = float(jnp.linalg.norm(out.phys.pos[0] - gs.engine.phys.pos[0]))
+    assert moved < 0.4
+    assert np.isfinite(np.asarray(out.phys.pos)).all()
