@@ -63,7 +63,10 @@ def bench_skinning(n_inst: int = 1024, n_joints: int = 64, n_verts: int = 4096):
     from clap_tpu.anim.skin import skin_verts
 
     rng = np.random.default_rng(0)
-    parent = [-1] + list(range(n_joints - 1))
+    # branching rig (depth ~log2 J) — real character skeletons are
+    # shallow trees, not J-deep chains; depth sets the sequential cost
+    # of the level-parallel hierarchy propagation
+    parent = [-1] + [(i - 1) // 2 for i in range(1, n_joints)]
     invbind = np.tile(np.eye(4, dtype=np.float32), (n_joints, 1, 1))
     base_t = rng.standard_normal((n_joints, 3)).astype(np.float32) * 0.1
     base_r = np.tile(np.array([0, 0, 0, 1], np.float32), (n_joints, 1))
