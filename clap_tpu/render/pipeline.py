@@ -66,6 +66,7 @@ class SceneGeometry(NamedTuple):
     base_color: jnp.ndarray  # (V, 3) per-vertex base color
     rough_metal: jnp.ndarray  # (V, 2)
     emission: jnp.ndarray   # (V, 3)
+    uv: jnp.ndarray = None  # (V, 2) texcoords (optional, for texturing)
 
 
 def clip_transform(verts, view, proj):
@@ -131,7 +132,7 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
 
 def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
                lights: Lights, eye, shadow_moments=None, shadow_mvps=None,
-               cascade_dists=None):
+               cascade_dists=None, base_texture=None):
     """MRT model pass (pipeline-builder.c:329-364) as raster + deferred
     shading. Returns (hdr lighting, emission, view normals, gbuffer,
     view_pos)."""
@@ -142,10 +143,12 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     binned = bin_triangles(rec, ok, W, H)
     gb = rasterize(rec, binned, W, H)
 
-    vattrs = jnp.concatenate([
-        geom.verts, geom.normals, geom.base_color, geom.rough_metal,
-        geom.emission,
-    ], axis=-1)                                  # (V, 14)
+    streams = [geom.verts, geom.normals, geom.base_color, geom.rough_metal,
+               geom.emission]
+    textured = base_texture is not None and geom.uv is not None
+    if textured:
+        streams.append(geom.uv)
+    vattrs = jnp.concatenate(streams, axis=-1)   # (V, 14[+2])
     attrs = shade.interpolate_attrs(gb, geom.faces, vattrs)
     wpos = attrs[..., 0:3]
     nrm = attrs[..., 3:6]
@@ -154,6 +157,11 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     rough = attrs[..., 9]
     metal = attrs[..., 10]
     emission = attrs[..., 11:14]
+    if textured:
+        from .texture import sample_bilinear
+
+        texel = sample_bilinear(base_texture, attrs[..., 14:16])
+        base = base * texel[..., :3]   # modulate (model.frag diffuse map)
 
     # view-space data
     vpos = mx.mat4_transform_point(cam_view, wpos)
@@ -194,7 +202,8 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
 
 def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                  cam_proj, lights: Lights, eye, far: float = 200.0,
-                 ssao_kernel_arr=None, grain_noise=None, lut_volume=None):
+                 ssao_kernel_arr=None, grain_noise=None, lut_volume=None,
+                 base_texture=None):
     """The full canonical frame (pipeline_build chain). Returns the
     final LDR (or PQ) image (H, W, 3)."""
     W, H = opts.width, opts.height
@@ -209,7 +218,7 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
 
     hdr, emit, vnrm, gb, vpos = model_pass(
         opts, geom, cam_view, cam_proj, lights, eye,
-        shadow_moments, shadow_mvps, cascade_dists,
+        shadow_moments, shadow_mvps, cascade_dists, base_texture,
     )
 
     if opts.bloom:

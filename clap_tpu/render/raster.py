@@ -77,8 +77,11 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     without doubling the triangle count)."""
     vrec = jnp.stack([sx, sy, z, iw], axis=-1)            # (V, 4)
     tri_f = jnp.arange(faces.shape[0], dtype=jnp.float32)[:, None]
+    # v1/v2 swap: the screen y-flip turns GL/world CCW into image-space
+    # CW; swapping restores positive kernel area for front faces (GL
+    # front-face = CCW parity)
     rec = jnp.concatenate(
-        [vrec[faces[:, 0]], vrec[faces[:, 1]], vrec[faces[:, 2]], tri_f],
+        [vrec[faces[:, 0]], vrec[faces[:, 2]], vrec[faces[:, 1]], tri_f],
         axis=-1,
     )                                                      # (T, 13): + tri id
     # (float tri ids are exact below 2^24 — they ride the kernel's
@@ -338,7 +341,11 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
     depth = depth[:height, :width]
     tri = tidf[:height, :width].astype(jnp.int32)   # float ids are exact
     b0 = b0[:height, :width]
-    b1 = b1[:height, :width]
+    b1r = b1[:height, :width]
+    # records are assembled v0,v2,v1 (winding fix) — convert the kernel's
+    # record-order weights back to FACE order: face-v1 weight = 1-b0-b1r
+    hit = tri >= 0
+    b1 = jnp.where(hit, 1.0 - b0 - b1r, 0.0)
     return GBuffer(depth=depth, tri_id=tri,
                    bary=jnp.stack([b0, b1], axis=-1))
 
@@ -386,6 +393,8 @@ def raster_brute(rec, ok, width: int, height: int) -> GBuffer:
     tid = jnp.where(hit, best, -1).astype(jnp.int32)
     b0s = jnp.take_along_axis(b0, best[None], axis=0)[0]
     b1s = jnp.take_along_axis(b1, best[None], axis=0)[0]
+    # record→face weight order (see rasterize)
     return GBuffer(depth=depth, tri_id=tid,
                    bary=jnp.stack([jnp.where(hit, b0s, 0.0),
-                                   jnp.where(hit, b1s, 0.0)], axis=-1))
+                                   jnp.where(hit, 1.0 - b0s - b1s, 0.0)],
+                                  axis=-1))

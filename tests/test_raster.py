@@ -23,7 +23,7 @@ def screen_tri(pts, width=128, height=32, z=0.0):
 
 def test_single_triangle_coverage():
     # CCW triangle in screen space covering a known block
-    clip = screen_tri([[10, 2], [50, 2], [10, 25]])
+    clip = screen_tri([[10, 2], [10, 25], [50, 2]])
     faces = jnp.array([[0, 1, 2]], jnp.int32)
     gb = raster_scene(clip, faces, 128, 32)
     img = np.asarray(gb.tri_id)
@@ -39,8 +39,8 @@ def test_single_triangle_coverage():
 
 
 def test_depth_ordering():
-    near = screen_tri([[0, 0], [128, 0], [0, 32]], z=-0.5)
-    far = screen_tri([[0, 0], [128, 0], [0, 32]], z=0.5)
+    near = screen_tri([[0, 0], [0, 32], [128, 0]], z=-0.5)
+    far = screen_tri([[0, 0], [0, 32], [128, 0]], z=0.5)
     clip = jnp.concatenate([far, near])
     faces = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
     gb = raster_scene(clip, faces, 128, 32)
@@ -51,7 +51,7 @@ def test_depth_ordering():
 
 
 def test_backface_culled():
-    clip = screen_tri([[10, 2], [10, 25], [50, 2]])  # CW winding
+    clip = screen_tri([[10, 2], [50, 2], [10, 25]])  # back-facing winding
     faces = jnp.array([[0, 1, 2]], jnp.int32)
     gb = raster_scene(clip, faces, 128, 32)
     assert (np.asarray(gb.tri_id) == -1).all()
@@ -104,7 +104,7 @@ def test_binned_matches_brute():
 def test_big_triangle_path():
     # one triangle covering the whole screen exceeds the span cap
     width, height = 1280, 128  # 10 x 16 tiles
-    clip = screen_tri([[0, 0], [1280, 0], [0, 128]], width, height, z=0.2)
+    clip = screen_tri([[0, 0], [0, 128], [1280, 0]], width, height, z=0.2)
     faces = jnp.array([[0, 1, 2]], jnp.int32)
     gb = raster_scene(clip, faces, width, height)
     img = np.asarray(gb.tri_id)
@@ -121,7 +121,7 @@ def test_perspective_correct_bary():
         [4.0 * 0.5, -4.0 * 0.5, 0.0, 4.0],
         [-0.5, 0.5, 0.0, 1.0],
     ], jnp.float32)
-    faces = jnp.array([[0, 2, 1]], jnp.int32)  # CCW in screen space
+    faces = jnp.array([[0, 1, 2]], jnp.int32)  # GL-CCW winding
     width = height = 64
     gb = raster_scene(clip, faces, width, height)
     img = np.asarray(gb.tri_id)
@@ -132,10 +132,10 @@ def test_perspective_correct_bary():
     cov = xs[ys == row]
     mid = cov[len(cov) // 2]
     b = np.asarray(gb.bary)[row, mid]
-    b2 = 1.0 - b[0] - b[1]  # far vertex (w=4) is face slot 2
-    # perspective-correct weight of the far vertex at the screen midpoint
-    # of the edge is 1/(1+4) = 0.2, not 0.5
-    assert b2 < 0.4
+    # far vertex (w=4) is FACE slot 1 → gb.bary[...,1]; its
+    # perspective-correct weight at the screen midpoint of the edge is
+    # 1/(1+4) = 0.2, not 0.5
+    assert b[1] < 0.4
 
 
 def test_frustum_cull():
