@@ -36,6 +36,10 @@ class GameWorld(NamedTuple):
     anim_lib: object = None         # AnimLibrary
     particles: ParticleParams | None = None
     particle_entity: jnp.ndarray | None = None   # (S,) entity each system tracks
+    # joint-space attachment (model.h:387-405, model.c:1594-1647: an
+    # entity rides a joint of its parent's animated skeleton)
+    attach_joint: jnp.ndarray | None = None      # (E,) int32 joint id, -1 none
+    attach_offset: jnp.ndarray | None = None     # (E, 3) local offset
 
 
 class GameSessionState(NamedTuple):
@@ -78,6 +82,26 @@ def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
     if gw.anim is not None and anim is not None:
         anim, jt = anim_step(gw.anim, gw.anim_sk, gw.anim_lib, anim,
                              st.chars.state[0], dt)
+        if gw.attach_joint is not None:
+            # joint riding (parent_transform_apply model.c:1594-1647):
+            # child world = parent_mx · joint_global · offset. joint
+            # globals recovered from the skinning matrices via the
+            # inverse bind: global = jt · bind.
+            bind = jnp.linalg.inv(gw.anim_sk.invbind)
+            glob = jnp.einsum("jik,jkl->jil", jt, bind)
+            has = gw.attach_joint >= 0
+            j = jnp.maximum(gw.attach_joint, 0)
+            parent = jnp.maximum(gw.scene.entities.parent, 0)
+            ride = jnp.einsum("eij,ejk->eik", st.mx[parent], glob[j])
+            new_pos = jnp.einsum(
+                "eij,ej->ei", ride[:, :3, :3], gw.attach_offset
+            ) + ride[:, :3, 3]
+            cond = has & (gw.scene.entities.parent >= 0)
+            st = st._replace(
+                pos=jnp.where(cond[:, None], new_pos, st.pos),
+                mx=jnp.where(cond[:, None, None],
+                             ride.at[:, :3, 3].set(new_pos), st.mx),
+            )
 
     parts = gs.particles
     if gw.particles is not None and parts is not None:

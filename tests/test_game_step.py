@@ -101,3 +101,33 @@ def test_controller_huge_dt_clamped():
     moved = float(jnp.linalg.norm(out.phys.pos[0] - gs.engine.phys.pos[0]))
     assert moved < 0.4
     assert np.isfinite(np.asarray(out.phys.pos)).all()
+
+
+def test_joint_riding_attachment():
+    """Entity attached to a joint of an animated parent follows the
+    joint's world transform (model.c:1594-1647)."""
+    import jax.numpy as jnp
+    from clap_tpu.engine.game import GameWorld, GameSessionState, game_step
+    from clap_tpu.engine.step import inputs_zero
+
+    gw, gs = build_gameworld()
+    E = 16
+    attach_joint = jnp.full((E,), -1, jnp.int32).at[6].set(1)
+    attach_offset = jnp.zeros((E, 3)).at[6].set(jnp.array([0.0, 0.1, 0.0]))
+    ent = gw.scene.entities._replace(
+        parent=gw.scene.entities.parent.at[6].set(1),  # ride the character
+        active=gw.scene.entities.active.at[6].set(True))
+    gw = gw._replace(scene=gw.scene._replace(entities=ent),
+                     attach_joint=attach_joint, attach_offset=attach_offset)
+    step = jax.jit(lambda s, i: game_step(gw, s, i))
+    ins = inputs_zero(1)._replace(motion=jnp.array([[1.0, 0.0]], jnp.float32))
+    for _ in range(20):
+        gs = step(gs, ins)
+    # rider sits near the character's joint-1 position (char origin + up
+    # 1 from the rig chain), and moved with the character
+    rider = np.asarray(gs.engine.pos[6])
+    char = np.asarray(gs.engine.pos[1])
+    assert np.isfinite(rider).all()
+    d = np.linalg.norm(rider - char)
+    assert d < 3.0
+    assert abs(rider[0] - char[0]) < 2.0 and rider[0] > 0.1  # followed +x walk
