@@ -109,8 +109,19 @@ def main():
         print("rendered frame:", img.shape,
               "mean", float(img.mean()).__round__(3))
         if args.dump:
-            np.save(args.dump, np.asarray(img))
+            _save_dump(args.dump, img)
             print("saved", args.dump)
+
+
+def _save_dump(path, img):
+    import numpy as np
+
+    if str(path).endswith(".png"):
+        from clap_tpu.utils.png import save_png
+
+        save_png(path, np.asarray(img))
+    else:
+        np.save(path, np.asarray(img))
 
 
 def _cube_model(w, h):
