@@ -34,10 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 32
 TILE_W = 256
-MAX_PER_TILE = 512
-MAX_SPAN_X = 4       # bbox span cap in tiles (beyond → big-tri list)
-MAX_SPAN_Y = 4
-MAX_BIG_TRIS = 128
+MAX_PER_TILE = 1024
+MAX_SPAN_X = 8       # bbox span cap in tiles (beyond → big-tri list)
+MAX_SPAN_Y = 8
+MAX_BIG_TRIS = 512
 
 # packed per-tri record column layout: 3 × [x, y, z, 1/w]
 _XC = (0, 4, 8)
@@ -161,14 +161,19 @@ def bin_triangles(rec, ok, width: int, height: int,
     tri_id = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None, None],
                               tile_id.shape)
 
-    # single-key sort: key = tile * 2^K + tri is unique, so a plain
-    # (unstable) sort both groups by tile and keeps tris in draw order —
-    # much cheaper than argsort + permutation gather on TPU
-    kbits = max(int(np.ceil(np.log2(max(T, 2)))), 1)
-    key = (tile_id.astype(jnp.uint32) << kbits) | tri_id.astype(jnp.uint32)
-    skey = jnp.sort(key.reshape(-1))
-    st = (skey >> kbits).astype(jnp.int32)
-    stri = (skey & ((1 << kbits) - 1)).astype(jnp.int32)
+    # depth-ordered keys: tile in the high bits, quantized near-z next,
+    # triangle id as a carried payload (lax.sort two-operand). Front-to-
+    # back order makes the per-tile capacity cap drop the FARTHEST
+    # (likely occluded) triangles — graceful degradation on dense views.
+    zbits = 12
+    zmin = jnp.min(rec[:, _ZC, ], axis=1)
+    zq = jnp.clip((zmin * 0.5 + 0.5) * ((1 << zbits) - 1), 0,
+                  (1 << zbits) - 1).astype(jnp.uint32)
+    key = (tile_id.astype(jnp.uint32) << zbits) \
+        | jnp.broadcast_to(zq[:, None, None], tile_id.shape)
+    skey, stri = jax.lax.sort(
+        (key.reshape(-1), tri_id.reshape(-1)), is_stable=True, num_keys=1)
+    st = (skey >> zbits).astype(jnp.int32)
 
     starts = jnp.searchsorted(st, jnp.arange(n_tiles))
     ends = jnp.searchsorted(st, jnp.arange(n_tiles) + 1)
