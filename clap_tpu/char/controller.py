@@ -49,6 +49,9 @@ GROUND_SAFETY = 0.05       # physics.c:706-712
 GROUND_EPSILON = 1e-3
 DT_CLAMP_MAX = 1.0 / 30.0  # character.c:252-254
 JUMP_START_FRAMES = 6      # stand-in for the idle_to_jump clip length
+DASH_MULT = 1.5            # character_dash (character.c:12-23)
+DASH_DURATION = 1.0        # dashing ends after 1 s (character.c:43-49)
+DASH_COOLDOWN = 2.0        # fully resets after 2 s (character.c:51-53)
 
 
 class CharParams(NamedTuple):
@@ -149,7 +152,8 @@ def ground_collide(world: StaticWorld, params: BodyParams, pos, idx, grounded):
 
 def character_move(world: StaticWorld, params: BodyParams,
                    cp: CharParams, cs: CharState,
-                   body_pos, motion_dx, motion_dz, jump_input, dt):
+                   body_pos, motion_dx, motion_dz, jump_input, dt,
+                   dash_input=None):
     """character_move (character.c:450-537) for one character.
 
     body_pos: (N, 3) geom centers (this character's slot will be updated).
@@ -207,7 +211,20 @@ def character_move(world: StaticWorld, params: BodyParams,
     newx = newx / jnp.maximum(jnp.linalg.norm(newx), 1e-9)
     newz = newz / jnp.maximum(jnp.linalg.norm(newz), 1e-9)
     mc = jnp.where(state == CS_MOVING, MOTION_COEFF_MOVING, MOTION_COEFF_OTHER)
-    v_move = (newx * (motion[0] * mc) + newz * (motion[2] * mc)) * cp.lin_speed
+    # dash (character_dash + character_motion_reset, character.c:12-67):
+    # ×1.5 speed for DASH_DURATION, then cooldown until DASH_COOLDOWN;
+    # idle clears the timer
+    dash_in = jnp.array(False) if dash_input is None else dash_input
+    dashing = cs.dash_time >= 0.0
+    start = dash_in & cp.can_dash & ~dashing & grounded
+    dash_t = jnp.where(start, 0.0,
+                       jnp.where(dashing, cs.dash_time + dt, -1.0))
+    dash_t = jnp.where(dash_t >= DASH_COOLDOWN, -1.0, dash_t)
+    dash_t = jnp.where((state == CS_IDLE) & ~start, -1.0, dash_t)
+    speed_mult = jnp.where((dash_t >= 0.0) & (dash_t < DASH_DURATION),
+                           DASH_MULT, 1.0)
+    v_move = (newx * (motion[0] * mc) + newz * (motion[2] * mc)) \
+        * cp.lin_speed * speed_mult
 
     # velocity: jump sets it, motion overwrites it, otherwise it persists
     # (C only writes ch->velocity in character_jump and the motion branch)
@@ -283,7 +300,7 @@ def character_move(world: StaticWorld, params: BodyParams,
         history=hist,
         hist_head=head.astype(jnp.int32),
         hist_wrapped=wrapped,
-        dash_time=cs.dash_time,
+        dash_time=dash_t.astype(jnp.float32),
     )
     return new_pos, new_cs
 

@@ -30,6 +30,7 @@ class Inputs(NamedTuple):
     motion: jnp.ndarray   # (C, 2) dx, dz per character (camera-relative)
     jump: jnp.ndarray     # (C,) bool
     cam_delta: jnp.ndarray  # (3,) pitch, yaw, dist deltas
+    dash: jnp.ndarray = None  # (C,) bool (optional; ×1.5 speed burst)
 
 
 def inputs_zero(n_chars: int) -> Inputs:
@@ -51,9 +52,11 @@ def _characters_move(cfg: SceneConfig, st: EngineState, inputs: Inputs, dt):
     for ci in range(n_chars):
         cp = jax.tree.map(lambda x: x[ci], cfg.char_params)
         cs = jax.tree.map(lambda x: x[ci], st.chars)
+        dash = None if inputs.dash is None else inputs.dash[ci]
         p_new, cs2 = C.character_move(
             cfg.world, cfg.bodies, cp, cs, body_pos,
             inputs.motion[ci, 0], inputs.motion[ci, 1], inputs.jump[ci], dt,
+            dash_input=dash,
         )
         body_pos = body_pos.at[cp.body].set(p_new)
         new_chars.append(cs2)

@@ -129,3 +129,40 @@ def test_game_over():
     gs, _, _ = game_update(gcfg, gs, jnp.int32(-1), jnp.zeros((1, 3)),
                            jnp.float32(-200.0), jnp.array(False))
     assert bool(gs.game_over)
+
+
+def test_dash_speed_burst():
+    """Dash ×1.5 for 1 s, then cooldown (character.c:12-67)."""
+    from clap_tpu.char import controller as C
+    from test_physics import flat_world, make_char
+
+    world = flat_world()
+    params, st, cp, cs = make_char(world, pos=(0.0, 0.0, 0.0))
+    move = jax.jit(lambda pos, cs, dash: C.character_move(
+        world, params, cp, cs, pos, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.array(False), jnp.float32(1 / 60), dash_input=dash))
+    pos = st.pos
+    # warm up to MOVING
+    for _ in range(10):
+        p, cs = move(pos, cs, jnp.array(False))
+        pos = pos.at[0].set(p)
+    x0 = float(pos[0, 0])
+    # 30 frames plain
+    for _ in range(30):
+        p, cs = move(pos, cs, jnp.array(False))
+        pos = pos.at[0].set(p)
+    plain = float(pos[0, 0]) - x0
+    # dash: one press then hold motion 30 frames
+    x1 = float(pos[0, 0])
+    p, cs = move(pos, cs, jnp.array(True))
+    pos = pos.at[0].set(p)
+    for _ in range(29):
+        p, cs = move(pos, cs, jnp.array(False))
+        pos = pos.at[0].set(p)
+    dashed = float(pos[0, 0]) - x1
+    assert dashed > plain * 1.3
+    # after cooldown the timer resets
+    for _ in range(150):
+        p, cs = move(pos, cs, jnp.array(False))
+        pos = pos.at[0].set(p)
+    assert float(cs.dash_time) < 0
