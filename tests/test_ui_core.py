@@ -89,3 +89,20 @@ def test_engine_timers_and_commands():
     eng.bus.send(Message(MT.COMMAND, data={"cmd": "exit"}))
     eng.run(max_frames=100)
     assert eng.frame_no <= 2  # stopped immediately
+
+
+def test_ui_animations():
+    from clap_tpu.render.ui_anim import UiAnimator, UiAnimation, EASINGS
+
+    el = UiElement(w=100, h=40, y=-50.0, color=(1, 1, 1, 0.0))
+    an = UiAnimator()
+    an.slide_in(el, -50.0, 20.0, duration=0.5)
+    an.fade(el, 0.0, 0.8, duration=0.25)
+    for _ in range(30):
+        an.step(1 / 60)
+    assert abs(el.y - 20.0) < 1e-6
+    assert abs(el.color[3] - 0.8) < 1e-6
+    assert not an.anims  # all finished and removed
+    # easings hit endpoints
+    for name, fn in EASINGS.items():
+        assert abs(fn(0.0)) < 1e-9 and abs(fn(1.0) - 1.0) < 1e-6
