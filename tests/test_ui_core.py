@@ -98,7 +98,7 @@ def test_ui_animations():
     an = UiAnimator()
     an.slide_in(el, -50.0, 20.0, duration=0.5)
     an.fade(el, 0.0, 0.8, duration=0.25)
-    for _ in range(30):
+    for _ in range(35):   # a little past the longest duration
         an.step(1 / 60)
     assert abs(el.y - 20.0) < 1e-6
     assert abs(el.color[3] - 0.8) < 1e-6
