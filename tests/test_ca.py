@@ -127,3 +127,13 @@ def test_ca3d_make_walls_and_cave():
     arr2 = ca3d.ca3d_make_np(8, 8, 8, Rand48(7))
     np.testing.assert_array_equal(arr, arr2)
     assert int((arr != 0).sum()) > 0
+
+
+def test_ca2d_pallas_bench_shape():
+    """Parity at the benchmark shape (256², CA_TEST) for a few steps."""
+    rule = ca2d.CA_TEST
+    g = np.asarray(jax.device_get(
+        ca2d.ca2d_seed(rule, jax.random.PRNGKey(3), (256, 256))))
+    ref = np.asarray(ca2d.ca2d_run(rule, jnp.asarray(g), 3))
+    got = np.asarray(ca2d.ca2d_run_pallas(rule, jnp.asarray(g), 3))
+    np.testing.assert_array_equal(got, ref)

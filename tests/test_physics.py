@@ -244,3 +244,44 @@ def test_limbo_rescue():
     new_pos, cs2, fell = C.limbo_rescue(cs, pos, jnp.float32(30.0))
     assert bool(fell)
     np.testing.assert_allclose(np.asarray(new_pos), [1, 2, 3], atol=1e-6)
+
+
+def test_character_on_slope_walks_uphill():
+    """Slope-aligned ground basis (character.c:500-527): walking +x on an
+    x-slope gains height along the surface."""
+    world = slope_world(slope=0.3)
+    params, st, cp, cs = make_char(world, pos=(0.0, 0.0, 0.0))
+    # place on the slope surface at x=0 (h=0)
+    move = jax.jit(lambda pos, cs: C.character_move(
+        world, params, cp, cs, pos, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.array(False), jnp.float32(1 / 60)))
+    pos = st.pos
+    for _ in range(90):
+        p, cs = move(pos, cs)
+        pos = pos.at[0].set(p)
+    p = np.asarray(pos[0])
+    assert p[0] > 1.0                       # moved along +x
+    # stayed glued to the slope: geom height ≈ surface + yoffset
+    expect_y = 0.3 * p[0] + float(params.yoffset[0])
+    assert abs(p[1] - expect_y) < 0.15
+    assert not bool(cs.airborne)
+
+
+def test_character_blocked_by_wall():
+    """Grounded sweep blocks on a wall (stop_on_block, character.c:193+)."""
+    wall = np.array([
+        [[2, -5, -5], [2, 5, 5], [2, 5, -5]],
+        [[2, -5, -5], [2, -5, 5], [2, 5, 5]],
+    ], np.float32)  # normal -x, facing the character
+    world = make_world(flat_world().hf, jnp.asarray(wall))
+    params, st, cp, cs = make_char(world, pos=(0.0, 0.0, 0.0))
+    move = jax.jit(lambda pos, cs: C.character_move(
+        world, params, cp, cs, pos, jnp.float32(1.0), jnp.float32(0.0),
+        jnp.array(False), jnp.float32(1 / 60)))
+    pos = st.pos
+    for _ in range(120):
+        p, cs = move(pos, cs)
+        pos = pos.at[0].set(p)
+    # stopped at the wall minus capsule radius, didn't tunnel
+    assert float(pos[0, 0]) < 2.0 - float(params.radius[0]) + 0.1
+    assert float(pos[0, 0]) > 1.0
