@@ -118,13 +118,15 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     valid = jnp.concatenate([geom.face_valid] * n_casc)
     rec, ok = assemble_tri_records(sx, sy, z, iw, faces, valid,
                                    two_sided=True)
-    from .raster import TILE_H
+    from .raster import tile_dims
 
+    th, tw = tile_dims(s, n_casc * s)
     T = geom.faces.shape[0]
     band = jnp.repeat(jnp.arange(n_casc, dtype=jnp.int32), T)
     binned = bin_triangles(rec, ok, s, n_casc * s,
-                           band_id=band, band_tiles=s // TILE_H)
-    gb = rasterize(rec, binned, s, n_casc * s)
+                           band_id=band, band_tiles=s // th,
+                           tile_h=th, tile_w=tw)
+    gb = rasterize(rec, binned, s, n_casc * s, th, tw)
     d = jnp.where(jnp.isfinite(gb.depth), gb.depth * 0.5 + 0.5, 1.0)
     m = jnp.stack([d, d * d], axis=-1)
     return m.reshape(n_casc, s, s, 2)

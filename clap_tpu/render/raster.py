@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 32
+TILE_H = 32           # default tile (large targets)
 TILE_W = 256
 MAX_PER_TILE = 1024
 MAX_SPAN_X = 8       # bbox span cap in tiles (beyond → big-tri list)
@@ -44,6 +44,16 @@ _XC = (0, 4, 8)
 _YC = (1, 5, 9)
 _ZC = (2, 6, 10)
 _WC = (3, 7, 11)
+
+
+def tile_dims(width: int, height: int) -> tuple:
+    """Pick tile dims for the target size: large 32×256 tiles amortize
+    the ~50µs/grid-step cost on big frames; small targets need more,
+    smaller tiles so the per-tile triangle capacity isn't the limit."""
+    for th, tw in ((32, 256), (16, 128), (8, 128)):
+        if pl.cdiv(width, tw) * pl.cdiv(height, th) >= 24:
+            return th, tw
+    return 8, 128
 
 
 class GBuffer(NamedTuple):
@@ -108,7 +118,8 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
 
 
 def bin_triangles(rec, ok, width: int, height: int,
-                  band_id=None, band_tiles: int = 0):
+                  band_id=None, band_tiles: int = 0,
+                  tile_h: int = None, tile_w: int = None):
     """Sort-based binning → (tile_list (n_tiles, MAX_PER_TILE) i32,
     tile_count (n_tiles,) i32, big_list (MAX_BIG_TRIS,) i32, big_count).
 
@@ -116,8 +127,9 @@ def bin_triangles(rec, ok, width: int, height: int,
     by the cascade-atlas shadow pass so each cascade's triangles only
     bin into its own rows (the viewport-clip analogue; pixels of other
     bands are never touched)."""
-    ntx = pl.cdiv(width, TILE_W)
-    nty = pl.cdiv(height, TILE_H)
+    th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
+    ntx = pl.cdiv(width, tw)
+    nty = pl.cdiv(height, th)
     n_tiles = ntx * nty
     T = rec.shape[0]
 
@@ -127,10 +139,10 @@ def bin_triangles(rec, ok, width: int, height: int,
     if band_id is not None:
         ylo = band_id * band_tiles
         yhi = ylo + band_tiles - 1
-    x0 = jnp.clip(jnp.floor(xs.min(1) / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    x1 = jnp.clip(jnp.floor(xs.max(1) / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    y0 = jnp.clip(jnp.floor(ys.min(1) / TILE_H).astype(jnp.int32), ylo, yhi)
-    y1 = jnp.clip(jnp.floor(ys.max(1) / TILE_H).astype(jnp.int32), ylo, yhi)
+    x0 = jnp.clip(jnp.floor(xs.min(1) / tw).astype(jnp.int32), 0, ntx - 1)
+    x1 = jnp.clip(jnp.floor(xs.max(1) / tw).astype(jnp.int32), 0, ntx - 1)
+    y0 = jnp.clip(jnp.floor(ys.min(1) / th).astype(jnp.int32), ylo, yhi)
+    y1 = jnp.clip(jnp.floor(ys.max(1) / th).astype(jnp.int32), ylo, yhi)
     # offscreen?
     off = (xs.max(1) < 0) | (xs.min(1) >= width) | (ys.max(1) < 0) | (ys.min(1) >= height)
     ok = ok & ~off
@@ -194,7 +206,7 @@ def bin_triangles(rec, ok, width: int, height: int,
 TRI_CHUNK = 8  # triangles processed per vectorized kernel step
 
 
-def _raster_tile_kernel(width: int, height: int,
+def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
                         count_ref, trec_ref, brec_ref,
                         depth_ref, slot_ref, b0_ref, b1_ref):
     """One 8×128 pixel tile. Triangle data arrives PRE-GATHERED per tile
@@ -206,13 +218,13 @@ def _raster_tile_kernel(width: int, height: int,
     select chain as the barycentrics (exact below 2^24), so no
     per-pixel id resolution gather is needed afterwards."""
     ti = pl.program_id(0)
-    ntx = pl.cdiv(width, TILE_W)
-    tx0 = (ti % ntx) * TILE_W
-    ty0 = (ti // ntx) * TILE_H
+    ntx = pl.cdiv(width, tile_w)
+    tx0 = (ti % ntx) * tile_w
+    ty0 = (ti // ntx) * tile_h
 
-    px = (tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 2)
+    px = (tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
           ).astype(jnp.float32) + 0.5
-    py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H, TILE_W), 1)
+    py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
           ).astype(jnp.float32) + 0.5
 
     def shade_chunk(slab, n_valid, carry):
@@ -277,10 +289,10 @@ def _raster_tile_kernel(width: int, height: int,
         return shade_chunk(slab, big_count - k * TRI_CHUNK, carry)
 
     init = (
-        jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32),
-        jnp.full((TILE_H, TILE_W), -1.0, jnp.float32),
-        jnp.zeros((TILE_H, TILE_W), jnp.float32),
-        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+        jnp.full((tile_h, tile_w), jnp.inf, jnp.float32),
+        jnp.full((tile_h, tile_w), -1.0, jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.float32),
+        jnp.zeros((tile_h, tile_w), jnp.float32),
     )
     # dynamic trip counts: tiles only walk their real triangle lists.
     # (Static-bound variants measured SLOWER — the ~50µs/tile cost is
@@ -294,15 +306,19 @@ def _raster_tile_kernel(width: int, height: int,
     b1_ref[:] = b1o
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def rasterize(rec, binned, width: int, height: int) -> GBuffer:
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def rasterize(rec, binned, width: int, height: int,
+              tile_h: int = None, tile_w: int = None) -> GBuffer:
     """Raster the binned triangles into a (H, W) G-buffer. H/W are
-    padded up to tile multiples internally and cropped on return."""
+    padded up to tile multiples internally and cropped on return.
+    tile_h/tile_w must match the bin_triangles call (default: derived
+    from the target size by tile_dims)."""
+    th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
     tile_list, counts, big_idx, big_count = binned
-    ntx = pl.cdiv(width, TILE_W)
-    nty = pl.cdiv(height, TILE_H)
+    ntx = pl.cdiv(width, tw)
+    nty = pl.cdiv(height, th)
     n_tiles = ntx * nty
-    Hp, Wp = nty * TILE_H, ntx * TILE_W
+    Hp, Wp = nty * th, ntx * tw
 
     # pre-gather triangle records per tile (XLA gather — keeps the kernel
     # free of dynamic indexing)
@@ -312,7 +328,7 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
         [counts, jnp.broadcast_to(big_count, counts.shape)], axis=-1
     ).astype(jnp.int32)                         # (n_tiles, 2)
 
-    kern = partial(_raster_tile_kernel, width, height)
+    kern = partial(_raster_tile_kernel, width, height, th, tw)
     out_shape = [
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
         jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),  # float tri id
@@ -334,10 +350,10 @@ def rasterize(rec, binned, width: int, height: int) -> GBuffer:
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
