@@ -47,13 +47,22 @@ _WC = (3, 7, 11)
 
 
 def tile_dims(width: int, height: int) -> tuple:
-    """Pick tile dims for the target size: large 32×256 tiles amortize
-    the ~50µs/grid-step cost on big frames; small targets need more,
-    smaller tiles so the per-tile triangle capacity isn't the limit."""
-    for th, tw in ((32, 256), (16, 128), (8, 128)):
-        if pl.cdiv(width, tw) * pl.cdiv(height, th) >= 24:
-            return th, tw
+    """Tile dims: large 32×256 tiles amortize the ~50µs/grid-step cost;
+    tiny targets (test images) drop to 8×128. Small frame budgets are
+    handled by a DEEPER per-tile list (tile_capacity), not smaller tiles
+    — more grid steps cost more than longer masked lists."""
+    if width >= 256 and height >= 128:
+        return 32, 256
     return 8, 128
+
+
+def tile_capacity(width: int, height: int) -> int:
+    """Per-tile triangle capacity: scaled up when the target has few
+    tiles so dense scenes don't hit the cap (depth-ordered binning makes
+    overflow graceful, but deeper lists avoid it entirely)."""
+    th, tw = tile_dims(width, height)
+    n_tiles = pl.cdiv(width, tw) * pl.cdiv(height, th)
+    return MAX_PER_TILE * 4 if n_tiles < 24 else MAX_PER_TILE
 
 
 class GBuffer(NamedTuple):
@@ -187,13 +196,14 @@ def bin_triangles(rec, ok, width: int, height: int,
         (key.reshape(-1), tri_id.reshape(-1)), is_stable=True, num_keys=1)
     st = (skey >> zbits).astype(jnp.int32)
 
+    cap = tile_capacity(width, height)
     starts = jnp.searchsorted(st, jnp.arange(n_tiles))
     ends = jnp.searchsorted(st, jnp.arange(n_tiles) + 1)
-    counts = jnp.minimum(ends - starts, MAX_PER_TILE).astype(jnp.int32)
-    gather_idx = starts[:, None] + jnp.arange(MAX_PER_TILE)[None, :]
+    counts = jnp.minimum(ends - starts, cap).astype(jnp.int32)
+    gather_idx = starts[:, None] + jnp.arange(cap)[None, :]
     gather_idx = jnp.minimum(gather_idx, st.shape[0] - 1)
     tile_list = jnp.where(
-        jnp.arange(MAX_PER_TILE)[None, :] < counts[:, None],
+        jnp.arange(cap)[None, :] < counts[:, None],
         stri[gather_idx], 0,
     ).astype(jnp.int32)
 
@@ -320,9 +330,10 @@ def rasterize(rec, binned, width: int, height: int,
     n_tiles = ntx * nty
     Hp, Wp = nty * th, ntx * tw
 
+    cap = tile_list.shape[1]
     # pre-gather triangle records per tile (XLA gather — keeps the kernel
     # free of dynamic indexing)
-    trec = rec[tile_list]                       # (n_tiles, MAX_PER_TILE, 13)
+    trec = rec[tile_list]                       # (n_tiles, cap, 13)
     brec = rec[big_idx][None]                   # (1, MAX_BIG_TRIS, 13)
     counts2 = jnp.stack(
         [counts, jnp.broadcast_to(big_count, counts.shape)], axis=-1
@@ -344,7 +355,7 @@ def rasterize(rec, binned, width: int, height: int,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (n_tiles, 2)
-            pl.BlockSpec((1, MAX_PER_TILE, 13), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, cap, 13), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, MAX_BIG_TRIS, 13), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
