@@ -430,3 +430,23 @@ def raster_brute(rec, ok, width: int, height: int) -> GBuffer:
                    bary=jnp.stack([jnp.where(hit, b0s, 0.0),
                                    jnp.where(hit, 1.0 - b0s - b1s, 0.0)],
                                   axis=-1))
+
+def bin_stats(binned, width: int, height: int) -> dict:
+    """Overflow diagnostics (host): how close a frame is to the binning
+    capacity caps. Dropped geometry shows up as at_cap tiles or a
+    saturated big list — check this before trusting a sparse image."""
+    import numpy as np
+
+    tile_list, counts, big_idx, big_count = binned
+    c = np.asarray(counts)
+    cap = tile_list.shape[1]
+    return {
+        "n_tiles": int(c.size),
+        "cap": int(cap),
+        "mean_per_tile": float(c.mean()),
+        "max_per_tile": int(c.max()) if c.size else 0,
+        "tiles_at_cap": int((c >= cap).sum()),
+        "big_count": int(big_count),
+        "big_cap": MAX_BIG_TRIS,
+        "big_saturated": bool(int(big_count) >= MAX_BIG_TRIS),
+    }

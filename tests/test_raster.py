@@ -152,3 +152,16 @@ def test_frustum_cull():
     far_left = aabb_in_frustum(sv.planes, jnp.array([-500.0, -1, -1]),
                                jnp.array([-400.0, 1, 1]))
     assert not bool(far_left)
+
+
+def test_bin_stats():
+    from clap_tpu.render.raster import bin_stats
+
+    rng = np.random.default_rng(5)
+    rec, ok = _random_scene(rng, T=40)
+    binned = bin_triangles(rec, ok, 256, 64)
+    st = bin_stats(binned, 256, 64)
+    assert st["n_tiles"] >= 1
+    assert st["tiles_at_cap"] == 0
+    assert not st["big_saturated"]
+    assert 0 < st["mean_per_tile"] <= st["max_per_tile"]
