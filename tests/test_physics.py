@@ -285,3 +285,77 @@ def test_character_blocked_by_wall():
     # stopped at the wall minus capsule radius, didn't tunnel
     assert float(pos[0, 0]) < 2.0 - float(params.radius[0]) + 0.1
     assert float(pos[0, 0]) > 1.0
+
+
+def test_integrator_matches_symplectic_euler_exactly():
+    """The substep is symplectic Euler with ODE's damping: v' = (v+g·h)
+    ·(1-d), x' = x + v'·h. Free fall must match the closed form to float
+    precision (the trajectory-parity bar from BASELINE)."""
+    world = flat_world()
+    params, st = one_sphere(r=0.5, pos=(0, 500, 0))  # far above ground
+    sub = jax.jit(lambda s: W._substep(world, params, s, W.FIXED_DT))
+    # closed-form recurrence in float32
+    v = np.float32(0.0)
+    y = np.float32(500.0)
+    h = np.float32(W.FIXED_DT)
+    d = np.float32(1.0 - W.LINEAR_DAMPING)
+    g = np.float32(-9.8)
+    for i in range(120):
+        st = sub(st)
+        v = (v + g * h) * d
+        y = y + v * h
+    assert abs(float(st.pos[0, 1]) - float(y)) < 1e-3
+    assert abs(float(st.vel[0, 1]) - float(v)) < 1e-4
+
+
+def test_two_characters_sequential():
+    """Multiple characters per scene update sequentially (scene.c walk):
+    both walk, they collide with each other via the sweep body contacts."""
+    world = flat_world()
+    n = 4
+    params = W.body_params_empty(n)
+    r, hl, yoff, ray_off = W.capsule_auto_size(0.6, 2.0, 0.6)
+    for i in (0, 1):
+        params = params._replace(
+            active=params.active.at[i].set(True),
+            kinematic=params.kinematic.at[i].set(True),
+            radius=params.radius.at[i].set(r),
+            half_len=params.half_len.at[i].set(hl),
+            yoffset=params.yoffset.at[i].set(yoff),
+            ray_off=params.ray_off.at[i].set(ray_off),
+        )
+    st = W.phys_state_init(n)
+    st = st._replace(pos=st.pos.at[0].set(jnp.array([0.0, yoff, 0.0]))
+                     .at[1].set(jnp.array([4.0, yoff, 0.0])))
+    cp = C.CharParams(body=jnp.array([0, 1], jnp.int32),
+                      lin_speed=jnp.full((2,), 2.0, jnp.float32),
+                      jump_forward=jnp.full((2,), 1.0, jnp.float32),
+                      jump_upward=jnp.full((2,), 4.0, jnp.float32),
+                      can_dash=jnp.ones((2,), bool))
+    css = [C.char_state_init(), C.char_state_init()]
+
+    @jax.jit
+    def move_both(pos, cs0, cs1):
+        # char 0 walks +x, char 1 walks -x (head-on)
+        c0 = jax.tree.map(lambda x: x[0], cp)
+        c1 = jax.tree.map(lambda x: x[1], cp)
+        p0, cs0 = C.character_move(world, params, c0, cs0, pos,
+                                   jnp.float32(1.0), jnp.float32(0.0),
+                                   jnp.array(False), jnp.float32(1 / 60))
+        pos = pos.at[0].set(p0)
+        p1, cs1 = C.character_move(world, params, c1, cs1, pos,
+                                   jnp.float32(-1.0), jnp.float32(0.0),
+                                   jnp.array(False), jnp.float32(1 / 60))
+        pos = pos.at[1].set(p1)
+        return pos, cs0, cs1
+
+    pos = st.pos
+    for _ in range(180):
+        pos, css[0], css[1] = move_both(pos, css[0], css[1])
+    p = np.asarray(pos)
+    # they approached but the sweep body-contacts keep them separated by
+    # at least ~2r (they can slide around each other, so check distance)
+    gap = np.linalg.norm(p[0] - p[1])
+    assert gap > 2 * float(params.radius[0]) * 0.8
+    # both actually moved from their spawns
+    assert p[0, 0] > 0.3 and p[1, 0] < 3.7
