@@ -274,3 +274,21 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     if opts.hdr:
         return shade.oetf_pq(color)
     return shade.oetf_srgb(color)
+
+
+def menu_blur(frame, opts: RenderOptions):
+    """Pause-menu blur checkpoint (reference pipeline-builder.c:570-610,
+    checkpoint mechanism pipeline.c:530-567): when the game pauses, the
+    frame graph stops at a ¼-res downsample → gaussian blur → contrast
+    pass and presents THAT instead of the combine output, giving a
+    blurred backdrop for the menu UI.
+
+    Takes the finished LDR frame (H, W, 3) and returns the blurred
+    backdrop at the same size.
+    """
+    h, w = frame.shape[0], frame.shape[1]
+    q = post.downsample2(post.downsample2(frame))
+    q = post.gauss_blur_v(post.gauss_blur_h(q))
+    q = post.contrast(q, opts.contrast + 0.1)
+    return post.upsample2(post.upsample2(q, q.shape[0] * 2, q.shape[1] * 2),
+                          h, w)

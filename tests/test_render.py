@@ -160,3 +160,18 @@ def test_full_frame_smoke():
     assert arr.min() >= 0 and arr.max() <= 1.0
     # the cube is visible: center pixels differ from the background corner
     assert abs(arr[48, 64] - arr[2, 2]).sum() > 0.05
+
+
+def test_menu_blur_checkpoint():
+    """Pause-menu checkpoint: blurred backdrop keeps size/range, kills
+    high-frequency detail (reference pipeline-builder.c:570-610,
+    checkpoint mechanism pipeline.c:530-567)."""
+    from clap_tpu.render.pipeline import menu_blur
+
+    frame = jax.random.uniform(jax.random.PRNGKey(0), (64, 96, 3))
+    out = np.asarray(menu_blur(frame, RenderOptions(width=96, height=64)))
+    assert out.shape == (64, 96, 3)
+    assert np.isfinite(out).all() and out.min() >= 0.0
+    hf_in = np.abs(np.diff(np.asarray(frame), axis=1)).mean()
+    hf_out = np.abs(np.diff(out, axis=1)).mean()
+    assert hf_out < hf_in * 0.35
