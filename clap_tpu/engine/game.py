@@ -56,14 +56,18 @@ def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
               dt=jnp.float32(1.0 / 60.0),
               next_character=None) -> GameSessionState:
     """One full frame of simulation + gameplay."""
-    st = engine_step(gw.scene, gs.engine, inputs, dt)
+    # camera + rules follow the roster-controlled slot (scene->control,
+    # scene_control_next scene.c:23-55); previous frame's control is
+    # correct — the switch lands during input handling, before move.
+    ctrl = gs.game.control if gs.game is not None else None
+    st = engine_step(gw.scene, gs.engine, inputs, dt, control=ctrl)
 
     game = gs.game
     if gw.game is not None and game is not None:
-        # controlled character's ground entity: slot 0's body standing →
-        # the entity its ground body maps to (terrain entity is 0 in the
+        # controlled character's ground entity: its body standing → the
+        # entity its ground body maps to (terrain entity is 0 in the
         # builders; richer mapping comes from the body→entity table)
-        grounded = ~st.chars.airborne[0]
+        grounded = ~st.chars.airborne[game.control]
         ground_ent = jnp.where(grounded, 0, -1).astype(jnp.int32)
         char_body = gw.scene.char_params.body
         char_pos = st.phys.pos[char_body]
@@ -80,8 +84,9 @@ def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
     anim = gs.anim
     jt = gs.joint_mats
     if gw.anim is not None and anim is not None:
+        aslot = game.control if game is not None else 0
         anim, jt = anim_step(gw.anim, gw.anim_sk, gw.anim_lib, anim,
-                             st.chars.state[0], dt)
+                             st.chars.state[aslot], dt)
         if gw.attach_joint is not None:
             # joint riding (parent_transform_apply model.c:1594-1647):
             # child world = parent_mx · joint_global · offset. joint

@@ -112,17 +112,27 @@ def _scene_update(cfg: SceneConfig, st: EngineState):
     return st._replace(pos=pos, mx=mxs)
 
 
-def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs):
+def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs,
+                   control=None):
     """Orbit camera (camera.c:208-246): pitch-clamped quat orbit around
     the controlled character's target point. Occlusion shrink uses the
-    physics raycast (camera.c:93-117) — wired in the render layer."""
+    physics raycast (camera.c:93-117) — wired in the render layer.
+
+    ``control`` (int32 scalar, optional) retargets the orbit onto the
+    roster-controlled character slot when the player switches characters
+    (scene_control_next scene.c:23-55 re-points scene->control and the
+    camera follows); None keeps the static slot-0 target."""
     cam = st.camera
     pitch = jnp.clip(cam.pitch + inputs.cam_delta[0], -1.45, 1.45)
     yaw = jnp.mod(cam.yaw + inputs.cam_delta[1] + jnp.pi, 2 * jnp.pi) - jnp.pi
     dist = jnp.clip(cam.dist + inputs.cam_delta[2], 1.0, 50.0)
 
-    # target: controlled character (slot 0) at ~3/4 height (camera.c:174-206)
-    b0 = cfg.char_params.body[0] if cfg.char_params.body.shape[0] else 0
+    # target: controlled character at ~3/4 height (camera.c:174-206)
+    if control is None:
+        b0 = cfg.char_params.body[0] if cfg.char_params.body.shape[0] else 0
+    else:
+        b0 = cfg.char_params.body[control] \
+            if cfg.char_params.body.shape[0] else 0
     target = st.phys.pos[b0]
 
     q = mx.qmul(
@@ -134,16 +144,18 @@ def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs):
 
 
 def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
-                dt=jnp.float32(1.0 / 60.0), max_substeps: int = 2) -> EngineState:
+                dt=jnp.float32(1.0 / 60.0), max_substeps: int = 2,
+                control=None) -> EngineState:
     """One headless frame. Pure; jit/vmap over envs.
 
     max_substeps=2 is exact for 60 Hz frames (dt/FIXED_DT = 2); pass up
     to world.MAX_SUBSTEPS (5, the reference cap) for variable frame
-    rates."""
+    rates. ``control`` optionally retargets the camera onto the
+    roster-controlled character (see _camera_update)."""
     st = _characters_move(cfg, st, inputs, dt)
     st = st._replace(phys=W.phys_step(cfg.world, cfg.bodies, st.phys, dt,
                                       max_substeps))
     st = _limbo(cfg, st)
     st = _scene_update(cfg, st)
-    st = _camera_update(cfg, st, inputs)
+    st = _camera_update(cfg, st, inputs, control)
     return st._replace(time=st.time + dt, frame=st.frame + 1)

@@ -33,31 +33,35 @@ class Testbed(NamedTuple):
 
 def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
                   n_dynamic: int = 8, max_entities: int = 64,
-                  char_aabb=(0.6, 2.0, 0.6)) -> Testbed:
-    """Build the scene on host, upload as device constants + initial state."""
+                  char_aabb=(0.6, 2.0, 0.6), n_chars: int = 1) -> Testbed:
+    """Build the scene on host, upload as device constants + initial state.
+
+    ``n_chars > 1`` builds a roster of characters (ldjam57-style: the
+    player switches between them, main.c:140-245); they spawn in a line
+    along +x, 3 units apart, each with its own kinematic capsule."""
     t = terrain_init_square_landscape(seed, -side / 2, 0.0, -side / 2,
                                       side, nr_v)
     hf = heightfield_from_terrain(t)
     world = make_world(hf)
 
-    n_chars = 1
     n_bodies = n_chars + n_dynamic
     bodies = body_params_empty(n_bodies)
 
-    # character capsule (slot 0)
+    # character capsules (slots [0, n_chars))
     r, hl, yoff, ray_off = capsule_auto_size(*char_aabb)
     def setb(arr, i, v):
         return arr.at[i].set(v)
 
-    bodies = bodies._replace(
-        active=setb(bodies.active, 0, True),
-        kinematic=setb(bodies.kinematic, 0, True),
-        radius=setb(bodies.radius, 0, r),
-        half_len=setb(bodies.half_len, 0, hl),
-        yoffset=setb(bodies.yoffset, 0, yoff),
-        ray_off=setb(bodies.ray_off, 0, ray_off),
-        mass=setb(bodies.mass, 0, 70.0),
-    )
+    for ci in range(n_chars):
+        bodies = bodies._replace(
+            active=setb(bodies.active, ci, True),
+            kinematic=setb(bodies.kinematic, ci, True),
+            radius=setb(bodies.radius, ci, r),
+            half_len=setb(bodies.half_len, ci, hl),
+            yoffset=setb(bodies.yoffset, ci, yoff),
+            ray_off=setb(bodies.ray_off, ci, ray_off),
+            mass=setb(bodies.mass, ci, 70.0),
+        )
 
     # dynamic spheres scattered above the terrain
     rng = Rand48(seed ^ 0x5EED)
@@ -79,15 +83,15 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
         dyn_pos.append((bx, 4.0 + 3.0 * rng.drand48(), bz))
 
     char_params = CharParams(
-        body=jnp.array([0], jnp.int32),
-        lin_speed=jnp.array([char_aabb[1] * 1.2], jnp.float32),
-        jump_forward=jnp.array([1.2], jnp.float32),
-        jump_upward=jnp.array([5.0], jnp.float32),
-        can_dash=jnp.array([True]),
+        body=jnp.arange(n_chars, dtype=jnp.int32),
+        lin_speed=jnp.full((n_chars,), char_aabb[1] * 1.2, jnp.float32),
+        jump_forward=jnp.full((n_chars,), 1.2, jnp.float32),
+        jump_upward=jnp.full((n_chars,), 5.0, jnp.float32),
+        can_dash=jnp.ones((n_chars,), bool),
     )
 
-    # entities: 0 = terrain, 1 = character, [2, 2+n_dynamic) = spheres,
-    # then instantiator trees
+    # entities: 0 = terrain, [1, 1+n_chars) = characters,
+    # then n_dynamic spheres, then instantiator trees
     E = max_entities
     ent = EntityParams(
         active=jnp.zeros((E,), bool),
@@ -102,14 +106,15 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
         active=ent.active.at[0].set(True),
         skip_culling=ent.skip_culling.at[0].set(True),  # terrain
     )
-    ent = ent._replace(
-        active=ent.active.at[1].set(True),
-        model_id=ent.model_id.at[1].set(1),
-        body=ent.body.at[1].set(0),
-        body_is_char=ent.body_is_char.at[1].set(True),
-    )
+    for ci in range(n_chars):
+        ent = ent._replace(
+            active=ent.active.at[1 + ci].set(True),
+            model_id=ent.model_id.at[1 + ci].set(1),
+            body=ent.body.at[1 + ci].set(ci),
+            body_is_char=ent.body_is_char.at[1 + ci].set(True),
+        )
     for i in range(n_dynamic):
-        ei = 2 + i
+        ei = 1 + n_chars + i
         ent = ent._replace(
             active=ent.active.at[ei].set(True),
             model_id=ent.model_id.at[ei].set(2),
@@ -117,7 +122,7 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
         )
     tree_pos = []
     for k, (name, dx, dy, dz) in enumerate(t.instantiators):
-        ei = 2 + n_dynamic + k
+        ei = 1 + n_chars + n_dynamic + k
         if ei >= E:
             break
         ent = ent._replace(
@@ -144,12 +149,14 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
     # character spawns at terrain center, on the ground
     from .terrain import terrain_height_np
 
-    cy = float(terrain_height_np(t, 0.0, 0.0))
-    st = st._replace(
-        phys=st.phys._replace(
-            pos=st.phys.pos.at[0].set(jnp.array([0.0, cy + yoff, 0.0]))
+    for ci in range(n_chars):
+        cx = 3.0 * ci
+        cy = float(terrain_height_np(t, cx, 0.0))
+        st = st._replace(
+            phys=st.phys._replace(
+                pos=st.phys.pos.at[ci].set(jnp.array([cx, cy + yoff, 0.0]))
+            )
         )
-    )
     for i, p in enumerate(dyn_pos):
         st = st._replace(
             phys=st.phys._replace(

@@ -131,3 +131,38 @@ def test_joint_riding_attachment():
     d = np.linalg.norm(rider - char)
     assert d < 3.0
     assert abs(rider[0] - char[0]) < 2.0 and rider[0] > 0.1  # followed +x walk
+
+
+def test_roster_switch_retargets_camera():
+    """Two-character testbed: cycling control (scene_control_next
+    scene.c:23-55) moves the camera orbit target onto the newly
+    controlled character on the following frame."""
+    from clap_tpu.engine.game import GameWorld, GameSessionState, game_step
+    from clap_tpu.engine.gamelogic import game_config_empty, game_state_init
+    from clap_tpu.scene.testbed import build_testbed
+
+    tb = build_testbed(seed=7, side=32.0, nr_v=32, n_dynamic=2,
+                       max_entities=16, n_chars=2)
+    gw = GameWorld(scene=tb.cfg, game=game_config_empty(1, 16)._replace(
+        connect_radius=jnp.float32(5.0)))
+    gs = GameSessionState(engine=tb.state0, game=game_state_init(1, 2))
+    step = jax.jit(lambda s, i, nxt: game_step(gw, s, i, next_character=nxt))
+    ins = inputs_zero(2)
+
+    for _ in range(5):   # settle; chars 3 units apart → char 1 connected
+        gs = step(gs, ins, jnp.array(False))
+    assert bool(gs.game.connected[1])
+    cam0 = np.asarray(gs.engine.camera.pos)
+    c0 = np.asarray(gs.engine.phys.pos[0])
+    c1 = np.asarray(gs.engine.phys.pos[1])
+    # camera currently orbits char 0
+    assert np.linalg.norm(cam0 - c0) < np.linalg.norm(cam0 - c1) + 3.0
+
+    gs = step(gs, ins, jnp.array(True))   # Tab: control → char 1
+    assert int(gs.game.control) == 1
+    gs = step(gs, ins, jnp.array(False))  # next frame: camera follows
+    cam1 = np.asarray(gs.engine.camera.pos)
+    # orbit target switched: same dist/pitch/yaw → eye shifted by the
+    # character separation along x
+    shift = cam1 - cam0
+    assert abs(shift[0] - (c1[0] - c0[0])) < 0.5
