@@ -11,14 +11,16 @@ from __future__ import annotations
 
 import numpy as np
 
-# face direction table: (axis offset, normal, quad corner order)
+# face direction table: (grid offset (dz, dy, dx), world normal (nx, ny, nz)).
+# The grid is [z, y, x], so a +x transition (dx=+1) emits a world +x-normal
+# face — the offset is in grid index order, the normal in world xyz order.
 _FACES = (
-    ((0, 0, 1), (0, 0, 1)),     # +x  (grid is [z, y, x])
-    ((0, 0, -1), (0, 0, -1)),   # -x
+    ((0, 0, 1), (1, 0, 0)),     # +x
+    ((0, 0, -1), (-1, 0, 0)),   # -x
     ((0, 1, 0), (0, 1, 0)),     # +y
     ((0, -1, 0), (0, -1, 0)),   # -y
-    ((1, 0, 0), (1, 0, 0)),     # +z
-    ((-1, 0, 0), (-1, 0, 0)),   # -z
+    ((1, 0, 0), (0, 0, 1)),     # +z
+    ((-1, 0, 0), (0, 0, -1)),   # -z
 )
 
 
@@ -55,7 +57,6 @@ def voxel_mesh(grid: np.ndarray, cell: float = 1.0, origin=(0.0, 0.0, 0.0)):
         t1 = np.cross(t2, n_vec)
         c = np.stack([cx, cy, cz], -1)
         h = cell * 0.5
-        base = len(verts) * 1
         v0 = c - t1 * h - t2 * h
         v1 = c + t1 * h - t2 * h
         v2 = c + t1 * h + t2 * h
