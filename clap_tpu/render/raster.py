@@ -76,7 +76,12 @@ def project_to_screen(clip: jnp.ndarray, width: int, height: int):
 
     y is flipped so pixel (0,0) is top-left (image convention)."""
     w = clip[..., 3]
-    iw = 1.0 / jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    # sign-preserving clamp: a vertex ON the camera plane (w = ±0) must
+    # stay on its side, or behind-camera vertices sneak past the
+    # iw > 0 validity test with ~1e9-scale garbage screen coordinates
+    w_safe = jnp.where(jnp.abs(w) < 1e-9,
+                       jnp.where(w < 0, -1e-9, 1e-9), w)
+    iw = 1.0 / w_safe
     ndc = clip[..., :3] * iw[..., None]
     sx = (ndc[..., 0] * 0.5 + 0.5) * width
     sy = (0.5 - ndc[..., 1] * 0.5) * height
@@ -116,9 +121,11 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
         ok = jnp.abs(area) > 1e-8
     else:
         ok = area > 1e-8
-    # w>0 for all corners (no near-plane clipping in v1: crossing tris drop)
+    # w>0 for all corners (no near-plane clipping in v1: crossing tris
+    # drop). The upper bound rejects the sign-preserving w≈0 clamp from
+    # project_to_screen (iw ≈ ±1e9); a real vertex has iw ≤ 1/znear.
     ok = ok & (rec[:, _WC[0]] > 0) & (rec[:, _WC[1]] > 0) \
-        & (rec[:, _WC[2]] > 0)
+        & (rec[:, _WC[2]] > 0) & (rec[:, _WC].max(-1) < 1e8)
     zs = rec[:, _ZC, ]
     ok = ok & (zs.min(-1) <= 1.0) & (zs.max(-1) >= -1.0)
     if valid_mask is not None:

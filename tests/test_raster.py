@@ -165,3 +165,25 @@ def test_bin_stats():
     assert st["tiles_at_cap"] == 0
     assert not st["big_saturated"]
     assert 0 < st["mean_per_tile"] <= st["max_per_tile"]
+
+
+def test_camera_plane_vertex_culled():
+    """A triangle with a vertex exactly ON the camera plane (clip w = 0)
+    must be culled, not drawn with clamp-garbage ~1e9 screen coords."""
+    from clap_tpu.render import raster as R
+
+    clip = jnp.array([
+        [0.0, 0.0, 0.0, 0.0],      # on the camera plane
+        [1.0, 0.0, 0.5, 2.0],
+        [0.0, 1.0, 0.5, 2.0],
+    ], jnp.float32)
+    sx, sy, z, iw = R.project_to_screen(clip, 64, 64)
+    rec, ok = R.assemble_tri_records(sx, sy, z, iw,
+                                     jnp.array([[0, 1, 2]], jnp.int32))
+    assert not bool(ok[0])
+    # and one just behind: w < 0 stays culled (sign-preserving clamp)
+    clip2 = clip.at[0, 3].set(-1e-12)
+    sx, sy, z, iw = R.project_to_screen(clip2, 64, 64)
+    _, ok2 = R.assemble_tri_records(sx, sy, z, iw,
+                                    jnp.array([[0, 1, 2]], jnp.int32))
+    assert not bool(ok2[0])
