@@ -2,7 +2,13 @@
 """Platformer demo — the ldjam57 "Towards the Light" analogue
 (demo/ldjam57/main.c): switches toggle platform groups, character roster
 switching, game-over heights — driven by the data-table game rules
-(clap_tpu.engine.gamelogic) instead of C callbacks.
+(clap_tpu.engine.gamelogic) and the composed ``game_step`` instead of C
+callbacks (switch_connect/disconnect main.c:96-138, character_obj_next
+main.c:140-151).
+
+The scripted run walks character 0 onto the terrain switch (revealing
+platform group 0), cycles control to character 1 mid-run (the camera
+retargets, scene_control_next scene.c:23-55) and keeps walking.
 
 Usage: python demo/platformer.py [--frames N]
 """
@@ -22,55 +28,55 @@ def main():
     ap.add_argument("--frames", type=int, default=240)
     args = ap.parse_args()
 
-    from clap_tpu.engine.gamelogic import (game_config_empty, game_state_init,
-                                           game_update)
-    from clap_tpu.engine.step import engine_step, inputs_zero
+    from clap_tpu.engine.game import GameSessionState, GameWorld, game_step
+    from clap_tpu.engine.gamelogic import game_config_empty, game_state_init
+    from clap_tpu.engine.step import inputs_zero
     from clap_tpu.scene.testbed import build_testbed
 
-    tb = build_testbed(seed=9, side=48.0, nr_v=64, n_dynamic=4,
-                       max_entities=32)
     E = 32
+    tb = build_testbed(seed=9, side=48.0, nr_v=64, n_dynamic=4,
+                       max_entities=E, n_chars=2)
 
-    # wire gameplay: entity 2 (first dynamic crate) acts as a switch that
-    # reveals platform group 0 (entities 10, 11)
+    # gameplay tables: standing on the terrain (entity 0) latches a
+    # permanent switch revealing platform group 0 (entities 10, 11)
     gcfg = game_config_empty(2, E)
     gcfg = gcfg._replace(
-        switch_entity=jnp.array([2, -1], jnp.int32),
+        switch_entity=jnp.array([0, -1], jnp.int32),
         switch_valid=jnp.array([True, False]),
         switch_group=jnp.array([0, 0], jnp.int32),
-        switch_permanent=jnp.array([False, False]),
+        switch_permanent=jnp.array([True, False]),
         platform_group=gcfg.platform_group.at[10].set(0).at[11].set(0),
         platform_on_pos=gcfg.platform_on_pos.at[10].set(
             jnp.array([4.0, 2.0, 0.0])).at[11].set(jnp.array([8.0, 4.0, 0.0])),
+        connect_radius=jnp.float32(5.0),
     )
-    gs = game_state_init(2, 1)
+    gw = GameWorld(scene=tb.cfg, game=gcfg)
+    gs = GameSessionState(engine=tb.state0, game=game_state_init(2, 2))
 
-    step = jax.jit(lambda s, i: engine_step(tb.cfg, s, i))
-    gstep = jax.jit(game_update)
-    st = tb.state0
-    ins = inputs_zero(1)._replace(motion=jnp.array([[1.0, 0.0]], jnp.float32))
+    step = jax.jit(lambda s, i, nxt: game_step(gw, s, i, next_character=nxt))
+    walk = inputs_zero(2)._replace(
+        motion=jnp.zeros((2, 2), jnp.float32).at[0, 0].set(1.0))
+    walk2 = inputs_zero(2)._replace(
+        motion=jnp.zeros((2, 2), jnp.float32).at[1, 0].set(1.0))
 
+    switch_frame = args.frames // 2
     for f in range(args.frames):
-        st = step(st, ins)
-        # ground entity: resolve the character's standing body → entity
-        grounded = ~st.chars.airborne[0]
-        ground_ent = jnp.where(grounded, 0, -1)  # terrain entity is slot 0
-        char_pos = st.pos[1][None]  # character entity slot 1
-        gs, vis_override, pos_override = gstep(
-            gcfg, gs, ground_ent.astype(jnp.int32), char_pos,
-            st.pos[1, 1], jnp.array(False))
-        # apply platform overrides to engine state
-        is_plat = np.asarray(gcfg.platform_group >= 0)
-        st = st._replace(
-            visible=jnp.where(jnp.asarray(is_plat), vis_override, st.visible),
-            pos=jnp.where(jnp.asarray(is_plat)[:, None], pos_override, st.pos),
-        )
+        nxt = jnp.array(f == switch_frame)           # Tab at mid-run
+        ins = walk if f <= switch_frame else walk2   # drive controlled char
+        gs = step(gs, ins, nxt)
+        if f == switch_frame:
+            print(f"frame {f}: control -> char", int(gs.game.control),
+                  "| connected:", np.asarray(gs.game.connected).tolist())
 
+    st = gs.engine
     print("frames:", args.frames)
-    print("character:", np.asarray(st.phys.pos[0]).round(2))
-    print("switch on:", bool(gs.switch_on[0]),
+    print("char 0:", np.asarray(st.phys.pos[0]).round(2),
+          "| char 1:", np.asarray(st.phys.pos[1]).round(2))
+    print("camera eye:", np.asarray(st.camera.pos).round(2),
+          "(orbits char", int(gs.game.control), ")")
+    print("switch on:", bool(gs.game.switch_on[0]),
           "| platform 10 visible:", bool(st.visible[10]),
-          "| game over:", bool(gs.game_over))
+          "| game over:", bool(gs.game.game_over))
 
 
 if __name__ == "__main__":
