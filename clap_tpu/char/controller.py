@@ -103,8 +103,8 @@ def _sweep_delta(world, params: BodyParams, body_pos, self_idx, delta,
                  min_normal_y, stop_on_block):
     """character_sweep_delta (character.c:193-243): ≤3 sweep-and-slide
     iterations. Returns (new_pos_self, first_frac)."""
-    def it(carry, _):
-        pos, delta, first_frac, it_idx, done = carry
+    def it(carry, it_idx):
+        pos, delta, first_frac, done = carry
         live = ~done & (jnp.linalg.norm(delta) >= 1e-6)
 
         bp = body_pos.at[self_idx].set(pos)
@@ -122,11 +122,15 @@ def _sweep_delta(world, params: BodyParams, body_pos, self_idx, delta,
         new_delta = remaining - d * res.normal
         delta = jnp.where(live & ~stop, new_delta, delta)
         done = done | (live & stop)
-        return (pos, delta, first_frac, it_idx + 1, done), None
+        return pos, delta, first_frac, done
 
-    init = (body_pos[self_idx], delta, jnp.float32(1.0), jnp.int32(0),
-            jnp.array(False))
-    (pos, _, first_frac, _, _), _ = jax.lax.scan(it, init, None, length=SLIDE_ITERS)
+    # unrolled (3 fixed iterations): a lax.scan here becomes an XLA while
+    # loop whose carry tuple is re-materialized through HBM every
+    # iteration — straight-line code fuses into the surrounding step
+    carry = (body_pos[self_idx], delta, jnp.float32(1.0), jnp.array(False))
+    for i in range(SLIDE_ITERS):
+        carry = it(carry, i)
+    pos, _, first_frac, _ = carry
     return pos, first_frac
 
 

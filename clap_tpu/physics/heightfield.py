@@ -55,8 +55,41 @@ def heightfield_from_terrain(t) -> Heightfield:
                             jnp.array([t.x, t.z]), t.side)
 
 
+def mxu_rows_2(table, i0, batch_shape):
+    """Select rows i0 and i0+1 of ``table`` (n, m) for a batch of indices
+    via ONE one-hot matmul on the MXU.
+
+    TPU gathers of tiny rows cost ~0.5 ms per 184k rows inside a jit;
+    the equivalent one-hot f32 matmul runs ~4× faster AND is exact
+    (each output element is a sum with exactly one nonzero product, so
+    HIGHEST-precision f32 matmul reproduces the table bits). Returns
+    (rows_i0, rows_i0p1) of shape batch_shape + (m,)."""
+    n = table.shape[0]
+    flat = i0.reshape(-1)                                  # (B,)
+    ar = jnp.arange(n, dtype=jnp.int32)[None, :]
+    oh0 = (flat[:, None] == ar).astype(table.dtype)        # (B, n)
+    oh1 = (flat[:, None] + 1 == ar).astype(table.dtype)
+    oh = jnp.concatenate([oh0, oh1], axis=0)               # (2B, n)
+    rows = jax.lax.dot(oh, table, precision=jax.lax.Precision.HIGHEST)
+    B = flat.shape[0]
+    m = table.shape[1]
+    return (rows[:B].reshape(*batch_shape, m),
+            rows[B:].reshape(*batch_shape, m))
+
+
+def _col_pick_2(rows, j0, n):
+    """Elementwise one-hot pick of columns j0 and j0+1 from (..., n)."""
+    ar = jnp.arange(n, dtype=jnp.int32)
+    shape = (1,) * (rows.ndim - 1) + (n,)
+    ar = ar.reshape(shape)
+    j = j0[..., None]
+    c0 = jnp.sum(jnp.where(j == ar, rows, 0.0), axis=-1)
+    c1 = jnp.sum(jnp.where(j + 1 == ar, rows, 0.0), axis=-1)
+    return c0, c1
+
+
 def _cell_query(hf: Heightfield, x, z):
-    """Shared cell lookup: ONE gather of the packed corner record.
+    """Shared cell lookup via one-hot MXU selection (no gathers).
 
     Returns (h00, h10, h01, h11, xoff, zoff, inside, square)."""
     n = hf.heights.shape[0]
@@ -70,9 +103,10 @@ def _cell_query(hf: Heightfield, x, z):
     zoff = (tz - square * gz) / square
     gx = jnp.clip(gx, 0, n - 2)
     gz = jnp.clip(gz, 0, n - 2)
-    rec = jnp.take(hf.cells, gx * (n - 1) + gz, axis=0)
-    return (rec[..., 0], rec[..., 1], rec[..., 2], rec[..., 3],
-            xoff, zoff, inside, square)
+    rows0, rows1 = mxu_rows_2(hf.heights, gx, gx.shape)    # H[gx], H[gx+1]
+    h00, h01 = _col_pick_2(rows0, gz, n)
+    h10, h11 = _col_pick_2(rows1, gz, n)
+    return h00, h10, h01, h11, xoff, zoff, inside, square
 
 
 def hf_height(hf: Heightfield, x, z):

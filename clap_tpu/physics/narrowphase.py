@@ -231,14 +231,17 @@ def raycast(world: StaticWorld, origin, direction, max_dist, n_march: int = 16):
     lo = s[jnp.maximum(first - 1, 0)]
     hi = s[first]
 
-    def bisect(_, lh):
+    def bisect(lh):
         lo, hi = lh
         mid = 0.5 * (lo + hi)
         p = origin + mid * direc
         under = p[1] - _hf_heights_batch(world.hf, p[0], p[2]) < 0
         return jnp.where(under, lo, mid), jnp.where(under, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, 8, bisect, (lo, hi))
+    # unrolled (8 fixed halvings): fuses instead of while-looping
+    lo, hi = lo, hi
+    for _ in range(8):
+        lo, hi = bisect((lo, hi))
     hf_dist = jnp.where(any_below, hi, jnp.inf)
 
     dist = jnp.minimum(tri_dist, hf_dist)

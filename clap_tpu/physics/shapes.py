@@ -130,14 +130,18 @@ def segment_triangle_closest(p0, p1, a, b, c):
         cands_seg.append(cs)
         cands_tri.append(ce)
 
+    # branchless min-select chain over the 5 candidates (first minimum
+    # wins, matching argmin semantics) — an argmin + take_along_axis here
+    # lowers to TPU gathers at ~10 ns/row, which dominated the batched
+    # narrowphase; the where-chain is pure fused vector math
     ds = [ _dot(s - t, s - t) for s, t in zip(cands_seg, cands_tri) ]
-    d_stack = jnp.stack(ds, axis=-1)
-    best = jnp.argmin(d_stack, axis=-1)
-    seg_stack = jnp.stack(cands_seg, axis=-2)
-    tri_stack = jnp.stack(cands_tri, axis=-2)
-    pt_seg = jnp.take_along_axis(seg_stack, best[..., None, None], axis=-2)[..., 0, :]
-    pt_tri = jnp.take_along_axis(tri_stack, best[..., None, None], axis=-2)[..., 0, :]
-    dist = jnp.sqrt(jnp.take_along_axis(d_stack, best[..., None], axis=-1))[..., 0]
+    best_d, pt_seg, pt_tri = ds[0], cands_seg[0], cands_tri[0]
+    for d, s, t in zip(ds[1:], cands_seg[1:], cands_tri[1:]):
+        w = d < best_d
+        best_d = jnp.where(w, d, best_d)
+        pt_seg = jnp.where(w[..., None], s, pt_seg)
+        pt_tri = jnp.where(w[..., None], t, pt_tri)
+    dist = jnp.sqrt(best_d)
 
     pt_seg = jnp.where(pierce[..., None], hit, pt_seg)
     pt_tri = jnp.where(pierce[..., None], hit, pt_tri)
