@@ -192,7 +192,7 @@ def bench_full_frame(width=1280, height=720):
             "fps": 1.0 / dt, "tris": int(faces.shape[0])}
 
 
-def bench_batched_render(n_envs: int = 32, res: int = 256):
+def bench_batched_render(n_envs: int = 64, res: int = 256):
     """North-star rendering half: N envs × 256² frames (shared scene,
     per-env cameras) — one vmapped frame program."""
     import numpy as np
@@ -229,9 +229,13 @@ def bench_batched_render(n_envs: int = 32, res: int = 256):
         e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
     proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
 
-    frame = jax.jit(jax.vmap(
-        lambda vw, e: render_frame(opts, geom, vw, proj, lights, e,
-                                   far=100.0)))
+    from clap_tpu.render.pipeline import render_frame_batch
+
+    # shared-scene multi-view batch: one stable light atlas for all envs
+    # (geometry and light are shared here; per-env dynamic scenes use
+    # shared_shadow=False)
+    frame = jax.jit(lambda vw, e: render_frame_batch(
+        opts, geom, vw, proj, lights, e, far=100.0))
     _sync(frame(views, eyes))
     t0 = time.perf_counter()
     reps = 5

@@ -136,6 +136,80 @@ def hf_face_plane(hf: Heightfield, x, z):
     return normal, h, inside
 
 
+SWEEP_PATCH = 8    # corner patch for swept queries (covers ±3 cells of
+                   # travel: per-frame deltas up to ~3·cell − r)
+CONTACT_PATCH = 4  # per-body patch (samples within ±radius < ±1.5 cells)
+
+
+def hf_patch(hf: Heightfield, x, z, p: int):
+    """Extract the p×p corner-height patch around the cell of scalar
+    (x, z): heights[gx0:gx0+p, gz0:gz0+p] as ONE dynamic_slice (one
+    gather row per query under vmap, vs one per sample).
+
+    Returns (patch (p, p), gx0, gz0). Sample cells outside the patch are
+    clamped to its edge by the evaluators — the same degradation as
+    querying beyond the terrain bounds."""
+    n = hf.heights.shape[0]
+    square = hf.side / (n - 1)
+    gx = jnp.floor((x - hf.origin[0]) / square).astype(jnp.int32)
+    gz = jnp.floor((z - hf.origin[1]) / square).astype(jnp.int32)
+    gx0 = jnp.clip(gx - (p // 2 - 1), 0, n - p)
+    gz0 = jnp.clip(gz - (p // 2 - 1), 0, n - p)
+    # double one-hot MXU extraction (exact f32 selection). A vmapped
+    # dynamic_slice here lowers to a windowed gather that measured ~50 ms
+    # at 4096 envs × 9 bodies; two matmuls run in ~0.2 ms.
+    ar = jnp.arange(n, dtype=jnp.int32)[None, :]
+    kk = jnp.arange(p, dtype=jnp.int32)[:, None]
+    ox = (gx0 + kk == ar).astype(hf.heights.dtype)          # (p, n)
+    rows = jax.lax.dot(ox, hf.heights,
+                       precision=jax.lax.Precision.HIGHEST)  # (p, n)
+    oz = (gz0 + kk == ar).astype(hf.heights.dtype)          # (p, n)
+    patch = jax.lax.dot(rows, oz.T,
+                        precision=jax.lax.Precision.HIGHEST)  # (p, p)
+    return patch, gx0, gz0
+
+
+def hf_face_plane_patch(hf: Heightfield, patch, gx0, gz0, x, z):
+    """hf_face_plane evaluated from a pre-extracted patch: corner picks
+    are tiny one-hot reductions over the in-register patch (pure fused
+    vector math — no gathers, no (B, n) matmul intermediates).
+
+    x/z may carry extra batch dims relative to the (p, p) patch."""
+    n = hf.heights.shape[0]
+    p = patch.shape[-1]
+    square = hf.side / (n - 1)
+    tx = x - hf.origin[0]
+    tz = z - hf.origin[1]
+    inside = (tx >= 0) & (tx <= hf.side) & (tz >= 0) & (tz <= hf.side)
+    gx = jnp.floor(tx / square).astype(jnp.int32)
+    gz = jnp.floor(tz / square).astype(jnp.int32)
+    xoff = (tx - square * gx) / square
+    zoff = (tz - square * gz) / square
+    lx = jnp.clip(gx - gx0, 0, p - 2)
+    lz = jnp.clip(gz - gz0, 0, p - 2)
+    ar = jnp.arange(p, dtype=jnp.int32)
+    # row pair (…, p): rows lx and lx+1 of the patch
+    rx = (lx[..., None] == ar).astype(patch.dtype)
+    row0 = jnp.sum(rx[..., :, None] * patch, axis=-2)
+    row1 = jnp.sum(jnp.roll(rx, 1, axis=-1)[..., :, None] * patch, axis=-2)
+    cz0 = (lz[..., None] == ar).astype(patch.dtype)
+    cz1 = jnp.roll(cz0, 1, axis=-1)
+    h00 = jnp.sum(row0 * cz0, -1)
+    h01 = jnp.sum(row0 * cz1, -1)
+    h10 = jnp.sum(row1 * cz0, -1)
+    h11 = jnp.sum(row1 * cz1, -1)
+    lower = xoff <= 1 - zoff
+    h = jnp.where(lower,
+                  h00 + (h10 - h00) * xoff + (h01 - h00) * zoff,
+                  h10 + (h11 - h10) * zoff + (h01 - h11) * (1 - xoff))
+    nx = jnp.where(lower, -(h10 - h00), -(h11 - h01))
+    nz = jnp.where(lower, -(h01 - h00), -(h11 - h10))
+    ny = jnp.broadcast_to(square, nx.shape)
+    inv = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+    normal = jnp.stack([nx * inv, ny * inv, nz * inv], axis=-1)
+    return normal, h, inside
+
+
 def hf_normal(hf: Heightfield, x, z):
     """terrain_normal (terrain.c:316-324): grid-cell normal (not
     interpolated — matches the reference's gameplay query)."""

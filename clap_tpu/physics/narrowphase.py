@@ -107,7 +107,8 @@ _HF_SAMPLE_OFFS = (
 )
 
 
-def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9):
+def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9,
+                        patch=None):
     """Analytic capsule-vs-heightfield contacts.
 
     Instead of testing the 2·K² local grid triangles exactly (what ODE's
@@ -118,11 +119,18 @@ def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9):
     sampling resolution at ~6× less work and with TPU-friendly gather
     shapes. Triangle-exact tests remain available for static trimeshes
     and in tests (_hf_local_tris + capsule_triangle_contact).
+
+    ``patch``: optional pre-extracted (patch, gx0, gz0) from hf_patch —
+    ONE memory access serves all samples (and, for sweeps, all probes).
     """
+    from .heightfield import (CONTACT_PATCH, hf_face_plane_patch, hf_patch)
+
     offs = jnp.asarray(_HF_SAMPLE_OFFS[:n_samples], dtype=jnp.float32)  # (S, 2)
     sx = p_bot[0] + offs[:, 0] * r
     sz = p_bot[2] + offs[:, 1] * r
-    normal, h, inside = hf_face_plane(hf, sx, sz)           # (S,3),(S,),(S,)
+    if patch is None:
+        patch = hf_patch(hf, p_bot[0], p_bot[2], CONTACT_PATCH)
+    normal, h, inside = hf_face_plane_patch(hf, *patch, sx, sz)
     plane_pt = jnp.stack([sx, h, sz], axis=-1)
     # closest capsule-segment endpoint along -normal (vertical capsules:
     # bottom for up-facing planes)
@@ -134,13 +142,14 @@ def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9):
 
 
 def capsule_world_contacts(world: StaticWorld, p_bot, p_top, r,
-                           n_samples: int = 9) -> Contacts:
+                           n_samples: int = 9, patch=None) -> Contacts:
     """All static-world contacts of one capsule (segment p_bot→p_top,
     radius r): analytic heightfield planes + exact trimesh triangles.
 
     Output capacity: n_samples heightfield slots + T trimesh slots.
     """
-    hd, hn, hp, hv = hf_capsule_contacts(world.hf, p_bot, p_top, r, n_samples)
+    hd, hn, hp, hv = hf_capsule_contacts(world.hf, p_bot, p_top, r,
+                                         n_samples, patch)
 
     depth, normal, point = jax.vmap(
         lambda t: capsule_triangle_contact(p_bot, p_top, r, t[0], t[1], t[2])

@@ -50,6 +50,8 @@ def sweep_capsule(world: StaticWorld, params: BodyParams, body_pos,
     steps' contacts are ignored once the running best frac drops below
     the current step's t.
     """
+    from .heightfield import SWEEP_PATCH, hf_patch
+
     radius = params.radius[self_idx]
     half_len = params.half_len[self_idx]
     start = body_pos[self_idx]
@@ -66,9 +68,16 @@ def sweep_capsule(world: StaticWorld, params: BodyParams, body_pos,
 
     probe_pos = start[None, :] + delta[None, :] * ts[:, None]    # (S, 3)
 
+    # ONE heightfield patch serves every probe and sample of this sweep
+    # (per-frame deltas stay within the SWEEP_PATCH window; samples
+    # beyond it clamp to the patch edge)
+    mid = start + 0.5 * delta
+    patch = hf_patch(world.hf, mid[0], mid[2], SWEEP_PATCH)
+
     def probe_contacts(pp):
         p0, p1 = capsule_segment(pp, half_len)
-        c = capsule_world_contacts(world, p0, p1, radius, SWEEP_HF_SAMPLES)
+        c = capsule_world_contacts(world, p0, p1, radius, SWEEP_HF_SAMPLES,
+                                   patch=patch)
         n_bodies = body_pos.shape[0]
 
         def body_contact(j):
@@ -83,24 +92,25 @@ def sweep_capsule(world: StaticWorld, params: BodyParams, body_pos,
             return jnp.where(ok, depth, -jnp.inf), normal
 
         bd, bn = jax.vmap(body_contact)(jnp.arange(n_bodies))
-        depth = jnp.concatenate([c.depth, bd])
-        normal = jnp.concatenate([c.normal, bn], axis=0)
-        src = jnp.concatenate([
-            jnp.full((c.depth.shape[0],), -1, jnp.int32),
-            jnp.arange(n_bodies, dtype=jnp.int32),
-        ])
-        return depth, normal, src
+        # no concatenate: static and body contact banks keep their own
+        # layouts (the concat forced 1.3 ms/step of layout copies)
+        return c.depth, c.normal, bd, bn
 
-    depth, normal, src = jax.vmap(probe_contacts)(probe_pos)   # (S,K[,3])
+    sdep, snrm, bdep, bnrm = jax.vmap(probe_contacts)(probe_pos)  # (S,K[,3])
 
-    ndot = jnp.einsum("c,skc->sk", direc, normal)
-    blocking = (depth > 0) & (ndot <= SWEEP_NDOT_CUTOFF) & live[:, None]
-    backup = depth / jnp.maximum(-ndot, 1e-6)
-    safe = jnp.maximum(ts[:, None] * delta_len - backup, 0.0)
-    frac = jnp.where(blocking, safe / jnp.maximum(delta_len, 1e-9), jnp.inf)
+    def frac_of(depth, normal):
+        ndot = jnp.einsum("c,skc->sk", direc, normal)
+        blocking = (depth > 0) & (ndot <= SWEEP_NDOT_CUTOFF) & live[:, None]
+        backup = depth / jnp.maximum(-ndot, 1e-6)
+        safe = jnp.maximum(ts[:, None] * delta_len - backup, 0.0)
+        return jnp.where(blocking, safe / jnp.maximum(delta_len, 1e-9),
+                         jnp.inf)
+
+    frac_s = frac_of(sdep, snrm)                                # (S, Ks)
+    frac_b = frac_of(bdep, bnrm)                                # (S, Kb)
 
     # per-step min, then prefix-min emulating the sequential march
-    step_min = jnp.min(frac, axis=1)                            # (S,)
+    step_min = jnp.minimum(jnp.min(frac_s, axis=1), jnp.min(frac_b, axis=1))
     run_min = jax.lax.associative_scan(jnp.minimum, step_min)   # (S,)
     # step s is examined iff no earlier step already stopped the march:
     # stopped after step s' iff run_min[s'] < t[s']
@@ -108,14 +118,27 @@ def sweep_capsule(world: StaticWorld, params: BodyParams, body_pos,
         jnp.zeros((1,), bool), (run_min < ts)[:-1]
     ])
     examined = ~jnp.cumsum(stopped_before.astype(jnp.int32)).astype(bool)
-    eff = jnp.where(examined[:, None], frac, jnp.inf)
-    flat = eff.reshape(-1)
-    best = jnp.argmin(flat)
-    best_frac = flat[best]
+    best_frac = jnp.min(jnp.where(examined, step_min, jnp.inf))
     hit = jnp.isfinite(best_frac)
-    si, ki = best // frac.shape[1], best % frac.shape[1]
-    best_n = normal[si, ki]
-    best_src = src[si, ki]
+
+    # winner attributes WITHOUT argmin+gather (TPU gathers ~10 ns/row):
+    # first-match one-hot masks contracted against the normal banks
+    def first_match(frac):
+        m = (frac == best_frac) & examined[:, None]
+        flat = m.reshape(-1)
+        first = flat & (jnp.cumsum(flat.astype(jnp.int32)) == 1)
+        return first.reshape(m.shape).astype(jnp.float32)
+    m_s = first_match(frac_s)
+    m_b = first_match(frac_b)
+    s_won = m_s.sum() >= m_b.sum()   # tie → static bank (earlier in the
+                                     # old concat order)
+    m_s = m_s * jnp.where(s_won, 1.0, 0.0)
+    m_b = m_b * jnp.where(s_won, 0.0, 1.0)
+    best_n = jnp.einsum("sk,skc->c", m_s, snrm) \
+        + jnp.einsum("sk,skc->c", m_b, bnrm)
+    body_ids = jnp.arange(bdep.shape[1], dtype=jnp.float32)
+    best_src = jnp.where(
+        s_won, -1.0, jnp.einsum("sk,k->", m_b, body_ids)).astype(jnp.int32)
 
     frac_out = jnp.where(hit, best_frac, 1.0)
     frac_out = jnp.where(delta_len < 1e-6, 1.0, frac_out)

@@ -236,13 +236,20 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     )
     contact_p = pd > 0
 
+    # slot-major copies: the unrolled solver slices one slot per pass,
+    # and [k]-major slices are contiguous (strided [:, k] slices off the
+    # K-minor layout cost ~0.9 ms/step in layout shuffles)
+    sn_km = jnp.moveaxis(sn, 1, 0)              # (K, N, 3)
+    contact_km = jnp.moveaxis(contact_s, 1, 0)  # (K, N)
+    target_km = jnp.moveaxis(target_s, 1, 0)    # (K, N)
+
     def static_slot(v, k):
         """Sequential impulse for one static contact slot (other side has
         infinite mass → closed form vn' = max(vn, target))."""
-        n_k = sn[:, k]
-        act = contact_s[:, k] & solve_mask
+        n_k = sn_km[k]
+        act = contact_km[k] & solve_mask
         vn = jnp.sum(n_k * v, axis=-1)
-        dvn = jnp.where(act, jnp.maximum(target_s[:, k] - vn, 0.0), 0.0)
+        dvn = jnp.where(act, jnp.maximum(target_km[k] - vn, 0.0), 0.0)
         v = v + dvn[:, None] * n_k
         # Coulomb friction: tangential impulse ≤ μ·(normal impulse). The
         # per-substep normal impulse at rest is g·h, so the budget matches

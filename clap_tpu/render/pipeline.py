@@ -101,6 +101,18 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     Returns (CASCADES, S, S, 2) VSM moments."""
     s = opts.shadow_size
     n_casc = casc_views.shape[0]
+    # pad faces to a cluster multiple FIRST so per-cascade blocks stay
+    # cluster-aligned in the concatenated stream (clusters must not
+    # straddle cascade bands)
+    from .raster import CLUSTER, tile_dims
+
+    faces0 = geom.faces
+    valid0 = geom.face_valid
+    pad = (-faces0.shape[0]) % CLUSTER
+    if pad:
+        faces0 = jnp.concatenate(
+            [faces0, jnp.zeros((pad, 3), faces0.dtype)])
+        valid0 = jnp.concatenate([valid0, jnp.zeros((pad,), bool)])
     sxs, sys_, zs, iws = [], [], [], []
     for c in range(n_casc):
         clip = clip_transform(geom.verts, casc_views[c], casc_projs[c])
@@ -114,14 +126,12 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     z = jnp.concatenate(zs)
     iw = jnp.concatenate(iws)
     V = geom.verts.shape[0]
-    faces = jnp.concatenate([geom.faces + c * V for c in range(n_casc)])
-    valid = jnp.concatenate([geom.face_valid] * n_casc)
+    faces = jnp.concatenate([faces0 + c * V for c in range(n_casc)])
+    valid = jnp.concatenate([valid0] * n_casc)
     rec, ok = assemble_tri_records(sx, sy, z, iw, faces, valid,
                                    two_sided=True)
-    from .raster import tile_dims
-
     th, tw = tile_dims(s, n_casc * s)
-    T = geom.faces.shape[0]
+    T = faces0.shape[0]
     band = jnp.repeat(jnp.arange(n_casc, dtype=jnp.int32), T)
     binned = bin_triangles(rec, ok, s, n_casc * s,
                            band_id=band, band_tiles=s // th,
@@ -205,13 +215,17 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
 def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                  cam_proj, lights: Lights, eye, far: float = 200.0,
                  ssao_kernel_arr=None, grain_noise=None, lut_volume=None,
-                 base_texture=None):
+                 base_texture=None, shadow_moments=None, shadow_mvps=None,
+                 cascade_dists=None):
     """The full canonical frame (pipeline_build chain). Returns the
-    final LDR (or PQ) image (H, W, 3)."""
+    final LDR (or PQ) image (H, W, 3).
+
+    shadow_moments/shadow_mvps/cascade_dists: optionally precomputed
+    (e.g. a shared atlas for a multi-view batch, render_frame_batch);
+    None → per-view CSM fit + shadow passes, like the reference."""
     W, H = opts.width, opts.height
 
-    shadow_moments = shadow_mvps = cascade_dists = None
-    if lights.active.shape[0] > 0:
+    if shadow_moments is None and lights.active.shape[0] > 0:
         ldir = lights.direction[0]
         casc, cascade_dists = cascade_subviews(cam_view, cam_proj, ldir,
                                                0.1, far)
@@ -274,6 +288,37 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     if opts.hdr:
         return shade.oetf_pq(color)
     return shade.oetf_srgb(color)
+
+
+def render_frame_batch(opts: RenderOptions, geom: SceneGeometry, cam_views,
+                       cam_proj, lights: Lights, eyes, far: float = 200.0,
+                       shared_shadow: bool = True, scene_aabb=None, **kw):
+    """Render B views of ONE shared scene (batched 256² configuration).
+
+    shared_shadow=True renders a single stable light atlas fitted to the
+    scene bounds instead of B×4 per-view cascades — valid whenever the
+    geometry and lights are shared across the batch (per-env dynamic
+    geometry must use shared_shadow=False, which falls back to per-view
+    CSM exactly like render_frame). cam_views: (B, 4, 4); eyes: (B, 3).
+    """
+    from .view import bounds_light_subview
+
+    sm = mv = cd = None
+    if shared_shadow and lights.active.shape[0] > 0:
+        if scene_aabb is None:
+            scene_aabb = (geom.verts.min(axis=0) - 1.0,
+                          geom.verts.max(axis=0) + 1.0)
+        sv, cd = bounds_light_subview(scene_aabb[0], scene_aabb[1],
+                                      lights.direction[0], far=far)
+        sm = shadow_pass_all(opts, geom, sv.view, sv.proj)
+        mv = jnp.einsum("cij,cjk->cik", sv.proj, sv.view)
+
+    def one(vw, e):
+        return render_frame(opts, geom, vw, cam_proj, lights, e, far=far,
+                            shadow_moments=sm, shadow_mvps=mv,
+                            cascade_dists=cd, **kw)
+
+    return jax.vmap(one)(cam_views, eyes)
 
 
 def menu_blur(frame, opts: RenderOptions):

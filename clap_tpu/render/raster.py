@@ -130,38 +130,128 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     ok = ok & (zs.min(-1) <= 1.0) & (zs.max(-1) >= -1.0)
     if valid_mask is not None:
         ok = ok & valid_mask
+    # degenerate-out invalid records (zero coords → zero area → the
+    # kernel rejects them): cluster binning walks whole clusters, so a
+    # dead member's record must be inert on its own, not just unlisted
+    rec = jnp.where(ok[:, None], rec, 0.0)
     return rec, ok
+
+
+NCOEF = 16    # coefficient-record width (8 records × 16 = 2 full vregs)
+
+
+def records_to_coeffs(rec):
+    """(T, 13) raw vertex records → (T, 16) screen-plane coefficient
+    records: per edge k the affine form e_k(px,py) = a_k·px + b_k·py +
+    c_k, the z-plane (za, zb, zc), and p_k = iw_k/area so the kernel's
+    inner loop is pure FMA work — no per-pixel divides, no vertex
+    differences. Columns: a0,b0,c0, a1,b1,c1, a2,b2,c2, za,zb,zc,
+    p0,p1,p2, tid. Invalid (zero/degenerate) records get c_k = -1 so
+    every pixel fails the e_k ≥ 0 test."""
+    x0, y0, z0, iw0 = rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
+    x1, y1, z1, iw1 = rec[:, 4], rec[:, 5], rec[:, 6], rec[:, 7]
+    x2, y2, z2, iw2 = rec[:, 8], rec[:, 9], rec[:, 10], rec[:, 11]
+    tid = rec[:, 12]
+    a0 = y1 - y2
+    b0 = x2 - x1
+    c0 = (y2 - y1) * x1 - (x2 - x1) * y1
+    a1 = y2 - y0
+    b1 = x0 - x2
+    c1 = (y0 - y2) * x2 - (x0 - x2) * y2
+    a2 = y0 - y1
+    b2 = x1 - x0
+    c2 = (y1 - y0) * x0 - (x1 - x0) * y0
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    valid = area > 1e-8
+    inv_area = 1.0 / jnp.where(valid, area, 1.0)
+    za = (a0 * z0 + a1 * z1 + a2 * z2) * inv_area
+    zb = (b0 * z0 + b1 * z1 + b2 * z2) * inv_area
+    zc = (c0 * z0 + c1 * z1 + c2 * z2) * inv_area
+    p0 = iw0 * inv_area
+    p1 = iw1 * inv_area
+    p2 = iw2 * inv_area
+    zero = jnp.zeros_like(a0)
+    mone = jnp.full_like(a0, -1.0)
+    cols = [jnp.where(valid, v, d) for v, d in (
+        (a0, zero), (b0, zero), (c0, mone),
+        (a1, zero), (b1, zero), (c1, mone),
+        (a2, zero), (b2, zero), (c2, mone),
+        (za, zero), (zb, zero), (zc, zero),
+        (p0, zero), (p1, zero), (p2, zero), (tid, tid))]
+    return jnp.stack(cols, axis=-1)
+
+
+CLUSTER = 8   # triangles per binning cluster (= TRI_CHUNK): binning,
+              # sorting, and the per-tile record gather run at cluster
+              # granularity — 8× fewer sort keys and gather rows, and the
+              # kernel's record DMA packs 104 of 128 lanes instead of 13.
+              # Requires spatially coherent face order (mesh generators
+              # emit grid/strip order; cluster_faces() re-orders others).
+
+
+def _pad_cluster(rec, ok, band_id=None, cluster: int = CLUSTER):
+    """Pad the record stream to a cluster multiple (degenerate records:
+    zero coords → area 0 → the kernel never shades them)."""
+    T = rec.shape[0]
+    pad = (-T) % cluster
+    if pad:
+        rec = jnp.concatenate([rec, jnp.zeros((pad, rec.shape[1]),
+                                              rec.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros((pad,), bool)])
+        if band_id is not None:
+            band_id = jnp.concatenate(
+                [band_id, jnp.zeros((pad,), band_id.dtype)])
+    return rec, ok, band_id
 
 
 def bin_triangles(rec, ok, width: int, height: int,
                   band_id=None, band_tiles: int = 0,
-                  tile_h: int = None, tile_w: int = None):
-    """Sort-based binning → (tile_list (n_tiles, MAX_PER_TILE) i32,
-    tile_count (n_tiles,) i32, big_list (MAX_BIG_TRIS,) i32, big_count).
+                  tile_h: int = None, tile_w: int = None,
+                  cluster: int = CLUSTER):
+    """Sort-based CLUSTER binning → (tile_list (n_tiles, cap/cluster)
+    i32 cluster ids, tile_count (n_tiles,) i32 clusters, big_list
+    (B,) i32 cluster ids, big_count).
 
     band_id/band_tiles: optional per-triangle vertical band clamp — used
     by the cascade-atlas shadow pass so each cascade's triangles only
     bin into its own rows (the viewport-clip analogue; pixels of other
-    bands are never touched)."""
+    bands are never touched). Clusters must not straddle bands: callers
+    pad each band's triangle block to a cluster multiple."""
     th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
     ntx = pl.cdiv(width, tw)
     nty = pl.cdiv(height, th)
     n_tiles = ntx * nty
+    rec, ok, band_id = _pad_cluster(rec, ok, band_id, cluster)
     T = rec.shape[0]
+    mok = ok   # member-level validity (T,); `ok` becomes cluster-level
 
     xs = rec[:, _XC, ]
     ys = rec[:, _YC, ]
+    # per-tri bbox masked by validity → cluster bbox (invalid members
+    # contribute nothing; an all-invalid cluster is dropped)
+    Tc = T // cluster
+    txmin = jnp.where(mok, xs.min(1), jnp.inf).reshape(Tc, cluster).min(1)
+    txmax = jnp.where(mok, xs.max(1), -jnp.inf).reshape(Tc, cluster).max(1)
+    tymin = jnp.where(mok, ys.min(1), jnp.inf).reshape(Tc, cluster).min(1)
+    tymax = jnp.where(mok, ys.max(1), -jnp.inf).reshape(Tc, cluster).max(1)
+    cok = mok.reshape(Tc, cluster).any(1)
+    txmin = jnp.where(cok, txmin, 0.0)
+    txmax = jnp.where(cok, txmax, -1.0)
+    tymin = jnp.where(cok, tymin, 0.0)
+    tymax = jnp.where(cok, tymax, -1.0)
+
     ylo, yhi = 0, nty - 1
     if band_id is not None:
-        ylo = band_id * band_tiles
+        band_c = band_id.reshape(Tc, cluster)[:, 0]
+        ylo = band_c * band_tiles
         yhi = ylo + band_tiles - 1
-    x0 = jnp.clip(jnp.floor(xs.min(1) / tw).astype(jnp.int32), 0, ntx - 1)
-    x1 = jnp.clip(jnp.floor(xs.max(1) / tw).astype(jnp.int32), 0, ntx - 1)
-    y0 = jnp.clip(jnp.floor(ys.min(1) / th).astype(jnp.int32), ylo, yhi)
-    y1 = jnp.clip(jnp.floor(ys.max(1) / th).astype(jnp.int32), ylo, yhi)
+    x0 = jnp.clip(jnp.floor(txmin / tw).astype(jnp.int32), 0, ntx - 1)
+    x1 = jnp.clip(jnp.floor(txmax / tw).astype(jnp.int32), 0, ntx - 1)
+    y0 = jnp.clip(jnp.floor(tymin / th).astype(jnp.int32), ylo, yhi)
+    y1 = jnp.clip(jnp.floor(tymax / th).astype(jnp.int32), ylo, yhi)
     # offscreen?
-    off = (xs.max(1) < 0) | (xs.min(1) >= width) | (ys.max(1) < 0) | (ys.min(1) >= height)
-    ok = ok & ~off
+    off = (txmax < 0) | (txmin >= width) | (tymax < 0) | (tymin >= height)
+    ok = cok & ~off
 
     spanx = x1 - x0 + 1
     spany = y1 - y0 + 1
@@ -174,11 +264,22 @@ def bin_triangles(rec, ok, width: int, height: int,
         big = jnp.zeros_like(ok)
         small = ok
     else:
-        sx_span, sy_span = MAX_SPAN_X, MAX_SPAN_Y
-        big = ok & ((spanx > sx_span) | (spany > sy_span))
-        small = ok & ~big
+        # clamp the expansion to the real grid: a 256² target has a
+        # 1×8 tile grid, so the 8×8 default sorted 64 keys/tri where 8
+        # suffice — the binning sort was 60% of raster time at 32 envs
+        sx_span = min(MAX_SPAN_X, ntx)
+        sy_span = min(MAX_SPAN_Y, nty)
+        if sx_span == ntx and sy_span == nty:
+            # spans cover the whole grid: nothing can exceed them, so
+            # skip the big-tri path entirely (its jnp.nonzero compaction
+            # alone cost ~21 ms/frame-batch at 32 envs)
+            big = None
+            small = ok
+        else:
+            big = ok & ((spanx > sx_span) | (spany > sy_span))
+            small = ok & ~big
 
-    # pair expansion (T, sy_span, sx_span)
+    # pair expansion (Tc, sy_span, sx_span)
     dy = jnp.arange(sy_span)
     dx = jnp.arange(sx_span)
     ty = y0[:, None, None] + dy[None, :, None]
@@ -186,37 +287,48 @@ def bin_triangles(rec, ok, width: int, height: int,
     pair_ok = small[:, None, None] & (ty <= y1[:, None, None]) & (tx <= x1[:, None, None])
     tile_id = ty * ntx + tx
     tile_id = jnp.where(pair_ok, tile_id, n_tiles)      # sentinel sorts last
-    tri_id = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None, None],
-                              tile_id.shape)
+    cl_id = jnp.broadcast_to(jnp.arange(Tc, dtype=jnp.int32)[:, None, None],
+                             tile_id.shape)
 
     # depth-ordered keys: tile in the high bits, quantized near-z next,
-    # triangle id as a carried payload (lax.sort two-operand). Front-to-
+    # cluster id as a carried payload (lax.sort two-operand). Front-to-
     # back order makes the per-tile capacity cap drop the FARTHEST
-    # (likely occluded) triangles — graceful degradation on dense views.
+    # (likely occluded) clusters — graceful degradation on dense views.
     zbits = 12
-    zmin = jnp.min(rec[:, _ZC, ], axis=1)
-    zq = jnp.clip((zmin * 0.5 + 0.5) * ((1 << zbits) - 1), 0,
+    tzmin = jnp.min(rec[:, _ZC, ], axis=1)              # (T,) per-tri
+    tzmin = jnp.where(mok, tzmin, jnp.inf)              # mask dead members
+    czmin = tzmin.reshape(Tc, cluster).min(1)           # cluster near-z
+    zq = jnp.clip((czmin * 0.5 + 0.5) * ((1 << zbits) - 1), 0,
                   (1 << zbits) - 1).astype(jnp.uint32)
     key = (tile_id.astype(jnp.uint32) << zbits) \
         | jnp.broadcast_to(zq[:, None, None], tile_id.shape)
-    skey, stri = jax.lax.sort(
-        (key.reshape(-1), tri_id.reshape(-1)), is_stable=True, num_keys=1)
+    skey, scl = jax.lax.sort(
+        (key.reshape(-1), cl_id.reshape(-1)), is_stable=True, num_keys=1)
     st = (skey >> zbits).astype(jnp.int32)
 
-    cap = tile_capacity(width, height)
+    # capacity never needs to exceed the triangle count (every tri in one
+    # tile is the worst case) — uncapped, a small grid's deep lists both
+    # blow the kernel's scoped VMEM (16 MB) and quadruple the per-tile
+    # record pre-gather
+    cap_c = min(tile_capacity(width, height), T) // cluster
     starts = jnp.searchsorted(st, jnp.arange(n_tiles))
     ends = jnp.searchsorted(st, jnp.arange(n_tiles) + 1)
-    counts = jnp.minimum(ends - starts, cap).astype(jnp.int32)
-    gather_idx = starts[:, None] + jnp.arange(cap)[None, :]
+    counts = jnp.minimum(ends - starts, cap_c).astype(jnp.int32)
+    gather_idx = starts[:, None] + jnp.arange(cap_c)[None, :]
     gather_idx = jnp.minimum(gather_idx, st.shape[0] - 1)
     tile_list = jnp.where(
-        jnp.arange(cap)[None, :] < counts[:, None],
-        stri[gather_idx], 0,
+        jnp.arange(cap_c)[None, :] < counts[:, None],
+        scl[gather_idx], 0,
     ).astype(jnp.int32)
 
-    # big-tri list
-    big_idx = jnp.nonzero(big, size=MAX_BIG_TRIS, fill_value=0)[0].astype(jnp.int32)
-    big_count = jnp.minimum(jnp.sum(big), MAX_BIG_TRIS).astype(jnp.int32)
+    # big-cluster list (statically absent when spans cover the grid)
+    if big is None:
+        big_idx = jnp.zeros((max(TRI_CHUNK // cluster, 1),), jnp.int32)
+        big_count = jnp.zeros((), jnp.int32)
+    else:
+        big_idx = jnp.nonzero(big, size=MAX_BIG_TRIS,
+                              fill_value=0)[0].astype(jnp.int32)
+        big_count = jnp.minimum(jnp.sum(big), MAX_BIG_TRIS).astype(jnp.int32)
     return tile_list, counts, big_idx, big_count
 
 
@@ -225,15 +337,17 @@ TRI_CHUNK = 8  # triangles processed per vectorized kernel step
 
 def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
                         count_ref, trec_ref, brec_ref,
-                        depth_ref, slot_ref, b0_ref, b1_ref):
-    """One 8×128 pixel tile. Triangle data arrives PRE-GATHERED per tile
-    ((1, MAX_PER_TILE, 12) block) so the inner loop is pure vector math:
-    each step evaluates TRI_CHUNK triangles against the whole pixel
-    lattice at once — no scalar extraction, no dynamic VMEM gathers, no
-    vector-lane broadcasts (all Mosaic pain points). The winner's
-    triangle id travels as a FLOAT record column through the same
-    select chain as the barycentrics (exact below 2^24), so no
-    per-pixel id resolution gather is needed afterwards."""
+                        depth_ref, slot_ref, d0_ref, d1_ref, s_ref):
+    """One pixel tile. Coefficient records arrive PRE-GATHERED per tile
+    ((1, cap, NCOEF) block) so the inner loop is pure FMA vector math:
+    each step evaluates TRI_CHUNK triangles' edge/z planes against the
+    whole pixel lattice — no per-pixel divides (perspective weights are
+    normalized outside the kernel from the winner's d0/d1/s), no
+    vertex differences, no dynamic VMEM gathers, no vector-lane
+    broadcasts (all Mosaic pain points). The winner's triangle id
+    travels as a FLOAT record column through the same select chain
+    (exact below 2^24). Dead records carry c_k = -1 so validity needs
+    no extra masking beyond the tail count check."""
     ti = pl.program_id(0)
     ntx = pl.cdiv(width, tile_w)
     tx0 = (ti % ntx) * tile_w
@@ -245,54 +359,45 @@ def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
           ).astype(jnp.float32) + 0.5
 
     def shade_chunk(slab, n_valid, carry):
-        """slab: (TRI_CHUNK, 13); n_valid: how many rows are real."""
-        depth, tidf, b0o, b1o = carry
+        """slab: (TRI_CHUNK, NCOEF); n_valid: how many rows are real."""
+        depth, tidf, d0o, d1o, so = carry
         def col(i):
             return slab[:, i][:, None, None]            # (C, 1, 1)
-        x0, x1, x2 = col(_XC[0]), col(_XC[1]), col(_XC[2])
-        y0, y1, y2 = col(_YC[0]), col(_YC[1]), col(_YC[2])
-        z0, z1, z2 = col(_ZC[0]), col(_ZC[1]), col(_ZC[2])
-        iw0, iw1, iw2 = col(_WC[0]), col(_WC[1]), col(_WC[2])
-        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (area > 1e-8)
+        e0 = col(0) * px + col(1) * py + col(2)
+        e1 = col(3) * px + col(4) * py + col(5)
+        e2 = col(6) * px + col(7) * py + col(8)
+        z = col(9) * px + col(10) * py + col(11)
         valid = (jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1, 1), 0)
                  < n_valid)
-        inv_area = 1.0 / jnp.where(area == 0, 1.0, area)
-        b0 = e0 * inv_area
-        b1 = e1 * inv_area
-        b2 = 1.0 - b0 - b1
-        z = b0 * z0 + b1 * z1 + b2 * z2
-        zok = inside & valid & (z >= -1.0) & (z <= 1.0)
+        zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
+            & (z >= -1.0) & (z <= 1.0)
         zm = jnp.where(zok, z, jnp.inf)                  # (C, TH, TW)
-        d0 = b0 * iw0
-        d1 = b1 * iw1
-        d2 = b2 * iw2
-        inv_s = 1.0 / jnp.maximum(d0 + d1 + d2, 1e-20)
-        pb0 = d0 * inv_s
-        pb1 = d1 * inv_s
+        d0 = e0 * col(12)
+        d1 = e1 * col(13)
+        s = d0 + d1 + e2 * col(14)
         # float tri id, broadcast to full tile shape through arithmetic
         # (standalone (C,1,1)→(C,H,W) vector broadcasts are a Mosaic
         # unsupported path; riding an add is not)
-        ptid = col(12) + z * 0.0
+        ptid = col(15) + z * 0.0
         # chunk reduce: min depth wins, FIRST of equal depths wins
         rd = zm[0]
         rtid = ptid[0]
-        rb0 = pb0[0]
-        rb1 = pb1[0]
+        rd0 = d0[0]
+        rd1 = d1[0]
+        rs = s[0]
         for c in range(1, TRI_CHUNK):
             w = zm[c] < rd
             rd = jnp.where(w, zm[c], rd)
             rtid = jnp.where(w, ptid[c], rtid)
-            rb0 = jnp.where(w, pb0[c], rb0)
-            rb1 = jnp.where(w, pb1[c], rb1)
+            rd0 = jnp.where(w, d0[c], rd0)
+            rd1 = jnp.where(w, d1[c], rd1)
+            rs = jnp.where(w, s[c], rs)
         win = rd < depth
         return (jnp.where(win, rd, depth),
                 jnp.where(win, rtid, tidf),
-                jnp.where(win, rb0, b0o),
-                jnp.where(win, rb1, b1o))
+                jnp.where(win, rd0, d0o),
+                jnp.where(win, rd1, d1o),
+                jnp.where(win, rs, so))
 
     count = count_ref[ti, 0]
     big_count = count_ref[ti, 1]
@@ -310,26 +415,33 @@ def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
         jnp.full((tile_h, tile_w), -1.0, jnp.float32),
         jnp.zeros((tile_h, tile_w), jnp.float32),
         jnp.zeros((tile_h, tile_w), jnp.float32),
+        jnp.ones((tile_h, tile_w), jnp.float32),
     )
     # dynamic trip counts: tiles only walk their real triangle lists.
     # (Static-bound variants measured SLOWER — the ~50µs/tile cost is
     # fixed per grid step, hence the large 32×256 tiles.)
     carry = jax.lax.fori_loop(0, pl.cdiv(count, TRI_CHUNK), small_body, init)
     carry = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body, carry)
-    depth, tidf, b0o, b1o = carry
+    depth, tidf, d0o, d1o, so = carry
     depth_ref[:] = depth
     slot_ref[:] = tidf
-    b0_ref[:] = b0o
-    b1_ref[:] = b1o
+    d0_ref[:] = d0o
+    d1_ref[:] = d1o
+    s_ref[:] = so
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def rasterize(rec, binned, width: int, height: int,
-              tile_h: int = None, tile_w: int = None) -> GBuffer:
-    """Raster the binned triangles into a (H, W) G-buffer. H/W are
+              tile_h: int = None, tile_w: int = None,
+              cluster: int = CLUSTER) -> GBuffer:
+    """Raster the binned clusters into a (H, W) G-buffer. H/W are
     padded up to tile multiples internally and cropped on return.
-    tile_h/tile_w must match the bin_triangles call (default: derived
-    from the target size by tile_dims)."""
+    tile_h/tile_w/cluster must match the bin_triangles call.
+
+    The per-tile record gather runs at CLUSTER granularity: one gathered
+    row carries cluster·13 floats, so both the gather row count and the
+    kernel's record-block lane padding improve 8× over per-triangle
+    lists."""
     th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
     tile_list, counts, big_idx, big_count = binned
     ntx = pl.cdiv(width, tw)
@@ -337,41 +449,46 @@ def rasterize(rec, binned, width: int, height: int,
     n_tiles = ntx * nty
     Hp, Wp = nty * th, ntx * tw
 
-    cap = tile_list.shape[1]
-    # pre-gather triangle records per tile (XLA gather — keeps the kernel
-    # free of dynamic indexing)
-    trec = rec[tile_list]                       # (n_tiles, cap, 13)
-    brec = rec[big_idx][None]                   # (1, MAX_BIG_TRIS, 13)
+    # pad RAW records first: all-zero raw records convert to inert
+    # coefficients (c_k = -1), whereas zero-padded coefficient rows
+    # would cover every pixel (e_k = 0 ≥ 0)
+    rec, _, _ = _pad_cluster(rec, jnp.ones(rec.shape[:1], bool), None,
+                             cluster)
+    coef = records_to_coeffs(rec)               # (T8, NCOEF)
+    Tc = coef.shape[0] // cluster
+    crec = coef.reshape(Tc, cluster * NCOEF)
+    cap_c = tile_list.shape[1]
+    cap = cap_c * cluster
+    # pre-gather cluster records per tile (XLA gather — keeps the kernel
+    # free of dynamic indexing; cluster rows make it row-count-cheap)
+    trec = crec[tile_list].reshape(n_tiles, cap, NCOEF)
+    n_big = big_idx.shape[0] * cluster
+    brec = crec[big_idx].reshape(1, n_big, NCOEF)
     counts2 = jnp.stack(
-        [counts, jnp.broadcast_to(big_count, counts.shape)], axis=-1
+        [counts * cluster,
+         jnp.broadcast_to(big_count * cluster, counts.shape)], axis=-1
     ).astype(jnp.int32)                         # (n_tiles, 2)
 
     kern = partial(_raster_tile_kernel, width, height, th, tw)
-    out_shape = [
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),  # float tri id
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-        jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
+                 for _ in range(5)]             # depth, tid, d0, d1, s
 
     def out_map(i):
         return (i // ntx, i % ntx)
 
-    depth, tidf, b0, b1 = pl.pallas_call(
+    depth, tidf, d0, d1, s = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (n_tiles, 2)
-            pl.BlockSpec((1, cap, 13), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, cap, NCOEF), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MAX_BIG_TRIS, 13), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, n_big, NCOEF), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), out_map, memory_space=pltpu.VMEM)
+            for _ in range(5)
         ],
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
@@ -379,11 +496,15 @@ def rasterize(rec, binned, width: int, height: int,
 
     depth = depth[:height, :width]
     tri = tidf[:height, :width].astype(jnp.int32)   # float ids are exact
-    b0 = b0[:height, :width]
-    b1r = b1[:height, :width]
+    # perspective normalization deferred out of the kernel (one divide
+    # per PIXEL instead of per pixel-triangle pair)
+    inv_s = 1.0 / jnp.maximum(s[:height, :width], 1e-20)
+    b0 = d0[:height, :width] * inv_s
+    b1r = d1[:height, :width] * inv_s
     # records are assembled v0,v2,v1 (winding fix) — convert the kernel's
     # record-order weights back to FACE order: face-v1 weight = 1-b0-b1r
     hit = tri >= 0
+    b0 = jnp.where(hit, b0, 0.0)
     b1 = jnp.where(hit, 1.0 - b0 - b1r, 0.0)
     return GBuffer(depth=depth, tri_id=tri,
                    bary=jnp.stack([b0, b1], axis=-1))
@@ -445,8 +566,8 @@ def bin_stats(binned, width: int, height: int) -> dict:
     import numpy as np
 
     tile_list, counts, big_idx, big_count = binned
-    c = np.asarray(counts)
-    cap = tile_list.shape[1]
+    c = np.asarray(counts) * CLUSTER            # counts are in clusters
+    cap = tile_list.shape[1] * CLUSTER
     return {
         "n_tiles": int(c.size),
         "cap": int(cap),

@@ -133,3 +133,39 @@ def cascade_subviews(cam_view, cam_proj, light_dir, near, far,
         planes=jnp.stack([s.planes for s in sv]),
     )
     return stacked, jnp.stack(dists)
+
+
+def bounds_light_subview(aabb_min, aabb_max, light_dir, far: float = 1e4,
+                         pad: float = 1.02):
+    """ONE stable ortho light view fitted to a world AABB — view-
+    independent, so a multi-view batch over a shared scene can render a
+    single shared shadow atlas instead of per-view cascades (the
+    multi-view analogue of view.c's per-camera CSM fit; quality trades
+    cascade locality for a 1/B shadow cost at B views).
+
+    Returns (Subview with leading cascade axis of 1, cascade_dists (1,)).
+    """
+    up = jnp.array([0.0, 1.0, 0.0])
+    ldir = mx.normalize(light_dir)
+    mn = jnp.asarray(aabb_min, jnp.float32)
+    mxx = jnp.asarray(aabb_max, jnp.float32)
+    center = 0.5 * (mn + mxx)
+    eye = center - ldir * 1.0
+    lview = mx.mat4_look_at_safe(eye, center, up)
+    corners = jnp.stack([
+        jnp.array([x, y, z])
+        for x in (0, 1) for y in (0, 1) for z in (0, 1)
+    ]).astype(jnp.float32)
+    wc = mn[None, :] + corners * (mxx - mn)[None, :]
+    lc = mx.mat4_transform_point(lview, wc)
+    lctr = 0.5 * (lc.min(axis=0) + lc.max(axis=0))
+    lhalf = 0.5 * (lc.max(axis=0) - lc.min(axis=0)) * pad
+    lmn = lctr - lhalf
+    lmx = lctr + lhalf
+    near_l = -(lmx[2] + 50.0)
+    far_l = -(lmn[2] - 1.0)
+    proj = mx.mat4_ortho(lmn[0], lmx[0], lmn[1], lmx[1], near_l, far_l)
+    sv = make_subview(lview, proj)
+    stacked = Subview(view=sv.view[None], proj=sv.proj[None],
+                      planes=sv.planes[None])
+    return stacked, jnp.array([far], jnp.float32)

@@ -68,6 +68,11 @@ full = jax.jit(jax.vmap(lambda vw, e: render_frame(opts, geom, vw, proj,
                                                    lights, e, far=100.0)))
 timeit("render_frame full", full, views, eyes)
 
+from clap_tpu.render.pipeline import render_frame_batch
+fb = jax.jit(lambda vw, e: render_frame_batch(opts, geom, vw, proj,
+                                              lights, e, far=100.0))
+timeit("render_frame_batch (shared shadow)", fb, views, eyes)
+
 shad = jax.jit(jax.vmap(lambda vw: shadow_pass_all(
     opts, geom, *[x for x in cascade_subviews(vw, proj, lights.direction[0], 0.1, 100.0)[0][:2]])))
 # cascade_subviews returns (subviews, dists); subviews has .view/.proj
