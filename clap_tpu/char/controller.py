@@ -136,13 +136,13 @@ def _sweep_delta(world, params: BodyParams, body_pos, self_idx, delta,
 
 def ground_collide(world: StaticWorld, params: BodyParams, pos, idx, grounded):
     """phys_body_ground_collide (physics.c:695-744). Returns
-    (new_pos_self, grounded, ground_normal, hit)."""
+    (new_pos_self, grounded, ground_normal, hit, ground_entity)."""
     ray_off = params.ray_off[idx] - GROUND_SAFETY
     ray_len = params.yoffset[idx] - ray_off + GROUND_EPSILON
     p = pos[idx]
     origin = p - jnp.array([0.0, 1.0, 0.0]) * ray_off
 
-    dist, normal, hit = raycast_down(world, origin, 2.0 * ray_len)
+    dist, normal, hit, ent = raycast_down(world, origin, 2.0 * ray_len)
 
     above = dist > ray_len
     below = dist < ray_len
@@ -151,7 +151,7 @@ def ground_collide(world: StaticWorld, params: BodyParams, pos, idx, grounded):
     dy = jnp.where(snap_down, -(dist - ray_len), jnp.where(snap_up, ray_len - dist, 0.0))
     new_p = p + jnp.array([0.0, 1.0, 0.0]) * dy
     is_grounded = hit & ~(above & ~grounded)
-    return new_p, is_grounded, normal, hit
+    return new_p, is_grounded, normal, hit, ent
 
 
 def character_move(world: StaticWorld, params: BodyParams,
@@ -167,12 +167,14 @@ def character_move(world: StaticWorld, params: BodyParams,
     dt = jnp.clip(dt, 0.0, DT_CLAMP_MAX)
 
     # --- ground collide + snap
-    p_snap, grounded, gnormal, ghit = ground_collide(
+    p_snap, grounded, gnormal, ghit, gent = ground_collide(
         world, params, body_pos, idx, ~cs.airborne
     )
     body_pos = body_pos.at[idx].set(p_snap)
     airborne = ~grounded
-    collision = jnp.where(grounded, idx * 0, -1)  # body id of ground: resolved by caller
+    # the ENTITY stood on (character.c:490-496 fires connect/disconnect
+    # hooks off exactly this id)
+    collision = jnp.where(grounded, gent, -1)
 
     # jump-rise protection (character.c:455-463)
     airborne = airborne | ((cs.state == CS_JUMPING) & (cs.velocity[1] > 0))

@@ -64,11 +64,10 @@ def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
 
     game = gs.game
     if gw.game is not None and game is not None:
-        # controlled character's ground entity: its body standing → the
-        # entity its ground body maps to (terrain entity is 0 in the
-        # builders; richer mapping comes from the body→entity table)
-        grounded = ~st.chars.airborne[game.control]
-        ground_ent = jnp.where(grounded, 0, -1).astype(jnp.int32)
+        # controlled character's ground entity, as reported by the
+        # controller's ground ray (tri_entity/hf_entity mapping — the
+        # real character.c:490-496 hook, no terrain-only stub)
+        ground_ent = st.chars.collision[game.control].astype(jnp.int32)
         char_body = gw.scene.char_params.body
         char_pos = st.phys.pos[char_body]
         nxt = next_character if next_character is not None else jnp.array(False)

@@ -97,11 +97,24 @@ def _scene_update(cfg: SceneConfig, st: EngineState):
     ent = cfg.entities
     has_body = ent.body >= 0
     b = jnp.maximum(ent.body, 0)
-    geom_pos = st.phys.pos[b]
+    # entity←body pull as ONE one-hot matmul over the static body map
+    # (the (E,) gathers of pos+quat cost ~3 ms/step at 4096 envs; the
+    # one-hot (E, N) is a trace-time constant and the selection is exact
+    # under HIGHEST precision)
+    onehot = (b[:, None] == jnp.arange(st.phys.pos.shape[0])[None, :]
+              ).astype(jnp.float32)                       # (E, N) const
+    bodydat = jnp.concatenate([st.phys.pos, st.phys.quat], axis=-1)
+    ent_bd = jax.lax.dot(onehot, bodydat,
+                         precision=jax.lax.Precision.HIGHEST)  # (E, 7)
+    geom_pos = ent_bd[:, :3]
     off = jnp.zeros_like(geom_pos).at[:, 1].set(cfg.bodies.yoffset[b])
     pos = jnp.where(has_body[:, None], geom_pos - off, st.pos)
-    # (dynamic-body rotation sync lands with rigid-body orientation
-    # support; characters stay upright — physics.c:800-809)
+    # dynamic-body rotation sync (phys_body_update physics.c:789-811,
+    # consumed at model.c:1665); characters stay upright — the
+    # controller owns their yaw (physics.c:800-809)
+    dyn = has_body & ~ent.body_is_char
+    rot = jnp.where(dyn[:, None], ent_bd[:, 3:7], st.rot)
+    st = st._replace(rot=rot)
 
     # parent attachment (world-space; joint riding arrives with skinning)
     has_parent = ent.parent >= 0

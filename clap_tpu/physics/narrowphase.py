@@ -32,18 +32,33 @@ class StaticWorld(NamedTuple):
     hf: Heightfield
     tris: jnp.ndarray       # (T, 3, 3) world-space static triangles
     tri_valid: jnp.ndarray  # (T,) bool
+    tri_entity: jnp.ndarray = None  # (T,) int32 owning entity per triangle
+    hf_entity: jnp.ndarray = None   # () int32 terrain's entity id
 
 
-def make_world(hf: Heightfield, tris=None, tri_valid=None) -> StaticWorld:
-    """Build a StaticWorld; pads the trimesh soup so T >= 1."""
+def make_world(hf: Heightfield, tris=None, tri_valid=None,
+               tri_entity=None, hf_entity: int = 0) -> StaticWorld:
+    """Build a StaticWorld; pads the trimesh soup so T >= 1.
+
+    tri_entity/hf_entity map collision geometry back to scene entities —
+    what lets the controller report WHICH entity the character stands on
+    (the hook the reference's whole switch mechanic hangs off,
+    character.c:490-496)."""
     if tris is None or tris.shape[0] == 0:
         tris = jnp.zeros((1, 3, 3), jnp.float32)
         tri_valid = jnp.zeros((1,), bool)
+        tri_entity = jnp.full((1,), -1, jnp.int32)
     else:
         tris = jnp.asarray(tris, jnp.float32)
         if tri_valid is None:
             tri_valid = jnp.ones((tris.shape[0],), bool)
-    return StaticWorld(hf=hf, tris=tris, tri_valid=tri_valid)
+        if tri_entity is None:
+            tri_entity = jnp.zeros((tris.shape[0],), jnp.int32)
+        else:
+            tri_entity = jnp.asarray(tri_entity, jnp.int32)
+    return StaticWorld(hf=hf, tris=tris, tri_valid=tri_valid,
+                       tri_entity=tri_entity,
+                       hf_entity=jnp.int32(hf_entity))
 
 
 class Contacts(NamedTuple):
@@ -108,7 +123,7 @@ _HF_SAMPLE_OFFS = (
 
 
 def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9,
-                        patch=None):
+                        patch=None, two_ended: bool = False):
     """Analytic capsule-vs-heightfield contacts.
 
     Instead of testing the 2·K² local grid triangles exactly (what ODE's
@@ -126,15 +141,30 @@ def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9,
     from .heightfield import (CONTACT_PATCH, hf_face_plane_patch, hf_patch)
 
     offs = jnp.asarray(_HF_SAMPLE_OFFS[:n_samples], dtype=jnp.float32)  # (S, 2)
-    sx = p_bot[0] + offs[:, 0] * r
-    sz = p_bot[2] + offs[:, 1] * r
+    if two_ended:
+        # tumbling capsules: sample around BOTH segment ends so a lying
+        # capsule rests on two supports (spheres and upright capsules
+        # keep the single-ended contact set)
+        ends = jnp.stack([p_bot, p_top])                   # (2, 3)
+        sx = (ends[:, None, 0] + offs[None, :, 0] * r).reshape(-1)
+        sz = (ends[:, None, 2] + offs[None, :, 1] * r).reshape(-1)
+        seg_pt = jnp.repeat(ends, n_samples, axis=0)       # (2S, 3)
+    else:
+        sx = p_bot[0] + offs[:, 0] * r
+        sz = p_bot[2] + offs[:, 1] * r
+        seg_pt = None
     if patch is None:
-        patch = hf_patch(hf, p_bot[0], p_bot[2], CONTACT_PATCH)
+        mid = 0.5 * (p_bot + p_top)
+        # a lying capsule's samples span its length: wider patch
+        patch = hf_patch(hf, mid[0], mid[2],
+                         8 if two_ended else CONTACT_PATCH)
     normal, h, inside = hf_face_plane_patch(hf, *patch, sx, sz)
     plane_pt = jnp.stack([sx, h, sz], axis=-1)
-    # closest capsule-segment endpoint along -normal (vertical capsules:
-    # bottom for up-facing planes)
-    seg_pt = jnp.where(normal[:, 1:2] >= 0, p_bot[None, :], p_top[None, :])
+    if seg_pt is None:
+        # closest capsule-segment endpoint along -normal (vertical
+        # capsules: bottom for up-facing planes)
+        seg_pt = jnp.where(normal[:, 1:2] >= 0, p_bot[None, :],
+                           p_top[None, :])
     dist = jnp.sum(normal * (seg_pt - plane_pt), axis=-1)
     depth = jnp.where(inside, r - dist, -jnp.inf)
     point = seg_pt - normal * dist[:, None]
@@ -142,14 +172,16 @@ def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9,
 
 
 def capsule_world_contacts(world: StaticWorld, p_bot, p_top, r,
-                           n_samples: int = 9, patch=None) -> Contacts:
+                           n_samples: int = 9, patch=None,
+                           two_ended: bool = False) -> Contacts:
     """All static-world contacts of one capsule (segment p_bot→p_top,
     radius r): analytic heightfield planes + exact trimesh triangles.
 
-    Output capacity: n_samples heightfield slots + T trimesh slots.
+    Output capacity: n_samples (×2 when two_ended) heightfield slots +
+    T trimesh slots.
     """
     hd, hn, hp, hv = hf_capsule_contacts(world.hf, p_bot, p_top, r,
-                                         n_samples, patch)
+                                         n_samples, patch, two_ended)
 
     depth, normal, point = jax.vmap(
         lambda t: capsule_triangle_contact(p_bot, p_top, r, t[0], t[1], t[2])
@@ -187,7 +219,10 @@ def raycast_down(world: StaticWorld, origin, max_dist):
     (physics.c:718-727 casts (0,-1,0)). Heightfield handled analytically;
     trimesh via Möller–Trumbore with backface culling.
 
-    Returns (dist, normal); dist = max_dist when nothing hit.
+    Returns (dist, normal, hit, entity); dist = max_dist and entity = -1
+    when nothing hit. ``entity`` is the scene entity of the surface the
+    ray hit (tri_entity / hf_entity) — the ground-contact hook the
+    reference's switch mechanic is built on (character.c:490-496).
     """
     x, y, z = origin[0], origin[1], origin[2]
     h = jnp.squeeze(_hf_height_and_normal(world.hf, x, z)[0])
@@ -200,18 +235,27 @@ def raycast_down(world: StaticWorld, origin, max_dist):
         lambda tri: ray_triangle(origin, direc, tri[0], tri[1], tri[2])
     )(world.tris)
     t = jnp.where(hit & world.tri_valid & (t <= max_dist), t, jnp.inf)
-    ti = jnp.argmin(t)
-    tri_dist = t[ti]
-    tri = world.tris[ti]
+    tri_dist = jnp.min(t)
+    # winner attributes via first-match mask (no argmin+gather)
+    first = (t == tri_dist)
+    first = first & (jnp.cumsum(first.astype(jnp.int32)) == 1)
+    fw = first.astype(jnp.float32)
+    tri = jnp.einsum("t,tij->ij", fw, world.tris)
     tn = jnp.cross(tri[1] - tri[0], tri[2] - tri[0])
     tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+    tri_ent = jnp.sum(fw * world.tri_entity.astype(jnp.float32)
+                      ).astype(jnp.int32)
 
     hf_d = jnp.where(hf_ok, hf_dist, jnp.inf)
     use_hf = hf_d <= tri_dist
     dist = jnp.minimum(jnp.minimum(hf_d, tri_dist), max_dist)
     hit_any = jnp.isfinite(jnp.minimum(hf_d, tri_dist))
     normal = jnp.where(use_hf, hf_n, tn)
-    return jnp.where(hit_any, dist, max_dist), normal, hit_any
+    hf_ent = world.hf_entity if world.hf_entity is not None else jnp.int32(0)
+    entity = jnp.where(hit_any,
+                       jnp.where(use_hf, hf_ent, tri_ent),
+                       jnp.int32(-1))
+    return jnp.where(hit_any, dist, max_dist), normal, hit_any, entity
 
 
 def raycast(world: StaticWorld, origin, direction, max_dist, n_march: int = 16):

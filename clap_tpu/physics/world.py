@@ -32,6 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .. import mathx as mx
 from .narrowphase import StaticWorld, capsule_world_contacts
 from .shapes import closest_pt_segment_segment
 
@@ -40,6 +41,7 @@ MAX_SUBSTEPS = 5
 GRAVITY = jnp.array([0.0, -9.8, 0.0])
 LINEAR_DAMPING = 1e-3
 AUTO_DISABLE_VEL = 0.05
+AUTO_DISABLE_ANGVEL = 0.25    # rad/s (ODE default-ish angular threshold)
 AUTO_DISABLE_STEPS = 30
 SOFT_ERP = 0.05
 SOFT_CFM = 0.01
@@ -63,6 +65,8 @@ class BodyParams(NamedTuple):
     bounce: jnp.ndarray      # f32
     bounce_vel: jnp.ndarray  # f32
     mu: jnp.ndarray          # f32
+    inertia: jnp.ndarray = None  # (N, 3) body-frame principal inertia
+                                 # (capsule axis = y); None → derived
 
 
 class PhysState(NamedTuple):
@@ -70,9 +74,29 @@ class PhysState(NamedTuple):
 
     pos: jnp.ndarray        # (N, 3) geom centers
     vel: jnp.ndarray        # (N, 3)
+    quat: jnp.ndarray       # (N, 4) body orientation (x, y, z, w)
+    angvel: jnp.ndarray     # (N, 3) world-frame angular velocity
     time_acc: jnp.ndarray   # () accumulator
     disable_count: jnp.ndarray  # (N,) int32 steps below threshold
     disabled: jnp.ndarray   # (N,) bool at-rest
+
+
+def capsule_inertia(mass, radius, half_len):
+    """Principal inertia of a solid capsule about its center (y = long
+    axis) — the dMassSetCapsuleTotal formula (ODE mass.cpp), with the
+    sphere as the half_len → 0 limit. Returns (..., 3) [Ixx, Iyy, Izz].
+    """
+    r = jnp.maximum(radius, 1e-6)
+    L = 2.0 * half_len
+    v_cyl = jnp.pi * r * r * L
+    v_sph = (4.0 / 3.0) * jnp.pi * r ** 3
+    rho = mass / jnp.maximum(v_cyl + v_sph, 1e-12)
+    m_c = rho * v_cyl
+    m_s = rho * v_sph
+    iyy = m_c * r * r / 2.0 + m_s * (2.0 / 5.0) * r * r
+    ixx = m_c * (L * L / 12.0 + r * r / 4.0) \
+        + m_s * ((2.0 / 5.0) * r * r + L * L / 4.0 + (3.0 / 8.0) * L * r)
+    return jnp.stack([ixx, iyy, ixx], axis=-1)
 
 
 def body_params_empty(n: int) -> BodyParams:
@@ -82,13 +106,24 @@ def body_params_empty(n: int) -> BodyParams:
         radius=z, half_len=z, yoffset=z, ray_off=z,
         mass=jnp.ones((n,), jnp.float32), bounce=z, bounce_vel=z,
         mu=jnp.ones((n,), jnp.float32),
+        inertia=jnp.ones((n, 3), jnp.float32),
     )
+
+
+def finalize_inertia(params: BodyParams) -> BodyParams:
+    """Derive per-body inertia from the capsule geometry (call after the
+    slots' mass/radius/half_len are filled)."""
+    return params._replace(
+        inertia=capsule_inertia(params.mass, params.radius,
+                                params.half_len))
 
 
 def phys_state_init(n: int) -> PhysState:
     return PhysState(
         pos=jnp.zeros((n, 3), jnp.float32),
         vel=jnp.zeros((n, 3), jnp.float32),
+        quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), (n, 1)),
+        angvel=jnp.zeros((n, 3), jnp.float32),
         time_acc=jnp.zeros((), jnp.float32),
         disable_count=jnp.zeros((n,), jnp.int32),
         disabled=jnp.zeros((n,), bool),
@@ -107,9 +142,14 @@ def capsule_auto_size(aabb_x: float, aabb_y: float, aabb_z: float,
     return r, length / 2, yoffset, ray_off
 
 
-def capsule_segment(pos, half_len):
-    """(p_bot, p_top) of the capsule segment for geom-center pos."""
+def capsule_segment(pos, half_len, quat=None):
+    """(p_bot, p_top) of the capsule segment for geom-center pos.
+
+    quat rotates the body-frame +y axis — a tumbling capsule's collision
+    segment follows its orientation (spheres: half_len 0, unaffected)."""
     up = jnp.zeros_like(pos).at[..., 1].set(half_len)
+    if quat is not None:
+        up = mx.qrot(quat, up)
     return pos - up, pos + up
 
 
@@ -117,7 +157,8 @@ def capsule_segment(pos, half_len):
 # contact generation
 # ---------------------------------------------------------------------------
 
-def _static_contacts(world: StaticWorld, params: BodyParams, pos):
+def _static_contacts(world: StaticWorld, params: BodyParams, pos,
+                     quat=None):
     """All static-world contact slots per body (K = samples + tris).
 
     Returns (depth, normal, point) of shape (N, K[, 3]). No deepest-K
@@ -127,14 +168,29 @@ def _static_contacts(world: StaticWorld, params: BodyParams, pos):
     samples on the same heightfield face, coplanar adjacent triangles —
     ODE's trimesh collider merges these) are masked to -inf keeping the
     DEEPEST contact of each normal direction."""
-    def per_body(p, r, hl):
-        p0, p1 = capsule_segment(p, hl)
+    # dynamic capsules tumble, so their contacts must cover both segment
+    # ends; scenes whose dynamic bodies are all spheres (half_len 0) keep
+    # the cheaper single-ended sample set. params are trace-time
+    # constants in the jitted step, so this resolves statically; if they
+    # are ever traced, fall back to the general (two-ended) path.
+    try:
+        import numpy as _np
+
+        two_ended = bool(_np.any(
+            _np.asarray(params.half_len)
+            * ~_np.asarray(params.kinematic) > 0))
+    except Exception:
+        two_ended = True
+
+    def per_body(p, r, hl, q):
+        p0, p1 = capsule_segment(p, hl, q)
         # cardinal heightfield samples only: dedupe keeps one contact per
         # plane anyway, and diagonal planes only matter for fast lateral
         # motion (covered by the sweep path). Near-contacts (depth ≤ 0
         # within CONTACT_MARGIN) stay so resting bodies keep a
         # persistent contact; c.depth is already -inf for masked slots.
-        c = capsule_world_contacts(world, p0, p1, r, n_samples=5)
+        c = capsule_world_contacts(world, p0, p1, r, n_samples=5,
+                                   two_ended=two_ended)
         d, n = c.depth, c.normal
         dots = jnp.einsum("ic,jc->ij", n, n)
         same = dots > 0.995
@@ -144,17 +200,20 @@ def _static_contacts(world: StaticWorld, params: BodyParams, pos):
         dup = (same & deeper).any(axis=0)   # j loses to a deeper/earlier i
         return jnp.where(dup, -jnp.inf, d), n, c.point
 
-    return jax.vmap(per_body)(pos, params.radius, params.half_len)
+    if quat is None:
+        quat = jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]),
+                                (pos.shape[0], 4))
+    return jax.vmap(per_body)(pos, params.radius, params.half_len, quat)
 
 
-def _pair_contacts(params: BodyParams, pos):
+def _pair_contacts(params: BodyParams, pos, quat=None):
     """All-pairs capsule-capsule contacts between bodies.
 
     Returns per-body accumulated push-out and per-pair data for the
     solver: (depth, normal, j) arrays of shape (N, N): contact of body i
     with body j; normal points from j toward i."""
     n = pos.shape[0]
-    p0, p1 = capsule_segment(pos, params.half_len)
+    p0, p1 = capsule_segment(pos, params.half_len, quat)
 
     def pair(i, j):
         ci, cj = closest_pt_segment_segment(p0[i], p1[i], p0[j], p1[j])
@@ -189,13 +248,49 @@ def _mix_pair(params: BodyParams):
 
 def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
              dt) -> PhysState:
-    """__phys_step (physics.c:746-771): collide → push-out → solve."""
+    """__phys_step (physics.c:746-771): collide → push-out → solve.
+
+    Full 6-DOF rigid bodies: static contacts apply impulses at the
+    contact point (linear + angular, λ-based with the standard
+    effective-mass K = 1/m + n·((I⁻¹(r×n))×r)), so off-center hits
+    tumble and friction makes spheres roll (phys_body_update syncs the
+    resulting rotation back to entities, physics.c:789-811)."""
     pos, vel = state.pos, state.vel
+    quat, angvel = state.quat, state.angvel
     solve_mask = params.active & ~params.kinematic & ~state.disabled
 
+    # inverse inertia; zero for kinematic/inactive bodies (immovable in
+    # the solve). Spheres have ISOTROPIC inertia (I⁻¹ = δ/i, rotation-
+    # invariant) — when every dynamic body is a sphere (half_len 0, the
+    # common case; params are trace-time constants) the solver skips all
+    # 3×3 inertia matrix work, which costs ~2/3 of the angular solve.
+    inv_mass = jnp.where(solve_mask, 1.0 / jnp.maximum(params.mass, 1e-6),
+                         0.0)
+    inv_d = jnp.where(solve_mask[:, None],
+                      1.0 / jnp.maximum(params.inertia, 1e-9), 0.0)
+    try:
+        import numpy as _np
+
+        iso = bool(_np.all(
+            _np.asarray(params.half_len)
+            * ~_np.asarray(params.kinematic) == 0))
+    except Exception:
+        iso = False
+    if iso:
+        inv_i = inv_d[:, 0]                                  # (N,)
+
+        def invI_apply(x):
+            return x * inv_i[:, None]
+    else:
+        R = mx.mat3_from_quat(quat)                          # (N, 3, 3)
+        inv_I = jnp.einsum("nab,nb,ncb->nac", R, inv_d, R)   # R diag Rᵀ
+
+        def invI_apply(x):
+            return jnp.einsum("nab,nb->na", inv_I, x)
+
     # --- contacts
-    sd, sn, _sp = _static_contacts(world, params, pos)       # (N,K),(N,K,3)
-    pd, pn = _pair_contacts(params, pos)                     # (N,N),(N,N,3)
+    sd, sn, sp = _static_contacts(world, params, pos, quat)  # (N,K),(N,K,3)
+    pd, pn = _pair_contacts(params, pos, quat)               # (N,N),(N,N,3)
 
     # --- penetration push-out (physics.c:755-766), dynamic bodies only
     push_static = jnp.sum(
@@ -222,8 +317,12 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     mu_s = params.mu
     b_pair, bv_pair, mu_pair = _mix_pair(params)
 
-    # precompute restitution targets from pre-solve velocities
-    vn_pre_s = jnp.einsum("nkc,nc->nk", sn, vel)
+    # contact offsets r (from the center of mass = geom center) and
+    # restitution targets from pre-solve point velocities
+    sr = sp - pos[:, None, :]                                # (N, K, 3)
+    vpt_pre = vel[:, None, :] + jnp.cross(
+        jnp.broadcast_to(angvel[:, None, :], sr.shape), sr)
+    vn_pre_s = jnp.einsum("nkc,nkc->nk", sn, vpt_pre)
     target_s = jnp.where(
         (bounce_s[:, None] > 0) & (vn_pre_s < -bv_s[:, None]),
         -bounce_s[:, None] * vn_pre_s, 0.0,
@@ -240,28 +339,44 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     # and [k]-major slices are contiguous (strided [:, k] slices off the
     # K-minor layout cost ~0.9 ms/step in layout shuffles)
     sn_km = jnp.moveaxis(sn, 1, 0)              # (K, N, 3)
+    sr_km = jnp.moveaxis(sr, 1, 0)              # (K, N, 3)
     contact_km = jnp.moveaxis(contact_s, 1, 0)  # (K, N)
     target_km = jnp.moveaxis(target_s, 1, 0)    # (K, N)
 
-    def static_slot(v, k):
-        """Sequential impulse for one static contact slot (other side has
-        infinite mass → closed form vn' = max(vn, target))."""
+    def static_slot(vw, k):
+        """λ-based sequential impulse at the contact point for one
+        static slot (the static side has infinite mass). Normal impulse
+        λ = max(target − vn, 0)/K with K = 1/m + n·((I⁻¹(r×n))×r);
+        Coulomb friction applies a point-tangential impulse ≤ μ·λ —
+        which is what makes spheres roll instead of skid."""
+        v, w = vw
         n_k = sn_km[k]
+        r_k = sr_km[k]
         act = contact_km[k] & solve_mask
-        vn = jnp.sum(n_k * v, axis=-1)
-        dvn = jnp.where(act, jnp.maximum(target_km[k] - vn, 0.0), 0.0)
-        v = v + dvn[:, None] * n_k
-        # Coulomb friction: tangential impulse ≤ μ·(normal impulse). The
-        # per-substep normal impulse at rest is g·h, so the budget matches
-        # ODE's μ·λ_n semantics (mass-normalized).
-        vt = v - jnp.sum(n_k * v, axis=-1, keepdims=True) * n_k
+        vpt = v + jnp.cross(w, r_k)
+        vn = jnp.sum(n_k * vpt, axis=-1)
+        rxn = jnp.cross(r_k, n_k)
+        iirxn = invI_apply(rxn)
+        K = inv_mass + jnp.einsum("nc,nc->n", jnp.cross(iirxn, r_k), n_k)
+        lam = jnp.where(act,
+                        jnp.maximum(target_km[k] - vn, 0.0)
+                        / jnp.maximum(K, 1e-9), 0.0)
+        v = v + (lam * inv_mass)[:, None] * n_k
+        w = w + lam[:, None] * iirxn
+        # friction: tangential point-velocity after the normal impulse
+        vpt = v + jnp.cross(w, r_k)
+        vt = vpt - jnp.sum(n_k * vpt, axis=-1, keepdims=True) * n_k
         vt_len = jnp.linalg.norm(vt, axis=-1)
-        max_f = mu_s * dvn
-        f = jnp.where(act & (vt_len > 1e-9),
-                      jnp.minimum(vt_len, max_f) / jnp.maximum(vt_len, 1e-9),
-                      0.0)
-        v = v - f[:, None] * vt
-        return v, None
+        t_dir = vt / jnp.maximum(vt_len, 1e-9)[:, None]
+        rxt = jnp.cross(r_k, t_dir)
+        iirxt = invI_apply(rxt)
+        Kt = inv_mass + jnp.einsum("nc,nc->n", jnp.cross(iirxt, r_k), t_dir)
+        lam_t = jnp.where(act & (vt_len > 1e-9),
+                          jnp.minimum(vt_len / jnp.maximum(Kt, 1e-9),
+                                      mu_s * lam), 0.0)
+        v = v - (lam_t * inv_mass)[:, None] * t_dir
+        w = w - lam_t[:, None] * iirxt
+        return (v, w), None
 
     def pair_pass(v):
         """One Jacobi pass over pair contacts (mass-weighted split;
@@ -286,20 +401,30 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     # of traffic per 4096-env step before this change)
     for _ in range(N_SOLVER_PASSES):
         for k in range(sd.shape[1]):
-            vel, _ = static_slot(vel, k)
+            (vel, angvel), _ = static_slot((vel, angvel), k)
         vel = pair_pass(vel)
 
-    # --- damping + integrate
+    # --- damping + integrate (linear damping only, like phys_init —
+    # physics.c:1126-1130 sets no angular damping)
     vel = vel * jnp.where(solve_mask[:, None], 1.0 - LINEAR_DAMPING, 1.0)
     pos = pos + jnp.where(solve_mask[:, None], vel * dt, 0.0)
+    # quaternion integration: q̇ = ½ ω ⊗ q (world-frame ω, ODE order)
+    wq = jnp.concatenate([angvel, jnp.zeros_like(angvel[:, :1])], axis=-1)
+    dq = 0.5 * mx.qmul(wq, quat)
+    quat = mx.qnormalize(
+        jnp.where(solve_mask[:, None], quat + dq * dt, quat))
 
-    # --- auto-disable bookkeeping (physics.c:1033-1043)
-    slow = jnp.linalg.norm(vel, axis=-1) < AUTO_DISABLE_VEL
+    # --- auto-disable bookkeeping (physics.c:1033-1043); ODE's
+    # auto-disable checks both linear and angular speed
+    slow = (jnp.linalg.norm(vel, axis=-1) < AUTO_DISABLE_VEL) \
+        & (jnp.linalg.norm(angvel, axis=-1) < AUTO_DISABLE_ANGVEL)
     cnt = jnp.where(slow, state.disable_count + 1, 0)
     disabled = disabled | (solve_mask & (cnt >= AUTO_DISABLE_STEPS))
     vel = jnp.where(disabled[:, None], 0.0, vel)
+    angvel = jnp.where((disabled | ~solve_mask)[:, None], 0.0, angvel)
 
-    return PhysState(pos=pos, vel=vel, time_acc=state.time_acc,
+    return PhysState(pos=pos, vel=vel, quat=quat, angvel=angvel,
+                     time_acc=state.time_acc,
                      disable_count=cnt, disabled=disabled)
 
 

@@ -26,7 +26,8 @@ from ..char.controller import CharParams
 from ..engine.state import EngineState, EntityParams, SceneConfig, engine_state_init
 from ..physics.heightfield import make_heightfield
 from ..physics.narrowphase import make_world
-from ..physics.world import BodyParams, body_params_empty, capsule_auto_size
+from ..physics.world import (BodyParams, body_params_empty,
+                             capsule_auto_size, finalize_inertia)
 from ..render.lights import Lights, lights_empty
 from .gltf import build_rig, find_collision_mesh, load_gltf
 
@@ -119,6 +120,7 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
     name_to_idx = {}
     body_slot = 0
     tris_accum = []
+    tri_ent_accum = []
 
     for ei, (mi, e, is_char) in enumerate(entities):
         if ei >= max_entities:
@@ -156,7 +158,9 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
                 # static trimesh baked into world space
                 m = _mat4_from_trs(pos, rot, scale)
                 v = lm.collision.verts @ m[:3, :3].T + m[:3, 3]
-                tris_accum.append(v[lm.collision.indices.reshape(-1, 3)])
+                tv = v[lm.collision.indices.reshape(-1, 3)]
+                tris_accum.append(tv)
+                tri_ent_accum.append(np.full((tv.shape[0],), ei, np.int32))
             else:
                 aabb = (1.0, 2.0, 1.0)
                 if lm.mesh is not None:
@@ -195,6 +199,8 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
                     char_ju.append(float(e.get("jump_upward", 5.0)))
                 body_slot += 1
 
+    bodies = finalize_inertia(bodies)
+
     # attachments (second pass: parent by name, scene.c:1594-1641)
     for ei, (mi, e, _) in enumerate(entities):
         if ei >= max_entities:
@@ -230,7 +236,9 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
         nrm[..., 1] = 1
         heightfield = make_heightfield(flat, nrm, [-512.0, -512.0], 1024.0)
     tris = np.concatenate(tris_accum) if tris_accum else None
-    world = make_world(heightfield, None if tris is None else jnp.asarray(tris))
+    tri_ents = np.concatenate(tri_ent_accum) if tri_ent_accum else None
+    world = make_world(heightfield, None if tris is None else jnp.asarray(tris),
+                       tri_entity=None if tri_ents is None else jnp.asarray(tri_ents))
 
     char_params = CharParams(
         body=jnp.asarray(char_bodies or [0], jnp.int32),

@@ -20,7 +20,7 @@ from ..engine.state import (EngineState, EntityParams, SceneConfig,
 from ..physics.heightfield import heightfield_from_terrain
 from ..physics.narrowphase import make_world
 from ..physics.world import (BodyParams, body_params_empty, capsule_auto_size,
-                             phys_state_init)
+                             finalize_inertia, phys_state_init)
 from ..utils.frand import Rand48
 from .terrain import terrain_init_square_landscape
 
@@ -81,6 +81,8 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
             bounce_vel=setb(bodies.bounce_vel, bi, 0.1),
         )
         dyn_pos.append((bx, 4.0 + 3.0 * rng.drand48(), bz))
+
+    bodies = finalize_inertia(bodies)
 
     char_params = CharParams(
         body=jnp.arange(n_chars, dtype=jnp.int32),

@@ -166,3 +166,72 @@ def test_roster_switch_retargets_camera():
     # character separation along x
     shift = cam1 - cam0
     assert abs(shift[0] - (c1[0] - c0[0])) < 0.5
+
+
+def test_switch_entity_through_integrated_step():
+    """A character walks onto a NON-terrain switch entity (a raised box
+    with its own collision trimesh) through the full game_step: the
+    controller's ground ray reports the switch's entity id and the
+    platform group appears — then parks again after stepping off
+    (non-permanent switch; ref character.c:490-496 + main.c:96-138)."""
+    from clap_tpu.physics.heightfield import make_heightfield
+    from clap_tpu.physics.narrowphase import make_world
+
+    tb = build_testbed(seed=7, side=32.0, nr_v=32, n_dynamic=2,
+                       max_entities=16)
+    # flat terrain for a deterministic walk
+    n = 33
+    H = np.zeros((n, n), np.float32)
+    N = np.zeros((n, n, 3), np.float32)
+    N[..., 1] = 1.0
+    hf = make_heightfield(H, N, [-16.0, -16.0], 32.0)
+    # switch box: top face at y=0.2 over x∈[1.2,3.2], z∈[-1,1], owned by
+    # entity 5
+    x0, x1, z0, z1, top = 1.2, 3.2, -1.0, 1.0, 0.2
+    p00 = [x0, top, z0]
+    p01 = [x0, top, z1]
+    p10 = [x1, top, z0]
+    p11 = [x1, top, z1]
+    tris = np.array([[p00, p01, p10], [p10, p01, p11]], np.float32)
+    world = make_world(hf, jnp.asarray(tris),
+                       tri_entity=jnp.array([5, 5], jnp.int32),
+                       hf_entity=0)
+    cfg = tb.cfg._replace(world=world)
+
+    E = 16
+    g0 = game_config_empty(1, E)
+    gcfg = g0._replace(
+        switch_entity=jnp.array([5], jnp.int32),
+        switch_valid=jnp.array([True]),
+        switch_group=jnp.array([0], jnp.int32),
+        switch_permanent=jnp.array([False]),
+        platform_group=g0.platform_group.at[6].set(0),
+        platform_on_pos=g0.platform_on_pos.at[6].set(
+            jnp.array([5.0, 2.0, 0.0])),
+    )
+    gw = GameWorld(scene=cfg, game=gcfg)
+    st0 = tb.state0
+    # spawn on the flat ground at x=0
+    st0 = st0._replace(phys=st0.phys._replace(
+        pos=st0.phys.pos.at[0].set(jnp.array([0.0, 1.0, 0.0]))))
+    gs = GameSessionState(engine=st0, game=game_state_init(1, 1))
+
+    step = jax.jit(lambda s, i: game_step(gw, s, i))
+    ins = inputs_zero(1)._replace(motion=jnp.array([[1.0, 0.0]], jnp.float32))
+
+    on_box_seen = False
+    plat_while_on = False
+    for _ in range(140):
+        gs = step(gs, ins)
+        ge = int(gs.engine.chars.collision[0])
+        if ge == 5:
+            on_box_seen = True
+            plat_while_on = plat_while_on or bool(gs.engine.visible[6])
+    assert on_box_seen, "ground ray never reported the switch entity"
+    assert plat_while_on, "platform group did not appear while standing on the switch"
+    # walked past the box → non-permanent switch releases, platforms park
+    x_now = float(gs.engine.phys.pos[0, 0])
+    assert x_now > 4.0, x_now
+    assert int(gs.engine.chars.collision[0]) == 0   # back on terrain
+    assert not bool(gs.game.switch_on[0])
+    assert not bool(gs.engine.visible[6])

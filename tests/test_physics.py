@@ -43,6 +43,7 @@ def one_sphere(r=0.5, pos=(0, 5, 0), bounce=0.0, bounce_vel=0.0, mu=1.0, n=4):
         yoffset=params.yoffset.at[0].set(r),
         ray_off=params.ray_off.at[0].set(r),
     )
+    params = W.finalize_inertia(params)
     st = W.phys_state_init(n)
     st = st._replace(pos=st.pos.at[0].set(jnp.array(pos, jnp.float32)))
     return params, st
@@ -95,12 +96,20 @@ def test_free_fall_matches_analytic():
     assert abs(float(st.pos[0, 1]) - y_ref) < 0.12
 
 
-def test_friction_stops_slide():
+def test_friction_converts_slide_to_roll():
+    # ODE semantics: contact friction on a sliding sphere transfers
+    # momentum into spin until rolling without slipping at v = 5/7 v0
+    # (it does NOT stop — there is no rolling resistance)
     world = flat_world()
     params, st = one_sphere(r=0.5, pos=(0, 0.5, 0), mu=1.0)
     st = st._replace(vel=st.vel.at[0].set(jnp.array([4.0, 0, 0], jnp.float32)))
-    st = run_steps(world, params, st, 300)
-    assert float(jnp.linalg.norm(st.vel[0])) < 0.06
+    st = run_steps(world, params, st, 30)
+    v = float(st.vel[0, 0])
+    # 5/7·v0 = 2.857, shaved slightly by the ODE-matched 1e-3/substep
+    # linear damping over the half second
+    assert 2.55 < v < 2.87, v
+    w = np.asarray(st.angvel[0])
+    assert abs(-w[2] * 0.5 - v) / v < 0.01  # rolling: v = ω×r
     # frictionless keeps sliding
     params2 = params._replace(mu=params.mu.at[0].set(0.0))
     _, st2 = one_sphere(r=0.5, pos=(0, 0.5, 0))
@@ -111,11 +120,13 @@ def test_friction_stops_slide():
 
 def test_raycast_down():
     world = flat_world(h=1.0)
-    d, n, hit = raycast_down(world, jnp.array([0.0, 4.0, 0.0]), 10.0)
+    d, n, hit, ent = raycast_down(world, jnp.array([0.0, 4.0, 0.0]), 10.0)
     assert bool(hit) and abs(float(d) - 3.0) < 1e-5
     np.testing.assert_allclose(np.asarray(n), [0, 1, 0], atol=1e-6)
-    d2, _, hit2 = raycast_down(world, jnp.array([0.0, 4.0, 0.0]), 2.0)
+    assert int(ent) == 0  # heightfield → terrain entity
+    d2, _, hit2, ent2 = raycast_down(world, jnp.array([0.0, 4.0, 0.0]), 2.0)
     assert not bool(hit2)
+    assert int(ent2) == -1
 
 
 def test_capsule_contacts_on_slope():
@@ -359,3 +370,100 @@ def test_two_characters_sequential():
     assert gap > 2 * float(params.radius[0]) * 0.8
     # both actually moved from their spawns
     assert p[0, 0] > 0.3 and p[1, 0] < 3.7
+
+
+# ---------------------------------------------------------------------------
+# rigid-body angular dynamics (rotation sync: physics.c:789-811)
+# ---------------------------------------------------------------------------
+
+def test_sphere_rolls_down_incline_5_7_law():
+    """A solid sphere released on a frictional incline rolls without
+    slipping: a = g·sinθ / (1 + I/(m r²)) = (5/7)·g·sinθ."""
+    slope = 0.25
+    world = slope_world(slope)
+    r = 0.5
+    params, st = one_sphere(r=r, pos=(0, 0, 0), mu=1.5)
+    params = W.finalize_inertia(params)
+    # place exactly resting on the slope at x=0: surface point (0, 0)
+    # with unit normal n; center = r·n
+    nv = np.array([-slope, 1.0, 0.0]) / np.sqrt(1 + slope * slope)
+    st = st._replace(pos=st.pos.at[0].set(jnp.asarray(r * nv, jnp.float32)))
+
+    frames = 45  # 0.75 s (before it rolls far enough to matter)
+    st = run_steps(world, params, st, frames)
+    t = frames / 60.0
+    sin_t = slope / np.sqrt(1 + slope * slope)
+    v_expect = (5.0 / 7.0) * 9.8 * sin_t * t
+    v = np.asarray(st.vel[0])
+    speed = np.linalg.norm(v[[0, 1]])
+    assert speed == pytest.approx(v_expect, rel=0.12), (speed, v_expect)
+    # rolling without slipping: |ω| ≈ v/r about the z axis
+    w = np.asarray(st.angvel[0])
+    assert abs(np.linalg.norm(w) - speed / r) / (speed / r) < 0.15
+    assert abs(w[2]) > 10 * abs(w[0]) and abs(w[2]) > 10 * abs(w[1])
+    # orientation actually integrates (the quat left identity)
+    q = np.asarray(st.quat[0])
+    assert abs(q[3]) < 0.999
+
+
+def test_sphere_rest_no_spin():
+    """A sphere resting on flat ground stays unrotated."""
+    world = flat_world()
+    params, st = one_sphere(r=0.5, pos=(0, 0.5, 0))
+    params = W.finalize_inertia(params)
+    st = run_steps(world, params, st, 90)
+    assert np.linalg.norm(np.asarray(st.angvel[0])) < 0.05
+    q = np.asarray(st.quat[0])
+    assert abs(q[3]) > 0.999
+
+
+def test_capsule_topples_and_lies_down():
+    """An upright capsule given a shove at the top tips over and comes
+    to rest lying on the ground (rotating collision geometry)."""
+    world = flat_world()
+    n = 4
+    r, hl = 0.25, 0.5
+    params = W.body_params_empty(n)
+    params = params._replace(
+        active=params.active.at[0].set(True),
+        radius=params.radius.at[0].set(r),
+        half_len=params.half_len.at[0].set(hl),
+        yoffset=params.yoffset.at[0].set(r + hl),
+        ray_off=params.ray_off.at[0].set(r + hl / 2),
+        mu=params.mu.at[0].set(1.0),
+    )
+    params = W.finalize_inertia(params)
+    st = W.phys_state_init(n)
+    st = st._replace(
+        pos=st.pos.at[0].set(jnp.array([0.0, r + hl, 0.0])),
+        angvel=st.angvel.at[0].set(jnp.array([0.0, 0.0, 3.0])),
+    )
+    st = run_steps(world, params, st, 240)
+    # lying: center height ≈ r (segment horizontal), axis ⟂ y
+    y = float(st.pos[0, 1])
+    assert y < r + 0.55 * hl, y
+    import clap_tpu.mathx as mx
+    axis = np.asarray(mx.qrot(st.quat[0], jnp.array([0.0, 1.0, 0.0])))
+    assert abs(axis[1]) < 0.45, axis
+
+
+def test_rotation_syncs_to_entity_matrix():
+    """game/engine step writes the body quaternion into the entity's
+    world matrix (phys_body_update → model.c:1665)."""
+    from clap_tpu.scene.testbed import build_testbed
+    from clap_tpu.engine.step import engine_step, inputs_zero
+
+    tb = build_testbed(seed=7, side=32.0, nr_v=32, n_dynamic=2,
+                       max_entities=16)
+    # give dynamic body 1 (entity 2) a spin
+    st = tb.state0
+    st = st._replace(phys=st.phys._replace(
+        angvel=st.phys.angvel.at[1].set(jnp.array([0.0, 2.0, 0.0]))))
+    ins = inputs_zero(1)
+    step = jax.jit(lambda s: engine_step(tb.cfg, s, ins))
+    for _ in range(30):
+        st = step(st)
+    m = np.asarray(st.mx[2])  # entity 2 = first dynamic body
+    # rotation part is no longer identity
+    assert not np.allclose(m[:3, :3] / max(np.linalg.norm(m[:3, 0]), 1e-6),
+                           np.eye(3), atol=5e-2)
