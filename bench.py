@@ -247,9 +247,62 @@ def bench_batched_render(n_envs: int = 64, res: int = 256):
             "frames_per_s": n_envs / dt}
 
 
+def kernel_parity_check():
+    """On-device parity of the Pallas kernels vs their reference
+    implementations (VERDICT r1 #9: CI interprets the kernels on CPU, so
+    a Mosaic-vs-interpret divergence would otherwise ship silently).
+    Runs BEFORE timing; returns True only if both kernels match."""
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.ops.ca2d import CA_TEST, ca2d_run, ca2d_run_pallas, ca2d_seed
+    from clap_tpu.render.raster import (assemble_tri_records, bin_triangles,
+                                        project_to_screen, raster_brute,
+                                        rasterize)
+    from clap_tpu.scene.terrain import terrain_init_square_landscape
+
+    ok = True
+    # ca2d: fused Pallas vs lax.scan reference, 32 generations
+    key = jax.random.PRNGKey(3)
+    g = ca2d_seed(CA_TEST, key, (64, 64))
+    a = np.asarray(ca2d_run_pallas(CA_TEST, g, 32))
+    b = np.asarray(ca2d_run(CA_TEST, g, 32))
+    ok &= bool((a == b).all())
+
+    # rasterizer: Mosaic kernel vs brute-force oracle on a small scene
+    t = terrain_init_square_landscape(5, -8.0, 0.0, -8.0, 16.0, 24)
+    verts = jnp.asarray(t.vx)
+    faces = jnp.asarray(t.idx.reshape(-1, 3))
+    eye = jnp.array([6.0, 6.0, 6.0])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+    clip = jnp.einsum("ij,vj->vi", proj @ view, jnp.concatenate(
+        [verts, jnp.ones_like(verts[:, :1])], -1))
+    W = H = 128
+    sx, sy, z, iw = project_to_screen(clip, W, H)
+    rec, okm = assemble_tri_records(sx, sy, z, iw, faces,
+                                    jnp.ones((faces.shape[0],), bool))
+    gb = rasterize(rec, bin_triangles(rec, okm, W, H), W, H)
+    gb_ref = raster_brute(rec, okm, W, H)
+    tid_a = np.asarray(gb.tri_id)
+    tid_b = np.asarray(gb_ref.tri_id)
+    same = tid_a == tid_b
+    # allow a sliver of edge pixels to disagree (fp associativity between
+    # the coefficient kernel and the direct-eval oracle)
+    ok &= bool(same.mean() > 0.995)
+    da = np.asarray(gb.depth)[same & (tid_a >= 0)]
+    db = np.asarray(gb_ref.depth)[same & (tid_b >= 0)]
+    ok &= bool(np.allclose(da, db, atol=1e-4))
+    return bool(ok)
+
+
 def main():
     backend = jax.default_backend()
     sub = {}
+    try:
+        sub["kernel_parity"] = kernel_parity_check()
+    except Exception as e:  # pragma: no cover
+        sub["kernel_parity"] = {"error": str(e)[:200]}
     try:
         sub["ca2d"] = bench_ca2d()
     except Exception as e:  # pragma: no cover

@@ -62,6 +62,15 @@ def anim_instance_init() -> AnimInstance:
     return AnimInstance(queue=queue_init(), prev_state=jnp.int32(-1))
 
 
+def anim_instances_init(n: int) -> AnimInstance:
+    """Batched instances for n rigs (mq_update animates every entity's
+    rig each frame, model.c:1953 — game_step vmaps over this batch)."""
+    import jax
+
+    one = anim_instance_init()
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (n, *x.shape)), one)
+
+
 def anim_step(acfg: AnimConfig, sk: Skeleton, lib: AnimLibrary,
               inst: AnimInstance, char_state, dt):
     """Advance one character's animation.

@@ -80,7 +80,11 @@ def parse_cli(argv, cfg: ClapConfig) -> ClapConfig:
 class Engine:
     """The clap context analogue."""
 
-    def __init__(self, cfg: ClapConfig, scene_cfg, state0, argv=()):
+    def __init__(self, cfg: ClapConfig, scene_cfg, state0, argv=(),
+                 game_world=None, session0=None):
+        """game_world/session0: optionally step the FULL composed game
+        (rules + batched rig animation + particles, engine/game.py)
+        instead of the bare engine_step — the clap_frame composition."""
         self.cfg = parse_cli(list(argv), cfg)
         self.bus = MessageBus()
         self.bus.subscribe(MT.COMMAND, self._handle_command)
@@ -93,18 +97,70 @@ class Engine:
             cfg.early_init(self)
         self.settings = Settings(on_load=None) if cfg.settings else None
         self.scene_cfg = scene_cfg
-        self.state = state0
         self.timers: list[tuple[float, Callable]] = []
         self._restart = False
         self._stop = False
         self.frame_no = 0
         self.fuzz_key = jax.random.PRNGKey(0)
         n_chars = scene_cfg.char_params.body.shape[0]
-        self._step = jax.jit(
-            lambda s, i: engine_step(scene_cfg, s, i))
+        self.session = None
+        if game_world is not None:
+            from .game import game_step
+
+            self.session = session0
+            self.state = session0.engine
+            self._step_session = jax.jit(
+                lambda s, i: game_step(game_world, s, i))
+            self._step = None
+        else:
+            self._step = jax.jit(
+                lambda s, i: engine_step(scene_cfg, s, i))
+            self.state = state0
         self._zero_inputs = inputs_zero(n_chars)
+        self._render = None
+        self.last_frame = None
+        self._frame_dir = None
         if cfg.graphics_init:
             cfg.graphics_init(self)
+
+    def attach_graphics(self, render_tables, lights, opts=None,
+                        skip_culling=None, out_dir=None,
+                        fov: float = jnp.pi / 3):
+        """Wire per-frame rendering into Engine.frame (graphics=True:
+        clap_frame IS update+render, clap.c:551-665 — r1 only composed
+        render with the step in demos/tests). The camera comes from the
+        step's own CameraState; frames land in self.last_frame and,
+        when out_dir is set, as numbered PNGs."""
+        from .. import mathx as mx
+        from ..render.camera import camera_view_proj
+        from ..render.pipeline import RenderOptions, render_frame
+        from ..render.scenerender import assemble_scene_geometry
+        from ..render.view import make_subview
+
+        if opts is None:
+            opts = RenderOptions(width=self.cfg.width,
+                                 height=self.cfg.height, film_grain=0.0)
+        aspect = opts.width / opts.height
+        ctrl_body = self.scene_cfg.char_params.body
+
+        def render(st, control):
+            cam = st.camera
+            q = mx.qmul(
+                mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
+                                        cam.yaw),
+                mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]),
+                                        cam.pitch))
+            view, proj = camera_view_proj(cam.pos, q, fov, aspect)
+            sv = make_subview(view, proj)
+            geom = assemble_scene_geometry(
+                render_tables, st.mx, st.visible, sv.planes, cam.pos,
+                skip_culling=skip_culling)
+            return render_frame(opts, geom, view, proj, lights, cam.pos)
+
+        self._render = jax.jit(render)
+        self._frame_dir = out_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
 
     # --- timers (clap.c:339-439: sorted one-shot list) ---
     def timer_set(self, delay_s: float, fn: Callable):
@@ -140,8 +196,27 @@ class Engine:
                 inputs = self._zero_inputs
         self.profiler.step("input")
 
-        self.state = self._step(self.state, inputs)
+        if self.session is not None:
+            self.session = self._step_session(self.session, inputs)
+            self.state = self.session.engine
+        else:
+            self.state = self._step(self.state, inputs)
         self.profiler.step("sim")
+
+        if self._render is not None:
+            ctrl = (self.session.game.control
+                    if self.session is not None and self.session.game
+                    is not None else jnp.int32(0))
+            self.last_frame = self._render(self.state, ctrl)
+            if self._frame_dir:
+                import numpy as np
+
+                from ..utils.png import save_png
+
+                save_png(os.path.join(self._frame_dir,
+                                      f"frame_{self.frame_no:04d}.png"),
+                         np.asarray(self.last_frame))
+        self.profiler.step("render")
 
         if self.cfg.frame_cb:
             self.cfg.frame_cb(self)

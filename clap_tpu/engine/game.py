@@ -40,6 +40,7 @@ class GameWorld(NamedTuple):
     # entity rides a joint of its parent's animated skeleton)
     attach_joint: jnp.ndarray | None = None      # (E,) int32 joint id, -1 none
     attach_offset: jnp.ndarray | None = None     # (E, 3) local offset
+    entity_char: jnp.ndarray | None = None       # (E,) char rig slot, -1 none
 
 
 class GameSessionState(NamedTuple):
@@ -47,9 +48,9 @@ class GameSessionState(NamedTuple):
 
     engine: EngineState
     game: GameState | None = None
-    anim: AnimInstance | None = None             # controlled character's rig
+    anim: AnimInstance | None = None             # BATCHED over all C rigs
     particles: ParticleState | None = None
-    joint_mats: jnp.ndarray | None = None        # (J, 4, 4) current pose
+    joint_mats: jnp.ndarray | None = None        # (C, J, 4, 4) current poses
 
 
 def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
@@ -83,20 +84,29 @@ def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
     anim = gs.anim
     jt = gs.joint_mats
     if gw.anim is not None and anim is not None:
-        aslot = game.control if game is not None else 0
-        anim, jt = anim_step(gw.anim, gw.anim_sk, gw.anim_lib, anim,
-                             st.chars.state[aslot], dt)
+        # EVERY rig animates every frame (mq_update walks all entities →
+        # animated_update, model.c:1953/1563) — anim is a batched
+        # AnimInstance over the C character rigs, advanced by one vmap
+        anim, jt = jax.vmap(
+            lambda a, s: anim_step(gw.anim, gw.anim_sk, gw.anim_lib,
+                                   a, s, dt)
+        )(anim, st.chars.state)                           # jt: (C, J, 4, 4)
         if gw.attach_joint is not None:
             # joint riding (parent_transform_apply model.c:1594-1647):
             # child world = parent_mx · joint_global · offset. joint
             # globals recovered from the skinning matrices via the
             # inverse bind: global = jt · bind.
             bind = jnp.linalg.inv(gw.anim_sk.invbind)
-            glob = jnp.einsum("jik,jkl->jil", jt, bind)
+            glob = jnp.einsum("cjik,jkl->cjil", jt, bind)  # (C, J, 4, 4)
             has = gw.attach_joint >= 0
             j = jnp.maximum(gw.attach_joint, 0)
             parent = jnp.maximum(gw.scene.entities.parent, 0)
-            ride = jnp.einsum("eij,ejk->eik", st.mx[parent], glob[j])
+            if gw.entity_char is not None:
+                pchar = jnp.maximum(gw.entity_char[parent], 0)
+            else:
+                pchar = jnp.zeros_like(parent)
+            ride = jnp.einsum("eij,ejk->eik", st.mx[parent],
+                              glob[pchar, j])
             new_pos = jnp.einsum(
                 "eij,ej->ei", ride[:, :3, :3], gw.attach_offset
             ) + ride[:, :3, 3]

@@ -34,10 +34,14 @@ class Inputs(NamedTuple):
 
 
 def inputs_zero(n_chars: int) -> Inputs:
+    # dash is populated (not None) so Inputs has a STABLE treedef —
+    # a None leaf changes the pytree structure, breaking sharding and
+    # serialization round-trips
     return Inputs(
         motion=jnp.zeros((n_chars, 2), jnp.float32),
         jump=jnp.zeros((n_chars,), bool),
         cam_delta=jnp.zeros(3, jnp.float32),
+        dash=jnp.zeros((n_chars,), bool),
     )
 
 

@@ -101,3 +101,37 @@ def billboard_matrix(view):
     (particle.c:93-100)."""
     m = jnp.eye(4, dtype=view.dtype)
     return m.at[:3, :3].set(view[:3, :3].T)
+
+
+def particle_clip_quads(pos, size, cam_view, cam_proj, active=None):
+    """Camera-facing billboard quads as a clip-space triangle stream
+    (the instanced particle draw, particle.c:122-125 + particle.vert):
+    each particle becomes two triangles spanning ±size in VIEW space.
+
+    pos: (P, 3) world positions (flatten multi-system pools first);
+    active: (P,) bool. Returns (tri_verts (2P·3, 4) clip coords,
+    faces (2P, 3) int32, valid (2P,), owner (2P,) particle index).
+    """
+    P = pos.shape[0]
+    p4 = jnp.concatenate([pos, jnp.ones((P, 1), pos.dtype)], axis=-1)
+    vp = jnp.einsum("ij,pj->pi", cam_view, p4)[:, :3]     # view space
+    s = jnp.broadcast_to(jnp.asarray(size, pos.dtype), (P,))[:, None]
+    right = jnp.array([1.0, 0.0, 0.0], pos.dtype)
+    up = jnp.array([0.0, 1.0, 0.0], pos.dtype)
+    c00 = vp + (-right - up) * s
+    c10 = vp + (right - up) * s
+    c01 = vp + (-right + up) * s
+    c11 = vp + (right + up) * s
+    corners = jnp.stack([c00, c10, c01, c11], axis=1)     # (P, 4, 3)
+    c4 = jnp.concatenate(
+        [corners, jnp.ones((P, 4, 1), pos.dtype)], axis=-1)
+    clip = jnp.einsum("ij,pkj->pki", cam_proj, c4)        # (P, 4, 4)
+    # CCW in view space (y up): (00, 10, 01) and (10, 11, 01)
+    t1 = clip[:, jnp.array([0, 1, 2])]
+    t2 = clip[:, jnp.array([1, 3, 2])]
+    tris = jnp.stack([t1, t2], axis=1).reshape(P * 2, 3, 4)
+    valid = jnp.ones((P,), bool) if active is None else active
+    valid2 = jnp.repeat(valid, 2)
+    owner = jnp.repeat(jnp.arange(P, dtype=jnp.int32), 2)
+    faces = jnp.arange(P * 2 * 3, dtype=jnp.int32).reshape(-1, 3)
+    return tris.reshape(-1, 4), faces, valid2, owner

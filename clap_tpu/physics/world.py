@@ -329,7 +329,13 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     )
     contact_s = sd > -CONTACT_MARGIN
 
-    vn_pre_p = jnp.einsum("nmc,nc->nm", pn, vel)
+    # pair restitution targets from RELATIVE pre-solve velocities (ODE's
+    # contact restitution acts on the relative normal speed; using only
+    # body i's speed halved the rebound in symmetric collisions)
+    vrel_pre = vel[:, None, :] - jnp.where(
+        (params.kinematic | ~params.active)[None, :, None],
+        0.0, vel[None, :, :])
+    vn_pre_p = jnp.einsum("nmc,nmc->nm", pn, vrel_pre)
     target_p = jnp.where(
         (b_pair > 0) & (vn_pre_p < -bv_pair), -b_pair * vn_pre_p, 0.0
     )

@@ -67,6 +67,21 @@ class SceneGeometry(NamedTuple):
     rough_metal: jnp.ndarray  # (V, 2)
     emission: jnp.ndarray   # (V, 3)
     uv: jnp.ndarray = None  # (V, 2) texcoords (optional, for texturing)
+    tangent: jnp.ndarray = None   # (V, 4) xyz + handedness w (model.vert:54-67)
+    tex_id: jnp.ndarray = None    # (V,) f32 texture-set layer, -1 untextured
+    local_pos: jnp.ndarray = None  # (V, 3) model-local pos (material fBm
+                                   # samples LOCAL space, lighting.glsl:20-50)
+    mat_fbm: jnp.ndarray = None   # (V, 6) amp, scale, rough_floor,
+                                  # rough_ceil, metal_floor, metal_ceil
+
+
+class TextureSets(NamedTuple):
+    """Per-model texture layers (model3dtx's diffuse/normal/emission set,
+    model.h:213-223) as stacked arrays indexed by SceneGeometry.tex_id."""
+
+    diffuse: jnp.ndarray          # (L, S, S, 3)
+    normal: jnp.ndarray = None    # (L, S, S, 3) tangent-space, [0,1]
+    emission: jnp.ndarray = None  # (L, S, S, 3)
 
 
 def clip_transform(verts, view, proj):
@@ -144,24 +159,53 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
 
 def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
                lights: Lights, eye, shadow_moments=None, shadow_mvps=None,
-               cascade_dists=None, base_texture=None):
+               cascade_dists=None, base_texture=None, textures=None):
     """MRT model pass (pipeline-builder.c:329-364) as raster + deferred
     shading. Returns (hdr lighting, emission, view normals, gbuffer,
     view_pos)."""
     W, H = opts.width, opts.height
     clip = clip_transform(geom.verts, cam_view, cam_proj)
-    sx, sy, z, iw = project_to_screen(clip, W, H)
-    rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces, geom.face_valid)
+    # near-plane clipping (GL hardware-clip parity): camera-crossing
+    # triangles raster as clipped sub-tris instead of dropping
+    from .raster import clip_near_records
+
+    rec, ok, csrc, cbary = clip_near_records(clip, geom.faces, W, H,
+                                             geom.face_valid)
     binned = bin_triangles(rec, ok, W, H)
     gb = rasterize(rec, binned, W, H)
 
+    # dynamic attribute layout: optional streams (uv, tangents, texture
+    # layer, local pos, material-fBm params) pack behind the core 14
     streams = [geom.verts, geom.normals, geom.base_color, geom.rough_metal,
                geom.emission]
-    textured = base_texture is not None and geom.uv is not None
+    off = {"core": 0}
+    cursor = 14
+    textured = geom.uv is not None and (
+        base_texture is not None or textures is not None)
     if textured:
+        off["uv"] = cursor
         streams.append(geom.uv)
-    vattrs = jnp.concatenate(streams, axis=-1)   # (V, 14[+2])
-    attrs = shade.interpolate_attrs(gb, geom.faces, vattrs)
+        cursor += 2
+    tbn = (textures is not None and textures.normal is not None
+           and geom.tangent is not None)
+    if tbn:
+        off["tangent"] = cursor
+        streams.append(geom.tangent)
+        cursor += 4
+    if textures is not None and geom.tex_id is not None:
+        off["tex_id"] = cursor
+        streams.append(geom.tex_id[:, None].astype(jnp.float32))
+        cursor += 1
+    fbm_on = geom.mat_fbm is not None and geom.local_pos is not None
+    if fbm_on:
+        off["local"] = cursor
+        streams.append(geom.local_pos)
+        cursor += 3
+        off["fbm"] = cursor
+        streams.append(geom.mat_fbm)
+        cursor += 6
+    vattrs = jnp.concatenate(streams, axis=-1)
+    attrs = shade.interpolate_attrs(gb, geom.faces, vattrs, csrc, cbary)
     wpos = attrs[..., 0:3]
     nrm = attrs[..., 3:6]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
@@ -169,11 +213,53 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     rough = attrs[..., 9]
     metal = attrs[..., 10]
     emission = attrs[..., 11:14]
-    if textured:
-        from .texture import sample_bilinear
 
-        texel = sample_bilinear(base_texture, attrs[..., 14:16])
-        base = base * texel[..., :3]   # modulate (model.frag diffuse map)
+    if textured:
+        uv_px = attrs[..., off["uv"]:off["uv"] + 2]
+        if textures is not None:
+            from .texture import sample_layered
+
+            lid = attrs[..., off["tex_id"]].astype(jnp.int32) \
+                if "tex_id" in off else jnp.zeros(wpos.shape[:2], jnp.int32)
+            has_tex = (attrs[..., off["tex_id"]] >= -0.5) \
+                if "tex_id" in off else jnp.ones(wpos.shape[:2], bool)
+            texel = sample_layered(textures.diffuse, lid, uv_px)
+            base = jnp.where(has_tex[..., None], base * texel, base)
+            if tbn:
+                # TBN normal mapping (model.vert:54-67 + lighting.glsl:174)
+                t4 = attrs[..., off["tangent"]:off["tangent"] + 4]
+                t = t4[..., :3]
+                t = t - jnp.sum(t * nrm, -1, keepdims=True) * nrm
+                t = t / jnp.maximum(
+                    jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-6)
+                b = jnp.cross(nrm, t) * t4[..., 3:4]
+                nm = sample_layered(textures.normal, lid, uv_px) * 2.0 - 1.0
+                mapped = (t * nm[..., 0:1] + b * nm[..., 1:2]
+                          + nrm * nm[..., 2:3])
+                mapped = mapped / jnp.maximum(
+                    jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-6)
+                nrm = jnp.where(has_tex[..., None], mapped, nrm)
+            if textures.emission is not None:
+                em_tex = sample_layered(textures.emission, lid, uv_px)
+                emission = jnp.where(has_tex[..., None],
+                                     emission + em_tex, emission)
+        elif base_texture is not None:
+            from .texture import sample_bilinear
+
+            texel = sample_bilinear(base_texture, uv_px)
+            base = base * texel[..., :3]   # modulate (model.frag diffuse)
+
+    if fbm_on:
+        # procedural roughness/metallic fBm of LOCAL-space position
+        # (lighting.glsl:20-50; material_fbm was unrouted in r1)
+        lp = attrs[..., off["local"]:off["local"] + 3]
+        fp = attrs[..., off["fbm"]:off["fbm"] + 6]
+        f = shade.material_fbm(lp, fp[..., 0], 4, fp[..., 1:2])
+        use = fp[..., 0] > 0
+        rough = jnp.where(use, fp[..., 2] + (fp[..., 3] - fp[..., 2]) * f,
+                          rough)
+        metal = jnp.where(use, fp[..., 4] + (fp[..., 5] - fp[..., 4]) * f,
+                          metal)
 
     # view-space data
     vpos = mx.mat4_transform_point(cam_view, wpos)
@@ -212,11 +298,39 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     return hdr, emit, vnrm, gb, vpos
 
 
+def particle_pass(opts: RenderOptions, hdr, scene_depth, ppos, psize,
+                  pactive, cam_view, cam_proj, color=(0.9, 0.9, 0.6),
+                  alpha: float = 0.55):
+    """Rasterize particle billboards and alpha-blend them over the HDR
+    buffer (particle.c:122-125 draws instanced quads with blending; here
+    the nearest particle per pixel wins the blend — a single
+    transparency layer, which matches the visual density of the
+    reference's small additive-ish sprites).
+
+    ppos: (P, 3) world positions; psize: scalar or (P,); pactive: (P,).
+    """
+    from ..ops.particles import particle_clip_quads
+    from .raster import (assemble_tri_records, bin_triangles,
+                         project_to_screen, rasterize)
+
+    W, H = opts.width, opts.height
+    verts, faces, valid, _owner = particle_clip_quads(
+        ppos, psize, cam_view, cam_proj, pactive)
+    sx, sy, z, iw = project_to_screen(verts, W, H)
+    rec, ok = assemble_tri_records(sx, sy, z, iw, faces, valid)
+    gb = rasterize(rec, bin_triangles(rec, ok, W, H), W, H)
+    # depth test against the opaque scene, then blend
+    vis = (gb.tri_id >= 0) & (gb.depth < scene_depth)
+    c = jnp.asarray(color, hdr.dtype)
+    return jnp.where(vis[..., None],
+                     hdr * (1.0 - alpha) + c[None, None] * alpha, hdr)
+
+
 def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                  cam_proj, lights: Lights, eye, far: float = 200.0,
                  ssao_kernel_arr=None, grain_noise=None, lut_volume=None,
                  base_texture=None, shadow_moments=None, shadow_mvps=None,
-                 cascade_dists=None):
+                 cascade_dists=None, particles=None, textures=None):
     """The full canonical frame (pipeline_build chain). Returns the
     final LDR (or PQ) image (H, W, 3).
 
@@ -235,7 +349,13 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     hdr, emit, vnrm, gb, vpos = model_pass(
         opts, geom, cam_view, cam_proj, lights, eye,
         shadow_moments, shadow_mvps, cascade_dists, base_texture,
+        textures,
     )
+
+    if particles is not None:
+        # particles: (ppos (P,3), psize, pactive[, color, alpha])
+        hdr = particle_pass(opts, hdr, gb.depth, *particles,
+                            cam_view=cam_view, cam_proj=cam_proj)
 
     if opts.bloom:
         # ¼-res blur of the thresholded emission, re-added in HDR

@@ -137,6 +137,97 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     return rec, ok
 
 
+def clip_near_records(clip_verts, faces, width: int, height: int,
+                      valid_mask=None, two_sided: bool = False,
+                      w_eps: float = 1e-4):
+    """Near-plane clipping (the GL hardware-clip analogue the v1 raster
+    skipped — crossing triangles used to drop, raster.py r1): clip each
+    triangle against w = w_eps in CLIP space into ≤2 sub-triangles,
+    emitted into a static 2T record stream (slot B is degenerate unless
+    the quad case hits). Returns (rec (2T, 13) with tri id = SUB index,
+    ok (2T,), csrc (2T,) original face index, cbary (2T, 3, 2) each
+    sub-corner's barycentrics w.r.t. its ORIGINAL triangle — corner
+    attributes are barycentric combinations, so the per-pixel stage
+    needs no changes and stays perspective-correct (attributes are
+    linear over the triangle's plane)."""
+    T = faces.shape[0]
+    v = clip_verts[faces]                    # (T, 3, 4)
+    w = v[..., 3]                            # (T, 3)
+    inside = w > w_eps                       # (T, 3)
+    n_in = inside.sum(-1)                    # (T,)
+
+    # canonical corner barys: A=(1,0) B=(0,1) C=(0,0)
+    cb = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], jnp.float32),
+        (T, 3, 2))
+
+    # rotate so the distinguished vertex is FIRST:
+    #   n_in==1 → the single inside vertex; n_in==2 → the single outside
+    def rot_pick(x, k):
+        return jnp.concatenate(
+            [x[:, k:, ...], x[:, :k, ...]], axis=1)
+    one_in = n_in == 1
+    k_in = jnp.argmax(inside, axis=-1)       # first True
+    k_out = jnp.argmax(~inside, axis=-1)     # first False
+    k_rot = jnp.where(one_in, k_in, k_out)   # (T,)
+    # gatherless 3-way rotation select
+    s0 = (k_rot == 0)[:, None, None]
+    s1 = (k_rot == 1)[:, None, None]
+    vrots = [rot_pick(v, k) for k in range(3)]
+    cbrots = [rot_pick(cb, k) for k in range(3)]
+    vr = jnp.where(s0, vrots[0], jnp.where(s1, vrots[1], vrots[2]))
+    cbr = jnp.where(s0, cbrots[0], jnp.where(s1, cbrots[1], cbrots[2]))
+
+    A, B, C = vr[:, 0], vr[:, 1], vr[:, 2]
+    bA, bB, bC = cbr[:, 0], cbr[:, 1], cbr[:, 2]
+    wA, wB, wC = A[:, 3], B[:, 3], C[:, 3]
+
+    def isect(p, q, wp, wq, bp, bq):
+        t = (w_eps - wp) / jnp.where(wq - wp == 0, 1.0, wq - wp)
+        t = jnp.clip(t, 0.0, 1.0)[:, None]
+        return p + t * (q - p), bp + t[:, :2] * (bq - bp)
+
+    iAB, bAB = isect(A, B, wA, wB, bA, bB)
+    iCA, bCA = isect(C, A, wC, wA, bC, bA)
+    iBC_fromB, bBC = isect(B, C, wB, wC, bB, bC)
+
+    # slot A triangle:
+    #   3 in → (A, B, C); 1 in (A inside) → (A, iAB, iCA);
+    #   2 in (A outside) → (iAB, B, C)
+    all_in = (n_in == 3)[:, None, None]
+    one = one_in[:, None, None]
+    two = (n_in == 2)[:, None, None]
+    triA = jnp.where(
+        all_in, vr,
+        jnp.where(one, jnp.stack([A, iAB, iCA], axis=1),
+                  jnp.stack([iAB, B, C], axis=1)))
+    baryA = jnp.where(
+        all_in, cbr,
+        jnp.where(one, jnp.stack([bA, bAB, bCA], axis=1),
+                  jnp.stack([bAB, bB, bC], axis=1)))
+    okA = n_in > 0
+    # slot B: only the quad case → (iAB, C, iCA)... wait quad =
+    # (iAB, B, C, iCA) → second tri (iAB, C, iCA)
+    triB = jnp.stack([iAB, C, iCA], axis=1)
+    baryB = jnp.stack([bAB, bC, bCA], axis=1)
+    okB = n_in == 2
+
+    tris = jnp.concatenate([triA, triB])      # (2T, 3, 4)
+    cbary = jnp.concatenate([baryA, baryB])   # (2T, 3, 2)
+    csrc = jnp.concatenate([jnp.arange(T, dtype=jnp.int32)] * 2)
+    ok = jnp.concatenate([okA, okB])
+    if valid_mask is not None:
+        ok = ok & jnp.concatenate([valid_mask] * 2)
+
+    # project the clipped corners and build records with SUB indices
+    flat = tris.reshape(-1, 4)
+    sx, sy, z, iw = project_to_screen(flat, width, height)
+    sub_faces = jnp.arange(2 * T * 3, dtype=jnp.int32).reshape(-1, 3)
+    rec, ok2 = assemble_tri_records(sx, sy, z, iw, sub_faces, ok,
+                                    two_sided=two_sided)
+    return rec, ok2, csrc, cbary
+
+
 NCOEF = 16    # coefficient-record width (8 records × 16 = 2 full vregs)
 
 

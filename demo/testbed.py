@@ -54,23 +54,42 @@ def main():
         return
 
     cfg = ClapConfig(title="testbed", fuzzer=args.fuzzer,
-                     exit_after=args.exitafter)
-    eng = Engine(cfg, tb.cfg, tb.state0, argv=sys.argv[1:])
-    eng.run(max_frames=args.frames)
-    print("frames:", eng.frame_no, "profiler:", eng.profiler.report())
-    cpos = np.asarray(eng.state.phys.pos[0])
-    print("character at", cpos.round(2))
+                     exit_after=args.exitafter, graphics=args.render,
+                     width=640, height=360)
 
-    if args.render or args.dump:
-        from clap_tpu import mathx as mx
-        from clap_tpu.render.camera import camera_update, camera_view_proj
+    game_world = session0 = None
+    if args.render:
+        # full composed game step: 2-character roster, each with its own
+        # animated rig (vmapped batch), rendered INSIDE Engine.frame
+        from clap_tpu.anim.system import anim_instances_init
+        from clap_tpu.engine.game import GameSessionState, GameWorld
+        from clap_tpu.engine.gamelogic import (game_config_empty,
+                                               game_state_init)
+        from clap_tpu.scene.testbed import build_demo_rig
+
+        tb = build_testbed(seed=42, side=64.0, nr_v=128, n_dynamic=8,
+                           max_entities=64, n_chars=2)
+        sk, lib, acfg = build_demo_rig()
+        gcfg = game_config_empty(1, 64)._replace(
+            switch_entity=jnp.array([0], jnp.int32),
+            switch_valid=jnp.array([True]),
+            switch_permanent=jnp.array([True]))
+        game_world = GameWorld(scene=tb.cfg, game=gcfg, anim=acfg,
+                               anim_sk=sk, anim_lib=lib)
+        session0 = GameSessionState(
+            engine=tb.state0, game=game_state_init(1, 2),
+            anim=anim_instances_init(2))
+
+    eng = Engine(cfg, tb.cfg, tb.state0, argv=sys.argv[1:],
+                 game_world=game_world, session0=session0)
+
+    if args.render:
+        import numpy as np
+
         from clap_tpu.render.lights import lights_empty
-        from clap_tpu.render.pipeline import RenderOptions, render_frame
-        from clap_tpu.render.scenerender import (assemble_scene_geometry,
-                                                 build_render_tables,
+        from clap_tpu.render.pipeline import RenderOptions
+        from clap_tpu.render.scenerender import (build_render_tables,
                                                  model_from_mesh)
-        from clap_tpu.render.ui import osd, ui_compose, ui_layout
-        from clap_tpu.scene.primitives import cube
 
         t = tb.terrain
         models = [
@@ -83,35 +102,33 @@ def main():
         ent = tb.cfg.entities
         rt = build_render_tables(models, np.asarray(ent.model_id),
                                  np.asarray(ent.active))
-        st = eng.state
-        target = st.phys.pos[0]
-        eye, q, dist = camera_update(tb.cfg.world, target,
-                                     jnp.float32(-0.35), jnp.float32(0.6),
-                                     jnp.float32(10.0))
-        view, proj = camera_view_proj(eye, q, jnp.pi / 3, 1280 / 720)
-        from clap_tpu.render.view import make_subview
-
-        sv = make_subview(view, proj)
-        geom = assemble_scene_geometry(rt, st.mx, st.visible, sv.planes, eye,
-                                       skip_culling=ent.skip_culling)
-        lights = lights_empty(2)
+        lights = lights_empty(1)
         d = jnp.array([-0.4, -0.8, -0.4])
         lights = lights._replace(
             direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
             color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
             is_dir=lights.is_dir.at[0].set(True),
             active=lights.active.at[0].set(True))
-        opts = RenderOptions(width=1280, height=720, shadow_size=512,
+        opts = RenderOptions(width=640, height=360, shadow_size=256,
                              film_grain=0.0)
-        img = render_frame(opts, geom, view, proj, lights, eye)
-        quads = ui_layout([osd("CLAP-TPU TESTBED", text_scale=3)], 1280, 720)
-        img = ui_compose(img, quads)
-        print("rendered frame:", img.shape,
-              "mean", float(img.mean()).__round__(3))
-        if args.dump:
-            _save_dump(args.dump, img)
-            print("saved", args.dump)
+        eng.attach_graphics(rt, lights, opts,
+                            skip_culling=ent.skip_culling,
+                            out_dir=args.dump or "/tmp/testbed_frames")
 
+    eng.run(max_frames=args.frames)
+    print("frames:", eng.frame_no, "profiler:", eng.profiler.report())
+    if args.render and eng.last_frame is not None:
+        print("last frame:", tuple(eng.last_frame.shape),
+              "mean", round(float(eng.last_frame.mean()), 3))
+        if game_world is not None:
+            import numpy as np
+
+            jm = np.asarray(eng.session.joint_mats)
+            print("rigs animating:", jm.shape[0],
+                  "poses differ from bind:",
+                  bool((np.abs(jm - np.eye(4)) > 1e-3).any()))
+    cpos = np.asarray(eng.state.phys.pos[0])
+    print("character at", cpos.round(2))
 
 def _save_dump(path, img):
     import numpy as np

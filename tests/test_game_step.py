@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from clap_tpu.anim.system import anim_instance_init, default_state_map
+from clap_tpu.anim.system import anim_instances_init, default_state_map
 from clap_tpu.engine.game import GameSessionState, GameWorld, game_step
 from clap_tpu.engine.gamelogic import game_config_empty, game_state_init
 from clap_tpu.engine.step import inputs_zero
@@ -43,8 +43,8 @@ def build_gameworld():
     parts = particles_init(pparams, tb.state0.pos[jnp.array([1])],
                            jax.random.PRNGKey(1))
     gs = GameSessionState(engine=tb.state0, game=game_state_init(1, 1),
-                          anim=anim_instance_init(), particles=parts,
-                          joint_mats=jnp.tile(jnp.eye(4), (3, 1, 1)))
+                          anim=anim_instances_init(1), particles=parts,
+                          joint_mats=jnp.tile(jnp.eye(4), (1, 3, 1, 1)))
     return gw, gs
 
 
@@ -62,7 +62,7 @@ def test_game_step_composes():
     np.testing.assert_allclose(np.asarray(gs.engine.pos[5]), [3, 1, 0],
                                atol=1e-5)
     # animation advanced into the MOVING clip
-    assert int(gs.anim.queue.clip[0]) >= 0
+    assert int(gs.anim.queue.clip[0, 0]) >= 0
     # particles moved but stayed near their system center
     d = np.linalg.norm(np.asarray(gs.particles.pos[0]
                                   - gs.engine.pos[1][None]), axis=-1)

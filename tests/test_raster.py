@@ -187,3 +187,81 @@ def test_camera_plane_vertex_culled():
     _, ok2 = R.assemble_tri_records(sx, sy, z, iw,
                                     jnp.array([[0, 1, 2]], jnp.int32))
     assert not bool(ok2[0])
+
+
+def test_near_plane_clipping():
+    """A triangle straddling the camera plane (w crossing 0) renders its
+    in-front part instead of dropping (r1 gap: raster.py 'crossing tris
+    drop'). Checked against an analytically pre-clipped triangle."""
+    from clap_tpu.render.raster import clip_near_records
+
+    W, H = 128, 64
+    # camera-space triangle via a projection where w = -z_view:
+    # v0 in front (w=2), v1 in front (w=2), v2 BEHIND the camera (w=-1)
+    clip = jnp.array([
+        [-1.0, -0.5, 0.0, 2.0],
+        [1.0, -0.5, 0.0, 2.0],
+        [0.0, 0.5, 0.0, -1.0],
+    ], jnp.float32)
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    rec, ok, csrc, cbary = clip_near_records(clip, faces, W, H)
+    assert rec.shape[0] == 2
+    # the quad case: out-vertex is v2 → both sub-tris valid
+    assert bool(ok[0]) and bool(ok[1])
+    binned = bin_triangles(rec, ok, W, H)
+    gb = rasterize(rec, binned, W, H)
+    tid = np.asarray(gb.tri_id)
+    assert (tid >= 0).any(), "clipped triangle rendered nothing"
+    # every covered pixel maps back to original face 0
+    src = np.asarray(csrc)
+    assert set(src[t] for t in np.unique(tid[tid >= 0])) == {0}
+
+    # reference: clip by hand at w_eps and brute-raster the two sub-tris
+    eps = 1e-4
+    a, b, c = np.asarray(clip)
+    def isect(p, q):
+        t = (eps - p[3]) / (q[3] - p[3])
+        return p + t * (q - p)
+    iBC = isect(b, c)
+    iCA = isect(c, a)
+    # rotated so out-vertex first: (C,A,B) → tris (iCA, A, B), (iCA, B, iBC)
+    tri1 = np.stack([iCA, a, b])
+    tri2 = np.stack([iCA, b, iBC])
+    ref = jnp.asarray(np.concatenate([tri1.reshape(-1, 4),
+                                      tri2.reshape(-1, 4)]), jnp.float32)
+    rfaces = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    from clap_tpu.render.raster import raster_brute
+    sx, sy, z, iw = project_to_screen(ref, W, H)
+    rrec, rok = assemble_tri_records(sx, sy, z, iw, rfaces)
+    gb_ref = raster_brute(rrec, rok, W, H)
+    cov = tid >= 0
+    cov_ref = np.asarray(gb_ref.tri_id) >= 0
+    # coverage matches the analytic clip (allow a 1px boundary sliver)
+    assert (cov ^ cov_ref).mean() < 0.01
+
+
+def test_barycentrics_through_clip():
+    """Interpolated attributes stay continuous across the clip: a fully
+    visible triangle interpolates the same values whether it goes
+    through the clip path or the direct path."""
+    from clap_tpu.render.raster import clip_near_records
+    from clap_tpu.render.shade import interpolate_attrs
+
+    W, H = 64, 64
+    clip = jnp.array([
+        [-0.8, -0.8, 0.0, 1.0],
+        [0.8, -0.8, 0.0, 1.0],
+        [0.0, 0.8, 0.0, 1.0],
+    ], jnp.float32)
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    vattrs = jnp.array([[1.0, 0.0], [0.0, 1.0], [5.0, 2.0]], jnp.float32)
+
+    sx, sy, z, iw = project_to_screen(clip, W, H)
+    rec0, ok0 = assemble_tri_records(sx, sy, z, iw, faces)
+    gb0 = rasterize(rec0, bin_triangles(rec0, ok0, W, H), W, H)
+    a0 = np.asarray(interpolate_attrs(gb0, faces, vattrs))
+
+    rec1, ok1, csrc, cbary = clip_near_records(clip, faces, W, H)
+    gb1 = rasterize(rec1, bin_triangles(rec1, ok1, W, H), W, H)
+    a1 = np.asarray(interpolate_attrs(gb1, faces, vattrs, csrc, cbary))
+    np.testing.assert_allclose(a0, a1, atol=1e-4)

@@ -175,3 +175,141 @@ def test_menu_blur_checkpoint():
     hf_in = np.abs(np.diff(np.asarray(frame), axis=1)).mean()
     hf_out = np.abs(np.diff(out, axis=1)).mean()
     assert hf_out < hf_in * 0.35
+
+
+def test_particles_render_into_frame():
+    """Billboard particles rasterize and alpha-blend into the frame
+    (particle.c:122-125); occluded particles stay hidden."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.lights import lights_empty
+    from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
+                                          render_frame)
+
+    W = H = 128
+    # ground quad at y=0
+    verts = jnp.array([[-5.0, 0.0, -5.0], [5.0, 0.0, -5.0],
+                       [-5.0, 0.0, 5.0], [5.0, 0.0, 5.0]], jnp.float32)
+    normals = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (4, 1))
+    faces = jnp.array([[0, 2, 1], [1, 2, 3]], jnp.int32)
+    geom = SceneGeometry(
+        verts=verts, normals=normals, faces=faces,
+        face_valid=jnp.ones((2,), bool),
+        base_color=jnp.full((4, 3), 0.2),
+        rough_metal=jnp.tile(jnp.array([[0.9, 0.0]]), (4, 1)),
+        emission=jnp.zeros((4, 3)))
+    opts = RenderOptions(width=W, height=H, shadow_size=64,
+                         ssao=False, film_grain=0.0, edge_aa=False)
+    lights = lights_empty(1)
+    d = jnp.array([-0.3, -0.9, -0.2])
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.ones(3)),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True))
+    # camera looks DOWN at the ground so the particle overlaps ground
+    # pixels (particles over the far background get washed out by the
+    # distance fog, like any other geometry-free pixel)
+    eye = jnp.array([0.0, 4.0, 4.0])
+    view = mx.mat4_look_at(eye, jnp.array([0.0, 0.0, 0.0]),
+                           jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+
+    # one particle in view, one buried under the ground (occluded)
+    ppos = jnp.array([[0.0, 0.8, 0.0], [0.0, -3.0, 0.0]], jnp.float32)
+    pact = jnp.array([True, True])
+
+    base = np.asarray(render_frame(opts, geom, view, proj, lights, eye))
+    withp = np.asarray(render_frame(opts, geom, view, proj, lights, eye,
+                                    particles=(ppos, 0.4, pact)))
+    diff = np.abs(withp - base).sum(-1)
+    assert (diff > 0.02).sum() > 20, "no particle pixels rendered"
+    # the buried particle alone contributes nothing (depth-occluded)
+    buried = np.asarray(render_frame(
+        opts, geom, view, proj, lights, eye,
+        particles=(ppos, 0.4, jnp.array([False, True]))))
+    assert np.abs(buried - base).max() < 1e-5
+
+
+def test_materials_textures_tbn_fbm():
+    """Per-model texture sets + TBN normal mapping + material fBm
+    (VERDICT r1 #6): a textured, normal-mapped, fBm-roughened quad
+    shades visibly differently from the flat-material render."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.lights import lights_empty
+    from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
+                                          TextureSets, render_frame)
+    from clap_tpu.render.scenerender import compute_tangents
+
+    W = H = 96
+    verts = np.array([[-2.0, 0.0, -2.0], [2.0, 0.0, -2.0],
+                      [-2.0, 0.0, 2.0], [2.0, 0.0, 2.0]], np.float32)
+    normals = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (4, 1))
+    uv = np.array([[0, 0], [4, 0], [0, 4], [4, 4]], np.float32)
+    faces = np.array([[0, 2, 1], [1, 2, 3]], np.int32)
+    tangent = compute_tangents(verts, normals, uv, faces)
+    # tangents of a y-up quad with u along +x: T ≈ +x, w = ±1
+    np.testing.assert_allclose(tangent[:, 0], 1.0, atol=1e-5)
+
+    mk = lambda *a: jnp.asarray(np.asarray(a, np.float32))  # noqa: E731
+    geom = SceneGeometry(
+        verts=jnp.asarray(verts), normals=jnp.asarray(normals),
+        faces=jnp.asarray(faces), face_valid=jnp.ones((2,), bool),
+        base_color=jnp.full((4, 3), 0.6),
+        rough_metal=jnp.tile(jnp.array([[0.6, 0.0]]), (4, 1)),
+        emission=jnp.zeros((4, 3)), uv=jnp.asarray(uv),
+        tangent=jnp.asarray(tangent),
+        tex_id=jnp.zeros((4,), jnp.float32),
+        local_pos=jnp.asarray(verts),
+        mat_fbm=jnp.tile(jnp.array([[0.8, 2.0, 0.1, 0.95, 0.0, 0.0]]),
+                         (4, 1)),
+    )
+    # checkerboard diffuse + tilted-normal map + emission blob
+    S = 32
+    yy, xx = np.mgrid[0:S, 0:S]
+    checker = ((xx // 4 + yy // 4) % 2).astype(np.float32)
+    diffuse = np.stack([checker, 0.5 + 0.5 * checker,
+                        1.0 - checker], -1)[None]
+    nmap = np.zeros((S, S, 3), np.float32)
+    nmap[..., 0] = 0.5 + 0.35 * np.sin(xx / 2.0)
+    nmap[..., 1] = 0.5
+    nmap[..., 2] = 0.8
+    emis = np.zeros((S, S, 3), np.float32)
+    emis[10:16, 10:16] = 3.0
+    tex = TextureSets(diffuse=jnp.asarray(diffuse),
+                      normal=jnp.asarray(nmap[None]),
+                      emission=jnp.asarray(emis[None]))
+
+    opts = RenderOptions(width=W, height=H, shadow_size=64, ssao=False,
+                         film_grain=0.0, edge_aa=False)
+    lights = lights_empty(1)
+    d = jnp.array([-0.3, -0.9, -0.2])
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.ones(3)),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True))
+    eye = jnp.array([0.0, 3.0, 3.0])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+
+    flat_geom = geom._replace(tangent=None, tex_id=None, local_pos=None,
+                              mat_fbm=None, uv=None)
+    flat = np.asarray(render_frame(opts, flat_geom, view, proj, lights, eye))
+    full = np.asarray(render_frame(opts, geom, view, proj, lights, eye,
+                                   textures=tex))
+    diff = np.abs(full - flat).sum(-1)
+    assert (diff > 0.05).mean() > 0.1, "textured render barely differs"
+    # checker pattern visible: neighboring texel-block variance
+    assert full.std() > flat.std() * 1.2
+    # fBm actually modulates roughness (material_fbm routed): disable
+    # fBm only and compare
+    nofbm = np.asarray(render_frame(
+        opts, geom._replace(mat_fbm=None, local_pos=None), view, proj,
+        lights, eye, textures=tex))
+    assert np.abs(full - nofbm).max() > 0.01
