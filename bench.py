@@ -151,10 +151,12 @@ def bench_full_frame(width=1280, height=720):
                                           render_frame)
     from clap_tpu.scene.terrain import terrain_init_square_landscape
 
+    from clap_tpu.render.raster import cluster_faces
+
     t = terrain_init_square_landscape(3, -32.0, 0.0, -32.0, 64.0, 96)
     verts = jnp.asarray(t.vx)
     normals = jnp.asarray(t.norm)
-    faces = jnp.asarray(t.idx.reshape(-1, 3))
+    faces = jnp.asarray(cluster_faces(t.vx, t.idx.reshape(-1, 3))[0])
     V = verts.shape[0]
     geom = SceneGeometry(
         verts=verts, normals=normals, faces=faces,
@@ -203,11 +205,13 @@ def bench_batched_render(n_envs: int = 64, res: int = 256):
                                           render_frame)
     from clap_tpu.scene.terrain import terrain_init_square_landscape
 
+    from clap_tpu.render.raster import cluster_faces
+
     t = terrain_init_square_landscape(11, -16.0, 0.0, -16.0, 32.0, 48)
     V = t.vx.shape[0]
     geom = SceneGeometry(
         verts=jnp.asarray(t.vx), normals=jnp.asarray(t.norm),
-        faces=jnp.asarray(t.idx.reshape(-1, 3)),
+        faces=jnp.asarray(cluster_faces(t.vx, t.idx.reshape(-1, 3))[0]),
         face_valid=jnp.ones((t.idx.size // 3,), bool),
         base_color=jnp.full((V, 3), 0.45),
         rough_metal=jnp.tile(jnp.array([[0.8, 0.0]]), (V, 1)),

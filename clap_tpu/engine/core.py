@@ -71,7 +71,7 @@ def parse_cli(argv, cfg: ClapConfig) -> ClapConfig:
     p.add_argument("--fuzzer", action="store_true")
     args, _ = p.parse_known_args(argv)
     cfg.exit_after = args.exitafter
-    cfg.abort_on_error = args.aoe
+    cfg.abort_on_error = cfg.abort_on_error or args.aoe
     cfg.server_ip = args.server
     cfg.fuzzer = cfg.fuzzer or args.fuzzer
     return cfg
@@ -108,6 +108,7 @@ class Engine:
             from .game import game_step
 
             self.session = session0
+            self._session0 = session0
             self.state = session0.engine
             self._step_session = jax.jit(
                 lambda s, i: game_step(game_world, s, i))
@@ -116,6 +117,7 @@ class Engine:
             self._step = jax.jit(
                 lambda s, i: engine_step(scene_cfg, s, i))
             self.state = state0
+            self._state0 = state0
         self._zero_inputs = inputs_zero(n_chars)
         self._render = None
         self.last_frame = None
@@ -224,10 +226,31 @@ class Engine:
 
         self.frame_no += 1
         self.profiler.frame_end()
-        if self.telemetry and self.frame_no % 60 == 0:  # 1 Hz status
-            self.telemetry.status(fps=self.profiler.fps,
-                                  frame=self.frame_no)
-            self.telemetry.poll()
+        if self.frame_no % 60 == 0:  # 1 Hz status + NaN watchdog
+            # sanitizer analogue (SURVEY §5.2): a NaN in the state would
+            # silently poison every later frame — abort under -E
+            # (clap.c:909-915) or degrade-and-continue by resetting to
+            # the initial state (the cerr containment path,
+            # clap.c:627-648)
+            from ..utils.guards import assert_finite
+
+            try:
+                assert_finite(self.state)
+            except FloatingPointError as e:
+                if self.cfg.abort_on_error:
+                    raise
+                self.bus.send(Message(MT.LOG, data={
+                    "level": "err",
+                    "msg": f"state corrupt ({e}); resetting"}))
+                if self.session is not None:
+                    self.session = self._session0
+                    self.state = self.session.engine
+                else:
+                    self.state = self._state0
+            if self.telemetry:
+                self.telemetry.status(fps=self.profiler.fps,
+                                      frame=self.frame_no)
+                self.telemetry.poll()
 
     def run(self, max_frames: int | None = None):
         """display_main_loop analogue (display-glfw.c:356-361)."""

@@ -53,6 +53,10 @@ class RenderOptions:
     fog_color: tuple = (0.58, 0.68, 0.78)
     film_grain: float = 0.03
     tonemap_aces: bool = True
+    shadow_outline_threshold: float = 0.5   # shadow-boundary outline flip
+                                            # (model.frag:109-125)
+    outline_strength: float = 0.35          # cartoon-outline darkening in
+                                            # combine (0 = off)
 
 
 class SceneGeometry(NamedTuple):
@@ -73,6 +77,9 @@ class SceneGeometry(NamedTuple):
                                    # samples LOCAL space, lighting.glsl:20-50)
     mat_fbm: jnp.ndarray = None   # (V, 6) amp, scale, rough_floor,
                                   # rough_ceil, metal_floor, metal_ceil
+    edge_id: jnp.ndarray = None   # (V,) f32 solid id (0-15) + 128·exclude
+                                  # — the RT2 alpha edge-mode packing
+                                  # (model.frag:109-125)
 
 
 class TextureSets(NamedTuple):
@@ -175,11 +182,14 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     gb = rasterize(rec, binned, W, H)
 
     # dynamic attribute layout: optional streams (uv, tangents, texture
-    # layer, local pos, material-fBm params) pack behind the core 14
-    streams = [geom.verts, geom.normals, geom.base_color, geom.rough_metal,
+    # layer, local pos, material-fBm params) pack behind the core 11 —
+    # world position is NOT interpolated: it reconstructs from the depth
+    # buffer (the reference's view-pos-from-depth trick, ssao.frag:17-30),
+    # trimming 3 columns off every per-pixel attr-gather row
+    streams = [geom.normals, geom.base_color, geom.rough_metal,
                geom.emission]
     off = {"core": 0}
-    cursor = 14
+    cursor = 11
     textured = geom.uv is not None and (
         base_texture is not None or textures is not None)
     if textured:
@@ -204,15 +214,31 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
         off["fbm"] = cursor
         streams.append(geom.mat_fbm)
         cursor += 6
+    if geom.edge_id is not None:
+        off["edge"] = cursor
+        streams.append(geom.edge_id[:, None])
+        cursor += 1
     vattrs = jnp.concatenate(streams, axis=-1)
     attrs = shade.interpolate_attrs(gb, geom.faces, vattrs, csrc, cbary)
-    wpos = attrs[..., 0:3]
-    nrm = attrs[..., 3:6]
+    # world position from depth (inverse view-projection unproject)
+    hit2 = gb.tri_id >= 0
+    d_ndc = jnp.where(jnp.isfinite(gb.depth), gb.depth, 1.0)
+    ndc_x = (jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5) / W * 2.0 - 1.0
+    ndc_y = 1.0 - 2.0 * (jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5) / H
+    inv_vp = jnp.linalg.inv(cam_proj @ cam_view)
+    p4 = (inv_vp[None, None, :, 0] * jnp.broadcast_to(ndc_x, (H, W))[..., None]
+          + inv_vp[None, None, :, 1] * jnp.broadcast_to(ndc_y, (H, W))[..., None]
+          + inv_vp[None, None, :, 2] * d_ndc[..., None]
+          + inv_vp[None, None, :, 3])
+    wpos = jnp.where(hit2[..., None],
+                     p4[..., :3] / jnp.where(jnp.abs(p4[..., 3:4]) < 1e-12,
+                                             1.0, p4[..., 3:4]), 0.0)
+    nrm = attrs[..., 0:3]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
-    base = attrs[..., 6:9]
-    rough = attrs[..., 9]
-    metal = attrs[..., 10]
-    emission = attrs[..., 11:14]
+    base = attrs[..., 3:6]
+    rough = attrs[..., 6]
+    metal = attrs[..., 7]
+    emission = attrs[..., 8:11]
 
     if textured:
         uv_px = attrs[..., off["uv"]:off["uv"] + 2]
@@ -269,13 +295,15 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     sf = None
     if shadow_moments is not None:
         if opts.shadow_vsm:
-            # shadow factor at half res: VSM is already a filtered
-            # estimator, so the factor field is smooth — quarter the
-            # projection + atlas-fetch cost, upsample with one tap
-            sf_h = shade.vsm_shadow(shadow_moments, shadow_mvps,
+            # shadow factor at QUARTER res: VSM is already a filtered
+            # estimator, so the factor field is smooth — 1/16th the
+            # projection + atlas-fetch cost, bilinear upsample back
+            sf_q = shade.vsm_shadow(shadow_moments, shadow_mvps,
                                     cascade_dists,
-                                    wpos[::2, ::2], view_depth[::2, ::2])
-            sf = post.upsample2(sf_h[..., None], H, W)[..., 0]
+                                    wpos[::4, ::4], view_depth[::4, ::4])
+            sf_h = post.upsample2(sf_q[..., None],
+                                  sf_q.shape[0] * 2, sf_q.shape[1] * 2)
+            sf = post.upsample2(sf_h, H, W)[..., 0]
         else:
             # PCF 5×5 on the depth channel (shadow.glsl non-VSM path)
             sf = shade.pcf_shadow(shadow_moments[..., 0], shadow_mvps,
@@ -295,7 +323,26 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     hdr = jnp.where(hit, hdr, jnp.array(opts.fog_color)[None, None])
     emit = post.bloom_threshold(emission, opts.bloom_threshold,
                                 opts.bloom_intensity)
-    return hdr, emit, vnrm, gb, vpos
+
+    # edge-mode metadata (RT2 alpha packing, model.frag:109-125 +
+    # shader_constants.h:57-63): per-pixel key = solid-id bits + 3-bit
+    # quantized luma, with the luma bits FLIPPED inside shadow so shadow
+    # boundaries outline; bit7 = outline-exclude. The sobel edge pass
+    # differentiates this key instead of raw luma, so id boundaries
+    # always edge and excluded entities never do.
+    edge_meta = None
+    if "edge" in off:
+        eid = attrs[..., off["edge"]]
+        excl = eid >= 128.0
+        sid = jnp.mod(eid, 128.0)
+        luma = jnp.sum(vnrm * 0.5 + 0.5, -1) / 3.0
+        lq = jnp.floor(jnp.clip(luma, 0.0, 1.0) * 7.0)
+        if sf is not None:
+            lq = jnp.where(sf < opts.shadow_outline_threshold, 7.0 - lq,
+                           lq)
+        key = sid * 8.0 + lq
+        edge_meta = (jnp.where(gb.tri_id >= 0, key, -8.0), excl)
+    return hdr, emit, vnrm, gb, vpos, edge_meta
 
 
 def particle_pass(opts: RenderOptions, hdr, scene_depth, ppos, psize,
@@ -310,14 +357,15 @@ def particle_pass(opts: RenderOptions, hdr, scene_depth, ppos, psize,
     ppos: (P, 3) world positions; psize: scalar or (P,); pactive: (P,).
     """
     from ..ops.particles import particle_clip_quads
-    from .raster import (assemble_tri_records, bin_triangles,
-                         project_to_screen, rasterize)
+    from .raster import (bin_triangles, corner_records, project_to_screen,
+                         rasterize)
 
     W, H = opts.width, opts.height
     verts, faces, valid, _owner = particle_clip_quads(
         ppos, psize, cam_view, cam_proj, pactive)
     sx, sy, z, iw = project_to_screen(verts, W, H)
-    rec, ok = assemble_tri_records(sx, sy, z, iw, faces, valid)
+    vr = jnp.stack([sx, sy, z, iw], axis=-1).reshape(-1, 3, 4)
+    rec, ok = corner_records(vr[:, 0], vr[:, 1], vr[:, 2], valid)
     gb = rasterize(rec, bin_triangles(rec, ok, W, H), W, H)
     # depth test against the opaque scene, then blend
     vis = (gb.tri_id >= 0) & (gb.depth < scene_depth)
@@ -346,7 +394,7 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         shadow_moments = shadow_pass_all(opts, geom, casc.view, casc.proj)
         shadow_mvps = jnp.einsum("cij,cjk->cik", casc.proj, casc.view)
 
-    hdr, emit, vnrm, gb, vpos = model_pass(
+    hdr, emit, vnrm, gb, vpos, edge_meta = model_pass(
         opts, geom, cam_view, cam_proj, lights, eye,
         shadow_moments, shadow_mvps, cascade_dists, base_texture,
         textures,
@@ -366,13 +414,27 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         ) * opts.bloom_intensity
 
     # edges
-    if opts.edge_sobel:
+    if opts.edge_sobel and edge_meta is not None:
+        key, excl = edge_meta
+        edges = post.sobel_edges(key / 8.0)
+        # outline-exclude: suppress edges touching an excluded pixel
+        # (bit7 semantics; 4-neighbour dilation of the exclusion mask)
+        ex = excl
+        for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+            ex = ex | jnp.roll(excl, sh, axis=ax)
+        edges = jnp.where(ex, 0.0, edges)
+    elif opts.edge_sobel:
         luma = jnp.sum(vnrm * 0.5 + 0.5, -1) / 3.0
         edges = post.sobel_edges(luma)
     else:
         d = jnp.where(jnp.isfinite(gb.depth), gb.depth, 1.0)
         edges = post.laplace_edges(d)
     edge_mask = jnp.clip(edges * 2.0, 0.0, 1.0)
+    if opts.outline_strength > 0:
+        # cartoon outlines: combine darkens lit color along edges
+        # (combine.frag:65-117 consuming the sobel pass; r1 computed the
+        # mask but only fed SMAA — outlines never reached the image)
+        hdr = hdr * (1.0 - opts.outline_strength * edge_mask)[..., None]
 
     if opts.edge_aa:
         weights = post.smaa_blend_weights(edge_mask)

@@ -88,6 +88,28 @@ def project_to_screen(clip: jnp.ndarray, width: int, height: int):
     return sx, sy, ndc[..., 2], iw
 
 
+def corner_records(c0, c1, c2, valid_mask=None, two_sided: bool = False,
+                   cb=None):
+    """Records from PER-CORNER [x, y, z, 1/w] rows (T, 4) — the no-gather
+    path for streams that are already per-triangle (clipped sub-tris,
+    particle quads). Corner order is FACE order (v0, v1, v2).
+
+    cb (T, 3, 2): optional per-corner barycentrics w.r.t. an ORIGINAL
+    triangle (near-plane clipping) — appended to the record (cols 13-18,
+    record-corner order) so records_to_coeffs folds them into the
+    kernel's perspective weights and the G-buffer bary comes out already
+    composed."""
+    tri_f = jnp.arange(c0.shape[0], dtype=jnp.float32)[:, None]
+    # v1/v2 swap: the screen y-flip turns GL/world CCW into image-space
+    # CW; swapping restores positive kernel area for front faces (GL
+    # front-face = CCW parity)
+    parts = [c0, c2, c1, tri_f]
+    if cb is not None:
+        parts += [cb[:, 0], cb[:, 2], cb[:, 1]]
+    rec = jnp.concatenate(parts, axis=-1)        # (T, 13[+6])
+    return _finish_records(rec, valid_mask, two_sided)
+
+
 def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
                          two_sided: bool = False):
     """Build the packed (T, 12) per-triangle record the kernel consumes:
@@ -108,6 +130,10 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
         [vrec[faces[:, 0]], vrec[faces[:, 2]], vrec[faces[:, 1]], tri_f],
         axis=-1,
     )                                                      # (T, 13): + tri id
+    return _finish_records(rec, valid_mask, two_sided)
+
+
+def _finish_records(rec, valid_mask, two_sided):
     # (float tri ids are exact below 2^24 — they ride the kernel's
     # winner-select chain so no per-pixel id gather is ever needed)
     x0, y0 = rec[:, _XC[0]], rec[:, _YC[0]]
@@ -115,8 +141,10 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     x2, y2 = rec[:, _XC[2]], rec[:, _YC[2]]
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     if two_sided:
-        flipped = jnp.concatenate([rec[:, 0:4], rec[:, 8:12], rec[:, 4:8],
-                                   rec[:, 12:13]], axis=-1)
+        parts = [rec[:, 0:4], rec[:, 8:12], rec[:, 4:8], rec[:, 12:13]]
+        if rec.shape[1] > 13:   # swap the cb corner pairs too
+            parts += [rec[:, 13:15], rec[:, 17:19], rec[:, 15:17]]
+        flipped = jnp.concatenate(parts, axis=-1)
         rec = jnp.where((area < 0)[:, None], flipped, rec)
         ok = jnp.abs(area) > 1e-8
     else:
@@ -219,30 +247,48 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     if valid_mask is not None:
         ok = ok & jnp.concatenate([valid_mask] * 2)
 
-    # project the clipped corners and build records with SUB indices
+    # project the clipped corners and build records with SUB indices —
+    # per-corner directly (an indexed assemble here would be an identity
+    # gather of 6T rows, ~10 ms/frame-batch at 64 envs)
     flat = tris.reshape(-1, 4)
     sx, sy, z, iw = project_to_screen(flat, width, height)
-    sub_faces = jnp.arange(2 * T * 3, dtype=jnp.int32).reshape(-1, 3)
-    rec, ok2 = assemble_tri_records(sx, sy, z, iw, sub_faces, ok,
-                                    two_sided=two_sided)
+    vr = jnp.stack([sx, sy, z, iw], axis=-1).reshape(2 * T, 3, 4)
+    rec, ok2 = corner_records(vr[:, 0], vr[:, 1], vr[:, 2], ok,
+                              two_sided=two_sided, cb=cbary)
     return rec, ok2, csrc, cbary
 
 
-NCOEF = 16    # coefficient-record width (8 records × 16 = 2 full vregs)
+NCOEF = 24    # coefficient-record width (8 records × 24 = 3 vregs)
 
 
 def records_to_coeffs(rec):
-    """(T, 13) raw vertex records → (T, 16) screen-plane coefficient
+    """(T, 13[+6]) raw vertex records → (T, 24) screen-plane coefficient
     records: per edge k the affine form e_k(px,py) = a_k·px + b_k·py +
-    c_k, the z-plane (za, zb, zc), and p_k = iw_k/area so the kernel's
-    inner loop is pure FMA work — no per-pixel divides, no vertex
-    differences. Columns: a0,b0,c0, a1,b1,c1, a2,b2,c2, za,zb,zc,
-    p0,p1,p2, tid. Invalid (zero/degenerate) records get c_k = -1 so
-    every pixel fails the e_k ≥ 0 test."""
+    c_k, the z-plane (za, zb, zc), and the perspective-weight coefficient
+    triples so the kernel's inner loop is pure FMA work — no per-pixel
+    divides, no vertex differences.
+
+    Columns: a0,b0,c0, a1,b1,c1, a2,b2,c2, za,zb,zc, q0_0..2, q1_0..2,
+    s_0..2, tid, pad, pad — where d_face0 = Σ e_k·q0_k, d_face1 =
+    Σ e_k·q1_k, s = Σ e_k·s_k and face bary b = (d0/s, d1/s). q folds
+    the optional per-corner ORIGINAL-triangle barycentrics (record cols
+    13-18, from near-plane clipping) so clipped sub-triangles emit bary
+    already composed w.r.t. their source triangle — no per-pixel cbary
+    gather (a batched-operand gather cost ~29 ms/frame-batch at 64
+    envs). Without cb the fold is the identity (record corners are
+    face v0, v2, v1). Invalid records get c_k = -1 so every pixel fails
+    the e_k ≥ 0 test."""
     x0, y0, z0, iw0 = rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
     x1, y1, z1, iw1 = rec[:, 4], rec[:, 5], rec[:, 6], rec[:, 7]
     x2, y2, z2, iw2 = rec[:, 8], rec[:, 9], rec[:, 10], rec[:, 11]
     tid = rec[:, 12]
+    if rec.shape[1] > 13:
+        cb = [(rec[:, 13 + 2 * k], rec[:, 14 + 2 * k]) for k in range(3)]
+    else:
+        one = jnp.ones_like(tid)
+        zero2 = jnp.zeros_like(tid)
+        # identity: record corners are face v0, v2, v1
+        cb = [(one, zero2), (zero2, zero2), (zero2, one)]
     a0 = y1 - y2
     b0 = x2 - x1
     c0 = (y2 - y1) * x1 - (x2 - x1) * y1
@@ -258,9 +304,9 @@ def records_to_coeffs(rec):
     za = (a0 * z0 + a1 * z1 + a2 * z2) * inv_area
     zb = (b0 * z0 + b1 * z1 + b2 * z2) * inv_area
     zc = (c0 * z0 + c1 * z1 + c2 * z2) * inv_area
-    p0 = iw0 * inv_area
-    p1 = iw1 * inv_area
-    p2 = iw2 * inv_area
+    p = [iw0 * inv_area, iw1 * inv_area, iw2 * inv_area]
+    q0 = [p[k] * cb[k][0] for k in range(3)]
+    q1 = [p[k] * cb[k][1] for k in range(3)]
     zero = jnp.zeros_like(a0)
     mone = jnp.full_like(a0, -1.0)
     cols = [jnp.where(valid, v, d) for v, d in (
@@ -268,7 +314,10 @@ def records_to_coeffs(rec):
         (a1, zero), (b1, zero), (c1, mone),
         (a2, zero), (b2, zero), (c2, mone),
         (za, zero), (zb, zero), (zc, zero),
-        (p0, zero), (p1, zero), (p2, zero), (tid, tid))]
+        (q0[0], zero), (q0[1], zero), (q0[2], zero),
+        (q1[0], zero), (q1[1], zero), (q1[2], zero),
+        (p[0], zero), (p[1], zero), (p[2], zero),
+        (tid, tid), (zero, zero), (zero, zero))]
     return jnp.stack(cols, axis=-1)
 
 
@@ -463,13 +512,13 @@ def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
         zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
             & (z >= -1.0) & (z <= 1.0)
         zm = jnp.where(zok, z, jnp.inf)                  # (C, TH, TW)
-        d0 = e0 * col(12)
-        d1 = e1 * col(13)
-        s = d0 + d1 + e2 * col(14)
+        d0 = e0 * col(12) + e1 * col(13) + e2 * col(14)
+        d1 = e0 * col(15) + e1 * col(16) + e2 * col(17)
+        s = e0 * col(18) + e1 * col(19) + e2 * col(20)
         # float tri id, broadcast to full tile shape through arithmetic
         # (standalone (C,1,1)→(C,H,W) vector broadcasts are a Mosaic
         # unsupported path; riding an add is not)
-        ptid = col(15) + z * 0.0
+        ptid = col(21) + z * 0.0
         # chunk reduce: min depth wins, FIRST of equal depths wins
         rd = zm[0]
         rtid = ptid[0]
@@ -588,15 +637,15 @@ def rasterize(rec, binned, width: int, height: int,
     depth = depth[:height, :width]
     tri = tidf[:height, :width].astype(jnp.int32)   # float ids are exact
     # perspective normalization deferred out of the kernel (one divide
-    # per PIXEL instead of per pixel-triangle pair)
-    inv_s = 1.0 / jnp.maximum(s[:height, :width], 1e-20)
-    b0 = d0[:height, :width] * inv_s
-    b1r = d1[:height, :width] * inv_s
-    # records are assembled v0,v2,v1 (winding fix) — convert the kernel's
-    # record-order weights back to FACE order: face-v1 weight = 1-b0-b1r
+    # per PIXEL instead of per pixel-triangle pair); the q/s coefficient
+    # fold already yields FACE-order (b0, b1) — composed with the
+    # original-triangle barycentrics when the stream was clipped
+    inv_s = jnp.where(s[:height, :width] == 0.0, 0.0,
+                      1.0 / jnp.where(s[:height, :width] == 0.0, 1.0,
+                                      s[:height, :width]))
     hit = tri >= 0
-    b0 = jnp.where(hit, b0, 0.0)
-    b1 = jnp.where(hit, 1.0 - b0 - b1r, 0.0)
+    b0 = jnp.where(hit, d0[:height, :width] * inv_s, 0.0)
+    b1 = jnp.where(hit, d1[:height, :width] * inv_s, 0.0)
     return GBuffer(depth=depth, tri_id=tri,
                    bary=jnp.stack([b0, b1], axis=-1))
 
@@ -669,3 +718,30 @@ def bin_stats(binned, width: int, height: int) -> dict:
         "big_cap": MAX_BIG_TRIS,
         "big_saturated": bool(int(big_count) >= MAX_BIG_TRIS),
     }
+
+
+def cluster_faces(verts, faces):
+    """Host-side face reorder for cluster binning: sort faces by the
+    Morton code of their centroid so each CLUSTER-sized group is a
+    compact spatial patch (grid-row face order makes clusters long thin
+    strips whose bboxes hit ~2× the tiles). Returns the permuted faces
+    (np.ndarray) and the permutation."""
+    import numpy as np
+
+    v = np.asarray(verts)
+    f = np.asarray(faces)
+    c = v[f].mean(axis=1)                       # (T, 3) centroids
+    mn = c.min(0)
+    ext = np.maximum(c.max(0) - mn, 1e-9)
+    q = ((c - mn) / ext * 1023).astype(np.uint32)   # 10 bits per axis
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    order = np.argsort(code, kind="stable")
+    return f[order], order

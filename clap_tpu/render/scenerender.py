@@ -70,6 +70,13 @@ def model_from_mesh(verts, normals, faces, base_color=(0.7, 0.7, 0.7),
     V = len(verts)
     lods = build_lods(verts, np.asarray(faces).reshape(-1)) if with_lods \
         else [np.asarray(faces, np.uint32).reshape(-1)]
+    # Morton-order each LOD's faces so cluster binning gets compact
+    # spatial patches (raster.cluster_faces; grid/strip emitters
+    # otherwise produce long thin clusters that double tile overlap)
+    from .raster import cluster_faces
+
+    lods = [cluster_faces(verts, l.reshape(-1, 3))[0].reshape(-1)
+            for l in lods]
     tangent = None
     if uv is not None:
         uv = np.asarray(uv, np.float32)

@@ -22,41 +22,40 @@ from .raster import GBuffer
 # G-buffer attribute interpolation
 # ---------------------------------------------------------------------------
 
-def pack_tri_attrs(faces, vattrs, csrc=None, cbary=None):
+def pack_tri_attrs(faces, vattrs):
     """(T, 3A) per-triangle attribute records: the three corners'
     attributes concatenated. Built once per frame at triangle scale so
     the per-pixel stage needs ONE image-sized gather (gather op count at
-    image scale dominates the shading cost on TPU).
-
-    csrc/cbary (from raster.clip_near_records): the triangle stream is
-    near-plane-clipped SUB-triangles — each sub-corner's attributes are
-    the barycentric combination of its ORIGINAL triangle's corners
-    (attributes are linear over the plane, so the per-pixel stage stays
-    perspective-correct unchanged)."""
-    if csrc is None:
-        return jnp.concatenate(
-            [vattrs[faces[:, 0]], vattrs[faces[:, 1]], vattrs[faces[:, 2]]],
-            axis=-1)
-    corner = vattrs[faces]                             # (T, 3, A)
-    sc = corner[csrc]                                  # (S, 3, A)
-    b01 = cbary                                        # (S, 3, 2)
-    b3 = jnp.concatenate(
-        [b01, 1.0 - b01[..., 0:1] - b01[..., 1:2]], axis=-1)  # (S, 3, 3)
-    sub = jnp.einsum("skj,sja->ska", b3, sc)           # (S, 3, A)
-    return sub.reshape(sub.shape[0], -1)
+    image scale dominates the shading cost on TPU)."""
+    return jnp.concatenate(
+        [vattrs[faces[:, 0]], vattrs[faces[:, 1]], vattrs[faces[:, 2]]],
+        axis=-1)
 
 
 def interpolate_attrs(gb: GBuffer, faces, vattrs, csrc=None, cbary=None):
     """Per-pixel interpolated vertex attributes.
 
     faces: (T, 3) int32; vattrs: (V, A) packed per-vertex attributes.
-    Returns (H, W, A); background pixels get zeros."""
-    tri_attrs = pack_tri_attrs(faces, vattrs, csrc, cbary)  # (T|S, 3A)
+    Returns (H, W, A); background pixels get zeros.
+
+    csrc (near-plane clip, raster.clip_near_records): the G-buffer ids
+    are SUB-triangle ids but gb.bary is ALREADY composed w.r.t. the
+    original triangle (the coefficient fold in records_to_coeffs), so
+    only the id needs mapping back — csrc = [0..T-1, 0..T-1] by
+    construction, i.e. orig id = sub id mod T. The attribute table stays
+    the view-invariant (T, 3A) one (a per-view table makes the image
+    gather a batched-operand gather, ~5× slower at 64 views of a shared
+    scene). cbary is accepted for API symmetry; the composition lives in
+    the raster records."""
+    del cbary
     A = vattrs.shape[-1]
-    tid = jnp.maximum(gb.tri_id, 0)
-    rec = tri_attrs[tid]                               # (H, W, 3A): 1 gather
+    tri_attrs = pack_tri_attrs(faces, vattrs)          # (T, 3A) shared
     b0 = gb.bary[..., 0:1]
     b1 = gb.bary[..., 1:2]
+    tid = jnp.maximum(gb.tri_id, 0)
+    if csrc is not None:
+        tid = jnp.mod(tid, faces.shape[0])
+    rec = tri_attrs[tid]                               # (H, W, 3A): 1 gather
     b2 = 1.0 - b0 - b1
     out = rec[..., :A] * b0 + rec[..., A:2 * A] * b1 + rec[..., 2 * A:] * b2
     return jnp.where((gb.tri_id >= 0)[..., None], out, 0.0)

@@ -98,3 +98,63 @@ def test_telemetry_roundtrip():
     assert commands and commands[0]["command"] == "restart"
     cli.close()
     srv.close()
+
+
+def test_finite_guards_quarantine():
+    """Numeric guards (SURVEY §5.2 sanitizer analogue): one corrupt env
+    in a batch resets to the reference state; healthy envs untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clap_tpu.utils.guards import assert_finite, finite_mask, quarantine
+
+    tree = {"a": jnp.arange(12.0).reshape(4, 3),
+            "b": jnp.ones((4,), jnp.int32)}
+    bad = {"a": tree["a"].at[2, 1].set(jnp.nan), "b": tree["b"]}
+    ok = np.asarray(finite_mask(bad))
+    assert list(ok) == [True, True, False, True]
+    ref = {"a": jnp.zeros((4, 3)), "b": jnp.zeros((4,), jnp.int32)}
+    fixed, ok2 = quarantine(bad, ref)
+    np.testing.assert_allclose(np.asarray(fixed["a"][2]), 0.0)
+    np.testing.assert_allclose(np.asarray(fixed["a"][0]),
+                               np.asarray(tree["a"][0]))
+    assert int(fixed["b"][2]) == 0 and int(fixed["b"][0]) == 1
+
+    try:
+        assert_finite(bad)
+        raised = False
+    except FloatingPointError:
+        raised = True
+    assert raised
+
+
+def test_engine_nan_watchdog_resets():
+    """Engine's 1 Hz watchdog resets a corrupted state (or aborts with
+    -E, the abort_on_error CLI of clap.c:909-915)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from clap_tpu.engine.core import ClapConfig, Engine
+    from clap_tpu.scene.testbed import build_testbed
+
+    tb = build_testbed(seed=3, side=16.0, nr_v=17, n_dynamic=1,
+                       max_entities=8)
+    eng = Engine(ClapConfig(title="t"), tb.cfg, tb.state0)
+    eng.frame_no = 58
+    eng.state = eng.state._replace(
+        phys=eng.state.phys._replace(
+            pos=eng.state.phys.pos.at[0, 1].set(jnp.nan)))
+    eng.frame()  # frame 59: no check
+    eng.frame()  # frame 60: watchdog fires → reset
+    assert np.isfinite(np.asarray(eng.state.phys.pos)).all()
+
+    eng2 = Engine(ClapConfig(title="t", abort_on_error=True), tb.cfg,
+                  tb.state0)
+    eng2.frame_no = 59
+    eng2.state = eng2.state._replace(
+        phys=eng2.state.phys._replace(
+            pos=eng2.state.phys.pos.at[0, 1].set(jnp.nan)))
+    with pytest.raises(FloatingPointError):
+        eng2.frame()

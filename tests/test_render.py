@@ -313,3 +313,64 @@ def test_materials_textures_tbn_fbm():
         opts, geom._replace(mat_fbm=None, local_pos=None), view, proj,
         lights, eye, textures=tex))
     assert np.abs(full - nofbm).max() > 0.01
+
+
+def test_edge_mode_metadata():
+    """RT2 edge-mode packing (model.frag:109-125): solid-id boundaries
+    edge even at identical shading; outline-excluded entities don't."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.lights import lights_empty
+    from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
+                                          render_frame)
+
+    W = H = 96
+    # two coplanar quads side by side, SAME normal/color — only the
+    # solid id differs across the seam
+    def quad(x0):
+        return np.array([[x0, 0.0, -2.0], [x0 + 2.0, 0.0, -2.0],
+                         [x0, 0.0, 2.0], [x0 + 2.0, 0.0, 2.0]], np.float32)
+    verts = np.concatenate([quad(-2.0), quad(0.0)])
+    normals = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (8, 1))
+    faces = np.array([[0, 2, 1], [1, 2, 3], [4, 6, 5], [5, 6, 7]],
+                     np.int32)
+
+    def build(edge_ids):
+        return SceneGeometry(
+            verts=jnp.asarray(verts), normals=jnp.asarray(normals),
+            faces=jnp.asarray(faces), face_valid=jnp.ones((4,), bool),
+            base_color=jnp.full((8, 3), 0.5),
+            rough_metal=jnp.tile(jnp.array([[0.7, 0.0]]), (8, 1)),
+            emission=jnp.zeros((8, 3)),
+            edge_id=jnp.asarray(edge_ids, jnp.float32))
+
+    opts = RenderOptions(width=W, height=H, shadow_size=64, ssao=False,
+                         bloom=False, film_grain=0.0, edge_aa=False)
+    lights = lights_empty(1)
+    d = jnp.array([0.0, -1.0, -0.01])
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.ones(3)),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True))
+    eye = jnp.array([0.0, 3.5, 0.01])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 0.0, -1.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+
+    same = np.asarray(render_frame(opts, build([1.0] * 8), view, proj,
+                                   lights, eye))
+    split = np.asarray(render_frame(opts, build([1.0] * 4 + [2.0] * 4),
+                                    view, proj, lights, eye))
+    # id seam produces edge darkening down the middle column.
+    # Interior rows only: the quads' outer silhouette outlines also
+    # differ between variants.
+    rows = slice(H // 3, 2 * H // 3)
+    mid = np.abs(split - same).sum(-1)[rows, W // 2 - 2:W // 2 + 2]
+    assert mid.max() > 0.05, "no id-boundary edge"
+    # outline-exclude on both sides suppresses the seam edge
+    excl = np.asarray(render_frame(
+        opts, build([129.0] * 4 + [130.0] * 4), view, proj, lights, eye))
+    mid2 = np.abs(excl - same).sum(-1)[rows, W // 2 - 2:W // 2 + 2]
+    assert mid2.max() < 0.02, "excluded entities still edged"

@@ -83,7 +83,7 @@ timeit("shadow_pass_all (4 casc atlas)", jax.jit(jax.vmap(shadow_only)), views)
 
 
 def model_only(vw, e):
-    return model_pass(opts, geom, vw, proj, lights, e)[0]
+    return model_pass(opts, geom, vw, proj, lights, e)[0]  # hdr
 timeit("model_pass (raster+shade)", jax.jit(jax.vmap(model_only)), views, eyes)
 
 
