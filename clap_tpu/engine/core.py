@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.bus import MT, Message, MessageBus
+from ..utils.logger import ERR, Logger, RingSink
 from ..utils.profiler import Profiler
 from ..utils.settings import Settings
 from ..utils.telemetry import TelemetryClient
@@ -88,6 +89,11 @@ class Engine:
         self.cfg = parse_cli(list(argv), cfg)
         self.bus = MessageBus()
         self.bus.subscribe(MT.COMMAND, self._handle_command)
+        # leveled logger + ring sink (log_init clap.c:1111; the ring
+        # drains to the telemetry server like networking.c:98)
+        self.log = Logger(abort_on_error=self.cfg.abort_on_error)
+        self.log_ring = RingSink(capacity=256)
+        self.log.add_sink(self.log_ring)
         self.profiler = Profiler()
         self.telemetry = None
         if cfg.networking:
@@ -242,6 +248,11 @@ class Engine:
                 self.bus.send(Message(MT.LOG, data={
                     "level": "err",
                     "msg": f"state corrupt ({e}); resetting"}))
+                try:
+                    self.log.err(f"state corrupt ({e}); resetting",
+                                 mod="engine")
+                except RuntimeError:
+                    raise
                 if self.session is not None:
                     self.session = self._session0
                     self.state = self.session.engine
@@ -250,6 +261,9 @@ class Engine:
             if self.telemetry:
                 self.telemetry.status(fps=self.profiler.fps,
                                       frame=self.frame_no)
+                for entry in self.log_ring.drain():   # networking.c:98
+                    self.telemetry.log(
+                        "err" if entry.level >= ERR else "msg", entry.msg)
                 self.telemetry.poll()
 
     def run(self, max_frames: int | None = None):

@@ -158,3 +158,30 @@ def test_engine_nan_watchdog_resets():
             pos=eng2.state.phys.pos.at[0, 1].set(jnp.nan)))
     with pytest.raises(FloatingPointError):
         eng2.frame()
+
+
+def test_logger_levels_ring_and_abort():
+    """Leveled logger + ring sink + abort_on_error (logger.h:19-60,
+    clap.c:909-915)."""
+    import pytest
+
+    from clap_tpu.utils.logger import (DBG, ERR, NORMAL, Logger, RingSink,
+                                       WARN)
+
+    log = Logger(level=NORMAL, stdio=False)
+    ring = RingSink(capacity=3, level=NORMAL)
+    log.add_sink(ring)
+    log.dbg("below level")            # filtered by logger level
+    log.msg("one")
+    log.warn("two")
+    log.err("three")
+    log.msg("four")                   # ring capacity 3 → "one" evicted
+    got = ring.drain()
+    assert [e.msg for e in got] == ["two", "three", "four"]
+    assert [e.level for e in got] == [WARN, ERR, NORMAL]
+    assert ring.drain() == []
+
+    log2 = Logger(abort_on_error=True, stdio=False)
+    with pytest.raises(RuntimeError):
+        log2.err("boom")
+    log2.warn("fine")                 # only ERR aborts
