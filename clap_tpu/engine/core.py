@@ -149,7 +149,6 @@ class Engine:
             opts = RenderOptions(width=self.cfg.width,
                                  height=self.cfg.height, film_grain=0.0)
         aspect = opts.width / opts.height
-        ctrl_body = self.scene_cfg.char_params.body
 
         def render(st, control):
             cam = st.camera

@@ -25,7 +25,8 @@ def main():
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--envs", type=int, default=1)
-    ap.add_argument("--dump", default=None, help="save last frame (npy)")
+    ap.add_argument("--dump", default=None,
+                    help="frame output directory (--render)")
     args = ap.parse_args()
 
     from clap_tpu.engine.core import ClapConfig, Engine
