@@ -133,12 +133,21 @@ class Engine:
 
     def attach_graphics(self, render_tables, lights, opts=None,
                         skip_culling=None, out_dir=None,
-                        fov: float = jnp.pi / 3):
+                        fov: float = jnp.pi / 3, textures=None,
+                        lut_volume=None, grain_noise=None,
+                        particle_world=None, particle_size: float = 0.12,
+                        particle_color=(0.9, 0.9, 0.6)):
         """Wire per-frame rendering into Engine.frame (graphics=True:
         clap_frame IS update+render, clap.c:551-665 — r1 only composed
         render with the step in demos/tests). The camera comes from the
         step's own CameraState; frames land in self.last_frame and,
-        when out_dir is set, as numbered PNGs."""
+        when out_dir is set, as numbered PNGs.
+
+        The full content path is plumbed, not just geometry: per-model
+        ``textures`` (TextureSets), 3D-LUT grading volume, film-grain
+        blue noise, and — when the session carries a ParticleState and
+        ``particle_world`` (the GameWorld's ParticleParams) is given —
+        the live particle systems render each frame (particle.c:122-125)."""
         from .. import mathx as mx
         from ..render.camera import camera_view_proj
         from ..render.pipeline import RenderOptions, render_frame
@@ -147,10 +156,21 @@ class Engine:
 
         if opts is None:
             opts = RenderOptions(width=self.cfg.width,
-                                 height=self.cfg.height, film_grain=0.0)
+                                 height=self.cfg.height,
+                                 film_grain=0.0 if grain_noise is None
+                                 else 0.03)
         aspect = opts.width / opts.height
+        has_particles = (particle_world is not None
+                         and self.session is not None
+                         and self.session.particles is not None)
+        if has_particles:
+            P = self.session.particles.pos.shape[1]
+            pp = particle_world
+            pactive = (pp.active[:, None]
+                       & (jnp.arange(P)[None, :] < pp.count[:, None]))
+            pactive = pactive.reshape(-1)
 
-        def render(st, control):
+        def render(st, particles):
             cam = st.camera
             q = mx.qmul(
                 mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
@@ -162,10 +182,20 @@ class Engine:
             geom = assemble_scene_geometry(
                 render_tables, st.mx, st.visible, sv.planes, cam.pos,
                 skip_culling=skip_culling)
-            return render_frame(opts, geom, view, proj, lights, cam.pos)
+            part_arg = None
+            if particles is not None:
+                part_arg = (particles.pos.reshape(-1, 3),
+                            jnp.float32(particle_size), pactive,
+                            particle_color)
+            return render_frame(opts, geom, view, proj, lights, cam.pos,
+                                textures=textures, lut_volume=lut_volume,
+                                grain_noise=grain_noise,
+                                particles=part_arg)
 
         self._render = jax.jit(render)
+        self._render_particles = has_particles
         self._frame_dir = out_dir
+        self.cfg.graphics = True       # config now reflects behavior
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
@@ -210,11 +240,10 @@ class Engine:
             self.state = self._step(self.state, inputs)
         self.profiler.step("sim")
 
-        if self._render is not None:
-            ctrl = (self.session.game.control
-                    if self.session is not None and self.session.game
-                    is not None else jnp.int32(0))
-            self.last_frame = self._render(self.state, ctrl)
+        if self._render is not None and self.cfg.graphics:
+            parts = (self.session.particles
+                     if getattr(self, "_render_particles", False) else None)
+            self.last_frame = self._render(self.state, parts)
             if self._frame_dir:
                 import numpy as np
 

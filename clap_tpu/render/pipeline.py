@@ -80,6 +80,14 @@ class SceneGeometry(NamedTuple):
     edge_id: jnp.ndarray = None   # (V,) f32 solid id (0-15) + 128·exclude
                                   # — the RT2 alpha edge-mode packing
                                   # (model.frag:109-125)
+    # --- local-attrs mode (batched per-env dynamic scenes): when
+    # ent_rot is present, ``normals``/``tangent`` are MODEL-LOCAL and
+    # SHARED across the env batch; the model pass rotates them per pixel
+    # by the entity rotation looked up through face_entity. This keeps
+    # every per-pixel attribute table view-invariant — a per-env table
+    # turns the image gather into a batched-operand gather (~5× slower).
+    face_entity: jnp.ndarray = None  # (T,) int32 entity per face (shared)
+    ent_rot: jnp.ndarray = None      # (E, 3, 3) entity rotation (per env)
 
 
 class TextureSets(NamedTuple):
@@ -220,6 +228,22 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
         cursor += 1
     vattrs = jnp.concatenate(streams, axis=-1)
     attrs = shade.interpolate_attrs(gb, geom.faces, vattrs, csrc, cbary)
+
+    # local-attrs mode: per-pixel entity rotation (one-hot MXU lookup —
+    # exact selection under HIGHEST; a gather from a per-env (E, 9)
+    # table would be a batched-operand gather under vmap)
+    Rpx = None
+    if geom.ent_rot is not None and geom.face_entity is not None:
+        n_ent = geom.ent_rot.shape[0]
+        tid_px = jnp.maximum(gb.tri_id, 0)
+        if csrc is not None:
+            tid_px = jnp.mod(tid_px, geom.faces.shape[0])
+        fe = geom.face_entity[tid_px]                        # (H, W)
+        oh_px = (fe[..., None] == jnp.arange(n_ent)[None, None, :]
+                 ).astype(jnp.float32)
+        Rpx = jnp.einsum(
+            "hwe,ec->hwc", oh_px, geom.ent_rot.reshape(n_ent, 9),
+            precision=jax.lax.Precision.HIGHEST).reshape(*fe.shape, 3, 3)
     # world position from depth (inverse view-projection unproject)
     hit2 = gb.tri_id >= 0
     d_ndc = jnp.where(jnp.isfinite(gb.depth), gb.depth, 1.0)
@@ -234,6 +258,8 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
                      p4[..., :3] / jnp.where(jnp.abs(p4[..., 3:4]) < 1e-12,
                                              1.0, p4[..., 3:4]), 0.0)
     nrm = attrs[..., 0:3]
+    if Rpx is not None:
+        nrm = jnp.einsum("...ij,...j->...i", Rpx, nrm)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
     base = attrs[..., 3:6]
     rough = attrs[..., 6]
@@ -255,6 +281,8 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
                 # TBN normal mapping (model.vert:54-67 + lighting.glsl:174)
                 t4 = attrs[..., off["tangent"]:off["tangent"] + 4]
                 t = t4[..., :3]
+                if Rpx is not None:   # local-attrs: rotate tangent too
+                    t = jnp.einsum("...ij,...j->...i", Rpx, t)
                 t = t - jnp.sum(t * nrm, -1, keepdims=True) * nrm
                 t = t / jnp.maximum(
                     jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-6)
@@ -401,19 +429,18 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     )
 
     if particles is not None:
-        # particles: (ppos (P,3), psize, pactive[, color, alpha])
-        hdr = particle_pass(opts, hdr, gb.depth, *particles,
-                            cam_view=cam_view, cam_proj=cam_proj)
+        # particles: (ppos (P,3), psize, pactive[, color[, alpha]])
+        ppos, psize, pactive = particles[:3]
+        pkw = {}
+        if len(particles) > 3:
+            pkw["color"] = particles[3]
+        if len(particles) > 4:
+            pkw["alpha"] = particles[4]
+        hdr = particle_pass(opts, hdr, gb.depth, ppos, psize, pactive,
+                            cam_view=cam_view, cam_proj=cam_proj, **pkw)
 
-    if opts.bloom:
-        # ¼-res blur of the thresholded emission, re-added in HDR
-        # (pipeline-builder.c:366-411)
-        hdr = hdr + post.upsample2(
-            post.gauss_blur_v(post.gauss_blur_h(
-                post.downsample2(post.downsample2(emit)))), H, W,
-        ) * opts.bloom_intensity
-
-    # edges
+    # edges (sobel on the packed edge-mode key | laplace on depth) —
+    # computed on gbuffer data before any color-space work
     if opts.edge_sobel and edge_meta is not None:
         key, excl = edge_meta
         edges = post.sobel_edges(key / 8.0)
@@ -430,15 +457,11 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         d = jnp.where(jnp.isfinite(gb.depth), gb.depth, 1.0)
         edges = post.laplace_edges(d)
     edge_mask = jnp.clip(edges * 2.0, 0.0, 1.0)
-    if opts.outline_strength > 0:
-        # cartoon outlines: combine darkens lit color along edges
-        # (combine.frag:65-117 consuming the sobel pass; r1 computed the
-        # mask but only fed SMAA — outlines never reached the image)
-        hdr = hdr * (1.0 - opts.outline_strength * edge_mask)[..., None]
 
+    smaa_weights = None
     if opts.edge_aa:
-        weights = post.smaa_blend_weights(edge_mask)
-        hdr = post.smaa_neighborhood_blend(hdr, weights)
+        smaa_weights = post.smaa_blend_weights(edge_mask)
+        hdr = post.smaa_neighborhood_blend(hdr, smaa_weights)
 
     if opts.ssao:
         import jax as _jax
@@ -452,19 +475,41 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
             ao_q, ao_q.shape[0] * 2, ao_q.shape[1] * 2), H, W)
         hdr = hdr * (0.4 + 0.6 * ao[..., None])
 
-    # combine: exposure → fog → contrast → tonemap → grain → OETF
+    # combine-pass ordering matches combine.frag:65-117: SMAA/SSAO (above)
+    # → HDR assembly `lit·exposure + bloom·(1-fog)` → fog → contrast →
+    # LUT → tonemap → edges (faded by fog + SMAA weights) → grain → OETF
     view_dist = jnp.linalg.norm(vpos, axis=-1)
     view_dist = jnp.where(gb.tri_id >= 0, view_dist, 1e9)
+    fog_f = jnp.clip((view_dist - opts.fog_near)
+                     / max(opts.fog_far - opts.fog_near, 1e-6), 0.0, 1.0)
+
     color = hdr * opts.lighting_exposure
-    color = post.radial_fog(color, view_dist, jnp.array(opts.fog_color),
-                            opts.fog_near, opts.fog_far)
-    color = shade.tonemap_aces(color) if opts.tonemap_aces else \
-        shade.tonemap_reinhard(color)
+    if opts.bloom:
+        # ¼-res blur of the thresholded emission, re-added in HDR and
+        # faded out by fog (pipeline-builder.c:366-411; combine.frag:82-87)
+        bloom = post.upsample2(
+            post.gauss_blur_v(post.gauss_blur_h(
+                post.downsample2(post.downsample2(emit)))), H, W)
+        color = color + bloom * (opts.bloom_intensity
+                                 * (1.0 - fog_f))[..., None]
+    fc = jnp.array(opts.fog_color, color.dtype)
+    color = color * (1.0 - fog_f[..., None]) + fc[None, None] * fog_f[..., None]
     color = post.contrast(color, opts.contrast)
     if opts.lighting_lut and lut_volume is not None:
         from .lut import apply_lut
 
         color = apply_lut(color, lut_volume)
+    color = shade.tonemap_aces(color) if opts.tonemap_aces else \
+        shade.tonemap_reinhard(color)
+    if opts.outline_strength > 0:
+        # cartoon outlines composited post-tonemap, faded by fog and by
+        # SMAA blend weights so anti-aliased edges don't double-darken
+        # (combine.frag:94-117)
+        fade = 1.0 - fog_f
+        if smaa_weights is not None:
+            fade = fade * (1.0 - 0.5 * jnp.sum(smaa_weights, -1))
+        color = color * (1.0 - opts.outline_strength * edge_mask
+                         * fade)[..., None]
     if opts.film_grain > 0 and grain_noise is not None:
         color = post.film_grain(color, grain_noise, opts.film_grain)
     if opts.hdr:
@@ -501,6 +546,25 @@ def render_frame_batch(opts: RenderOptions, geom: SceneGeometry, cam_views,
                             cascade_dists=cd, **kw)
 
     return jax.vmap(one)(cam_views, eyes)
+
+
+def render_frame_dynamic_batch(opts: RenderOptions, geom, geom_axes,
+                               cam_views, cam_proj, lights: Lights, eyes,
+                               far: float = 200.0, **kw):
+    """Render B envs with PER-ENV dynamic geometry — the honest
+    north-star composition (step+render over per-env scenes).
+
+    geom/geom_axes come from scenerender.assemble_scene_geometry_batch:
+    per-env verts/face_valid/ent_rot are vmapped, every attribute table
+    stays shared, and each env fits + renders its own CSM shadow atlas
+    (shared_shadow is impossible when geometry differs per env).
+    cam_views: (B, 4, 4); eyes: (B, 3)."""
+
+    def one(g, vw, e):
+        return render_frame(opts, g, vw, cam_proj, lights, e, far=far,
+                            **kw)
+
+    return jax.vmap(one, in_axes=(geom_axes, 0, 0))(geom, cam_views, eyes)
 
 
 def menu_blur(frame, opts: RenderOptions):

@@ -230,7 +230,17 @@ def contrast(color, amount):
 
 
 def film_grain(color, noise2d, strength=0.04):
-    """Blue-noise luma-weighted grain (combine.frag:50-63)."""
+    """Blue-noise luma-weighted grain (combine.frag:50-63).
+
+    noise2d: (S, S) or (S, S, 3) grain texture, wrap-tiled across the
+    frame like the reference's REPEAT-sampled blue-noise texture."""
+    h, w = color.shape[0], color.shape[1]
+    n = noise2d if noise2d.ndim == 3 else noise2d[..., None]
+    ry = -(-h // n.shape[0])
+    rx = -(-w // n.shape[1])
+    if ry > 1 or rx > 1:
+        n = jnp.tile(n, (ry, rx, 1))
+    n = n[:h, :w]
     luma = jnp.sum(color * jnp.array([0.2126, 0.7152, 0.0722]), -1, keepdims=True)
     weight = 1.0 - jnp.clip(luma, 0.0, 1.0)
-    return color + (noise2d[..., None] - 0.5) * strength * weight
+    return color + (n - 0.5) * strength * weight

@@ -60,6 +60,8 @@ class RenderTables(NamedTuple):
     face_entity: jnp.ndarray  # (Ti,) int32
     face_lod: jnp.ndarray     # (Ti,) int32
     entity_aabb: jnp.ndarray  # (E, 2, 3) model-local AABB per entity
+    edge_id: jnp.ndarray = None  # (Vi,) f32 solid id 0-15 + 128·exclude
+                                 # (RT2 alpha packing, model.frag:109-125)
 
 
 def model_from_mesh(verts, normals, faces, base_color=(0.7, 0.7, 0.7),
@@ -125,11 +127,35 @@ def compute_tangents(verts, normals, uvs, faces):
     return np.concatenate([t, w[:, None]], -1).astype(np.float32)
 
 
+def default_edge_ids(entity_active, body_is_char,
+                     exclude=None) -> np.ndarray:
+    """Per-entity edge-mode ids, assigned at scene load the way the
+    reference assigns per-character solid ids (model.frag:109-125 +
+    scene.c character slots): each character entity gets a distinct
+    solid id 1..15 so character silhouettes outline against each other;
+    everything else shares id 0; ``exclude`` marks entities whose
+    pixels never edge (bit7, ENTITY3D_OUTLINE_EXCLUDE)."""
+    e = np.zeros(len(entity_active), np.float32)
+    sid = 1
+    for i, (act, ch) in enumerate(zip(entity_active, body_is_char)):
+        if act and ch:
+            e[i] = float(sid)
+            sid = sid % 15 + 1
+    if exclude is not None:
+        e = e + 128.0 * np.asarray(exclude, np.float32)
+    return e
+
+
 def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
-                        entity_active: np.ndarray) -> RenderTables:
-    """Instance-expand models over active entity slots (host)."""
+                        entity_active: np.ndarray,
+                        entity_edge_id: np.ndarray = None) -> RenderTables:
+    """Instance-expand models over active entity slots (host).
+
+    entity_edge_id: optional (E,) f32 per-entity solid-id/exclude packing
+    (see default_edge_ids) — expanded to a per-vertex stream so
+    assemble_scene_geometry can emit SceneGeometry.edge_id."""
     vs, ns, bc, rm, em, ve = [], [], [], [], [], []
-    uvs, tgs, tids, fbms = [], [], [], []
+    uvs, tgs, tids, fbms, eids = [], [], [], [], []
     fs, fe, fl = [], [], []
     aabbs = np.zeros((len(entity_model), 2, 3), np.float32)
     voff = 0
@@ -153,6 +179,8 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         fbms.append(np.tile(np.asarray(
             m.mat_fbm if m.mat_fbm is not None else (0.0,) * 6,
             np.float32), (V, 1)))
+        if entity_edge_id is not None:
+            eids.append(np.full(V, float(entity_edge_id[ei]), np.float32))
         ve.append(np.full(len(m.verts), ei, np.int32))
         for lod, faces in enumerate(m.lod_faces):
             fs.append(faces.astype(np.int64) + voff)
@@ -174,7 +202,91 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         face_entity=cat(fe, np.int32).astype(jnp.int32),
         face_lod=cat(fl, np.int32).astype(jnp.int32),
         entity_aabb=jnp.asarray(aabbs),
+        edge_id=cat(eids) if entity_edge_id is not None else None,
     )
+
+
+def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
+                                  entity_visible, cam_planes, cam_pos,
+                                  skip_culling=None):
+    """Per-ENV-BATCH geometry assembly for composed step+render: B envs,
+    each with its own entity transforms/visibility/camera, over ONE
+    shared instance table.
+
+    The per-env twist on ``assemble_scene_geometry`` is gather shape:
+    under vmap, ``packed[rt.vert_entity]`` becomes a batched-OPERAND
+    gather (~5× slower than shared-table gathers on TPU), so every
+    entity-indexed selection here is a one-hot MXU matmul instead
+    (exact under HIGHEST precision), and all per-pixel attribute tables
+    stay SHARED: normals/tangents are kept model-local and the model
+    pass rotates them per pixel via (face_entity, ent_rot).
+
+    entity_mx: (B, E, 4, 4); entity_visible: (B, E);
+    cam_planes: (B, 6, 4); cam_pos: (B, 3).
+
+    Returns (geom, axes): a SceneGeometry with batched leaves where
+    per-env and shared leaves elsewhere, plus the matching in_axes tree
+    for ``jax.vmap(render_frame)``-style consumption.
+    """
+    B, E = entity_mx.shape[:2]
+    vi = rt.verts.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+
+    # per-vertex world transform rows via one-hot selection (B, Vi, 12)
+    oh_v = (rt.vert_entity[:, None] == jnp.arange(E)[None, :]
+            ).astype(jnp.float32)                        # (Vi, E) const
+    packed = entity_mx[:, :, :3, :].reshape(B, E, 12)
+    g = jnp.einsum("ve,bec->bvc", oh_v, packed, precision=hi)
+    m = g.reshape(B, vi, 3, 4)
+    wverts = jnp.einsum("bvij,vj->bvi", m[..., :3], rt.verts) + m[..., 3]
+
+    # per-entity world AABB cull + distance LOD (per env)
+    c = 0.5 * (rt.entity_aabb[:, 0] + rt.entity_aabb[:, 1])
+    e = 0.5 * (rt.entity_aabb[:, 1] - rt.entity_aabb[:, 0])
+    rot = entity_mx[:, :, :3, :3]
+    wc = jnp.einsum("beij,ej->bei", rot, c) + entity_mx[:, :, :3, 3]
+    we = jnp.einsum("beij,ej->bei", jnp.abs(rot), e)
+    in_frustum = jax.vmap(aabb_in_frustum)(cam_planes, wc - we, wc + we)
+    if skip_culling is not None:
+        in_frustum = in_frustum | skip_culling[None, :]
+    dist = jnp.linalg.norm(wc - cam_pos[:, None, :], axis=-1)
+    lod = jnp.sum(dist[..., None] > jnp.asarray(LOD_DISTANCES)[None, None, :],
+                  axis=-1).astype(jnp.int32)
+    lod = jnp.minimum(lod, LOD_MAX - 1)
+    ent_ok = entity_visible & in_frustum                  # (B, E)
+
+    # face validity: entity-ok AND lod match, as ONE one-hot matmul over
+    # the (E · LOD_MAX) product table
+    n_lod = LOD_MAX
+    oh_f = ((rt.face_entity[:, None, None] == jnp.arange(E)[None, :, None])
+            & (rt.face_lod[:, None, None]
+               == jnp.arange(n_lod)[None, None, :])
+            ).reshape(rt.faces.shape[0], E * n_lod).astype(jnp.float32)
+    ok_el = (ent_ok[..., None]
+             & (lod[..., None] == jnp.arange(n_lod)[None, None, :]))
+    fv = jnp.einsum("tk,bk->bt", oh_f,
+                    ok_el.reshape(B, E * n_lod).astype(jnp.float32),
+                    precision=hi) > 0.5
+
+    geom = SceneGeometry(
+        verts=wverts, normals=rt.normals, faces=rt.faces, face_valid=fv,
+        base_color=rt.base_color, rough_metal=rt.rough_metal,
+        emission=rt.emission,
+        uv=rt.uv if rt.any_material else None,
+        tangent=rt.tangent if rt.any_material else None,
+        tex_id=rt.tex_id if rt.any_material else None,
+        local_pos=rt.verts if rt.any_material else None,
+        mat_fbm=rt.mat_fbm if rt.any_material else None,
+        edge_id=rt.edge_id,
+        face_entity=rt.face_entity, ent_rot=rot,
+    )
+    axes = SceneGeometry(
+        verts=0, normals=None, faces=None, face_valid=0,
+        base_color=None, rough_metal=None, emission=None,
+        uv=None, tangent=None, tex_id=None, local_pos=None, mat_fbm=None,
+        edge_id=None, face_entity=None, ent_rot=0,
+    )
+    return geom, axes
 
 
 def assemble_scene_geometry(rt: RenderTables, entity_mx, entity_visible,
@@ -219,11 +331,11 @@ def assemble_scene_geometry(rt: RenderTables, entity_mx, entity_visible,
         return SceneGeometry(
             verts=wverts, normals=wnorm, faces=rt.faces, face_valid=fv,
             base_color=rt.base_color, rough_metal=rt.rough_metal,
-            emission=rt.emission,
+            emission=rt.emission, edge_id=rt.edge_id,
         )
     return SceneGeometry(
         verts=wverts, normals=wnorm, faces=rt.faces, face_valid=fv,
         base_color=rt.base_color, rough_metal=rt.rough_metal,
         emission=rt.emission, uv=rt.uv, tangent=wtan, tex_id=rt.tex_id,
-        local_pos=rt.verts, mat_fbm=rt.mat_fbm,
+        local_pos=rt.verts, mat_fbm=rt.mat_fbm, edge_id=rt.edge_id,
     )

@@ -77,6 +77,8 @@ class GltfDocument:
     node_trs: list               # (translation, rotation, scale) per node
     images: list                 # decoded raw bytes per image
     scene_roots: list
+    textures: list = field(default_factory=list)  # texture idx → source
+                                                  # image idx (gltf.c:621)
 
 
 def _decode_uri(uri: str, buffers_dir=None) -> bytes:
@@ -253,6 +255,7 @@ def load_gltf(data: bytes | str, buffers_dir=None) -> GltfDocument:
         animations=animations, nodes=doc.get("nodes", []),
         node_trs=node_trs, images=images,
         scene_roots=scene.get("nodes", []),
+        textures=[t.get("source", -1) for t in doc.get("textures", [])],
     )
 
 

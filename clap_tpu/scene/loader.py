@@ -42,6 +42,8 @@ class LoadedModel:
     rig: tuple | None
     materials: list
     physics: dict = field(default_factory=dict)
+    images: list = field(default_factory=list)       # raw PNG bytes
+    tex_source: list = field(default_factory=list)   # texture→image idx
 
 
 @dataclass
@@ -78,17 +80,20 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
     entities = []      # (model_idx, entity_dict, is_char)
     for mentry in doc.get("model", []):
         mesh = coll = rig = None
-        materials = []
+        materials, images, tex_source = [], [], []
         if asset_loader is not None and mentry.get("gltf"):
             gdoc = load_gltf(asset_loader(mentry["gltf"]))
             mesh, coll = find_collision_mesh(gdoc)
             materials = gdoc.materials
+            images = gdoc.images
+            tex_source = gdoc.textures
             if gdoc.skins:
                 rig = build_rig(gdoc)
         lm = LoadedModel(
             name=mentry.get("name", mentry.get("gltf", "model")),
             mesh=mesh, collision=coll, rig=rig, materials=materials,
             physics=mentry.get("physics", {}),
+            images=images, tex_source=tex_source,
         )
         mi = len(models)
         models.append(lm)
@@ -98,6 +103,12 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
             entities.append((mi, c, True))
 
     n_chars = sum(1 for _, _, ic in entities if ic)
+
+    # cameras (≤4 slots, scene.h:40 NR_CAMERAS_MAX): scene.json
+    # ``camera`` entries {pitch, yaw, dist, character} — character is
+    # the char index the slot follows, -1 follows the controlled one
+    cam_entries = doc.get("camera", [])[:4]
+    n_cameras = len(cam_entries)
 
     # physics bodies: one per entity with a physics block (+ characters)
     bodies = body_params_empty(max_bodies)
@@ -110,7 +121,21 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
         parent=jnp.full((max_entities,), -1, jnp.int32),
         skip_culling=jnp.zeros((max_entities,), bool),
     )
-    st = engine_state_init(max_entities, max_bodies, max(n_chars, 1))
+    st = engine_state_init(max_entities, max_bodies, max(n_chars, 1),
+                           n_cameras=n_cameras)
+    if n_cameras:
+        cams = st.cameras._replace(
+            pitch=jnp.asarray([float(c.get("pitch", -0.3))
+                               for c in cam_entries], jnp.float32),
+            yaw=jnp.asarray([float(c.get("yaw", 0.0))
+                             for c in cam_entries], jnp.float32),
+            dist=jnp.asarray([float(c.get("dist", 8.0))
+                              for c in cam_entries], jnp.float32),
+        )
+        import jax as _jax
+
+        st = st._replace(cameras=cams,
+                         camera=_jax.tree.map(lambda x: x[0], cams))
 
     char_bodies = []
     char_speeds = []
@@ -260,6 +285,9 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
         model_aabb=jnp.asarray(model_aabb),
         limbo_height=jnp.float32(doc.get("limbo_height", 40.0)),
         gravity_y=jnp.float32(-9.8),
+        camera_char=jnp.asarray(
+            [int(c.get("character", -1)) for c in cam_entries], jnp.int32)
+        if n_cameras else None,
     )
     return LoadedScene(name=doc.get("name", "scene"), cfg=cfg, state0=st,
                        lights=lights, models=models, doc=doc,

@@ -61,11 +61,14 @@ def main():
     game_world = session0 = None
     if args.render:
         # full composed game step: 2-character roster, each with its own
-        # animated rig (vmapped batch), rendered INSIDE Engine.frame
+        # animated rig (vmapped batch), live particle systems, rendered
+        # INSIDE Engine.frame
         from clap_tpu.anim.system import anim_instances_init
         from clap_tpu.engine.game import GameSessionState, GameWorld
         from clap_tpu.engine.gamelogic import (game_config_empty,
                                                game_state_init)
+        from clap_tpu.ops.particles import (PARTICLES_MAX, ParticleParams,
+                                            particles_init)
         from clap_tpu.scene.testbed import build_demo_rig
 
         tb = build_testbed(seed=42, side=64.0, nr_v=128, n_dynamic=8,
@@ -75,11 +78,26 @@ def main():
             switch_entity=jnp.array([0], jnp.int32),
             switch_valid=jnp.array([True]),
             switch_permanent=jnp.array([True]))
+        # spore particles around each character (ldjam57 main.c spores)
+        pparams = ParticleParams(
+            active=jnp.array([True, True]),
+            radius=jnp.array([1.6, 1.6]),
+            min_radius=jnp.array([0.4, 0.4]),
+            velocity=jnp.array([0.015, 0.015]),
+            dist=jnp.array([1, 1], jnp.int32),
+            count=jnp.array([PARTICLES_MAX // 4] * 2, jnp.int32))
+        pentity = jnp.array([1, 2], jnp.int32)   # character entities
         game_world = GameWorld(scene=tb.cfg, game=gcfg, anim=acfg,
-                               anim_sk=sk, anim_lib=lib)
+                               anim_sk=sk, anim_lib=lib,
+                               particles=pparams, particle_entity=pentity)
         session0 = GameSessionState(
             engine=tb.state0, game=game_state_init(1, 2),
-            anim=anim_instances_init(2))
+            anim=anim_instances_init(2),
+            particles=particles_init(pparams, tb.state0.pos[pentity],
+                                     jax.random.PRNGKey(3)),
+            # non-None from frame 0 keeps the session treedef stable
+            # (None→array would retrace the jitted step at frame 1)
+            joint_mats=jnp.tile(jnp.eye(4), (2, 3, 1, 1)))
 
     eng = Engine(cfg, tb.cfg, tb.state0, argv=sys.argv[1:],
                  game_world=game_world, session0=session0)
@@ -87,22 +105,44 @@ def main():
     if args.render:
         import numpy as np
 
+        from clap_tpu.ops.noise import blue_noise2d
         from clap_tpu.render.lights import lights_empty
-        from clap_tpu.render.pipeline import RenderOptions
+        from clap_tpu.render.pipeline import RenderOptions, TextureSets
         from clap_tpu.render.scenerender import (build_render_tables,
+                                                 default_edge_ids,
                                                  model_from_mesh)
 
         t = tb.terrain
+        # procedural texture set (the assets ship textures via glTF —
+        # scene/content.py — but the testbed is asset-less): layer 0
+        # checker for characters, layer 1 bark for trees
+        checker = np.zeros((32, 32, 3), np.float32) + 0.55
+        checker[::2, ::2] = (0.95, 0.55, 0.35)
+        checker[1::2, 1::2] = (0.95, 0.55, 0.35)
+        bark = np.zeros((32, 32, 3), np.float32)
+        bark[:] = (0.45, 0.33, 0.2)
+        bark[:, ::4] = (0.3, 0.2, 0.12)
+        textures = TextureSets(diffuse=jnp.asarray(
+            np.stack([checker, bark])))
+
         models = [
             model_from_mesh(t.vx, t.norm, t.idx.reshape(-1, 3),
                             base_color=(0.35, 0.5, 0.3), with_lods=False),
-            model_from_mesh(*_cube_model(0.6, 2.0), base_color=(0.8, 0.5, 0.4)),
-            model_from_mesh(*_cube_model(0.8, 0.8), base_color=(0.6, 0.6, 0.7)),
-            model_from_mesh(*_cube_model(0.8, 3.0), base_color=(0.4, 0.3, 0.2)),
+            model_from_mesh(*_cube_model(0.6, 2.0),
+                            base_color=(0.8, 0.5, 0.4),
+                            uv=_cube_uv(), tex_id=0),
+            model_from_mesh(*_cube_model(0.8, 0.8),
+                            base_color=(0.6, 0.6, 0.7)),
+            model_from_mesh(*_cube_model(0.8, 3.0),
+                            base_color=(0.4, 0.3, 0.2),
+                            uv=_cube_uv(), tex_id=1),
         ]
         ent = tb.cfg.entities
+        edge = default_edge_ids(np.asarray(ent.active),
+                                np.asarray(ent.body_is_char))
         rt = build_render_tables(models, np.asarray(ent.model_id),
-                                 np.asarray(ent.active))
+                                 np.asarray(ent.active),
+                                 entity_edge_id=edge)
         lights = lights_empty(1)
         d = jnp.array([-0.4, -0.8, -0.4])
         lights = lights._replace(
@@ -110,11 +150,15 @@ def main():
             color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
             is_dir=lights.is_dir.at[0].set(True),
             active=lights.active.at[0].set(True))
-        opts = RenderOptions(width=640, height=360, shadow_size=256,
-                             film_grain=0.0)
+        opts = RenderOptions(width=640, height=360, shadow_size=256)
         eng.attach_graphics(rt, lights, opts,
                             skip_culling=ent.skip_culling,
-                            out_dir=args.dump or "/tmp/testbed_frames")
+                            out_dir=args.dump or "/tmp/testbed_frames",
+                            textures=textures,
+                            grain_noise=blue_noise2d(64),
+                            particle_world=game_world.particles,
+                            particle_size=0.1,
+                            particle_color=(0.95, 0.9, 0.5))
 
     eng.run(max_frames=args.frames)
     print("frames:", eng.frame_no, "profiler:", eng.profiler.report())
@@ -148,6 +192,12 @@ def _cube_model(w, h):
     v, n, uv, f = cube(1.0)
     v = v * np.array([w, h, w], np.float32) + np.array([0, h / 2, 0], np.float32)
     return v, n, f
+
+
+def _cube_uv():
+    from clap_tpu.scene.primitives import cube
+
+    return np.asarray(cube(1.0)[2], np.float32)
 
 
 if __name__ == "__main__":
