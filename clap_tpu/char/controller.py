@@ -76,6 +76,8 @@ class CharState(NamedTuple):
     moved: jnp.ndarray         # int32 frames-moved counter
     jump_start_cnt: jnp.ndarray  # int32 frames left in JUMP_START
     collision: jnp.ndarray     # int32 ground entity/body id (-1 = none)
+    push_body: jnp.ndarray     # int32 body slot the move swept into
+                               # (-1 = none) — the phys_body_push target
     history: jnp.ndarray       # (POS_HISTORY_MAX, 3) grounded positions
     hist_head: jnp.ndarray     # int32
     hist_wrapped: jnp.ndarray  # bool
@@ -92,6 +94,7 @@ def char_state_init() -> CharState:
         moved=jnp.int32(0),
         jump_start_cnt=jnp.int32(0),
         collision=jnp.int32(-1),
+        push_body=jnp.int32(-1),
         history=jnp.zeros((POS_HISTORY_MAX, 3), jnp.float32),
         hist_head=jnp.int32(0),
         hist_wrapped=jnp.array(False),
@@ -104,7 +107,7 @@ def _sweep_delta(world, params: BodyParams, body_pos, self_idx, delta,
     """character_sweep_delta (character.c:193-243): ≤3 sweep-and-slide
     iterations. Returns (new_pos_self, first_frac)."""
     def it(carry, it_idx):
-        pos, delta, first_frac, done = carry
+        pos, delta, first_frac, done, hit_body = carry
         live = ~done & (jnp.linalg.norm(delta) >= 1e-6)
 
         bp = body_pos.at[self_idx].set(pos)
@@ -113,6 +116,10 @@ def _sweep_delta(world, params: BodyParams, body_pos, self_idx, delta,
         # normal filter: ignore wall/edge contacts on vertical sweeps
         frac = jnp.where((frac < 1.0) & (res.normal[1] < min_normal_y), 1.0, frac)
         first_frac = jnp.where(live & (it_idx == 0), frac, first_frac)
+        # first dynamic body the sweep ran into (phys_body_sweep_capsule
+        # reports it so the caller can shove it, physics.c:659-668)
+        hit_body = jnp.where(live & (frac < 1.0) & (hit_body < 0),
+                             res.hit_body, hit_body)
 
         pos = jnp.where(live, pos + delta * jnp.maximum(frac, 0.0), pos)
 
@@ -122,16 +129,17 @@ def _sweep_delta(world, params: BodyParams, body_pos, self_idx, delta,
         new_delta = remaining - d * res.normal
         delta = jnp.where(live & ~stop, new_delta, delta)
         done = done | (live & stop)
-        return pos, delta, first_frac, done
+        return pos, delta, first_frac, done, hit_body
 
     # unrolled (3 fixed iterations): a lax.scan here becomes an XLA while
     # loop whose carry tuple is re-materialized through HBM every
     # iteration — straight-line code fuses into the surrounding step
-    carry = (body_pos[self_idx], delta, jnp.float32(1.0), jnp.array(False))
+    carry = (body_pos[self_idx], delta, jnp.float32(1.0), jnp.array(False),
+             jnp.int32(-1))
     for i in range(SLIDE_ITERS):
         carry = it(carry, i)
-    pos, _, first_frac, _ = carry
-    return pos, first_frac
+    pos, _, first_frac, _, hit_body = carry
+    return pos, first_frac, hit_body
 
 
 def ground_collide(world: StaticWorld, params: BodyParams, pos, idx, grounded):
@@ -251,11 +259,12 @@ def character_move(world: StaticWorld, params: BodyParams,
                         jnp.where(rising, vel_air * dt, v_delta), delta_g)
     min_ny_a = jnp.where(falling, 0.5, -1.0)
     stop_a = ~falling
-    p_a, frac_a = _sweep_delta(world, params, body_pos, idx, delta_a,
-                               min_ny_a, stop_a)
+    p_a, frac_a, hit_a = _sweep_delta(world, params, body_pos, idx, delta_a,
+                                      min_ny_a, stop_a)
     bp2 = body_pos.at[idx].set(p_a)
     delta_b = jnp.where(falling, h_delta, jnp.zeros(3))
-    p_b, _ = _sweep_delta(world, params, bp2, idx, delta_b, -1.0, True)
+    p_b, _, hit_b = _sweep_delta(world, params, bp2, idx, delta_b, -1.0, True)
+    push_body = jnp.where(hit_a >= 0, hit_a, hit_b)
 
     new_pos = jnp.where(falling, p_b, p_a)
     # vertical velocity cancels when the primary sweep hit (rising
@@ -303,6 +312,7 @@ def character_move(world: StaticWorld, params: BodyParams,
         moved=cs.moved + 1,
         jump_start_cnt=jcnt.astype(jnp.int32),
         collision=collision.astype(jnp.int32),
+        push_body=push_body.astype(jnp.int32),
         history=hist,
         hist_head=head.astype(jnp.int32),
         hist_wrapped=wrapped,

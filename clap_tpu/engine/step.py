@@ -48,27 +48,65 @@ def inputs_zero(n_chars: int) -> Inputs:
 def _characters_move(cfg: SceneConfig, st: EngineState, inputs: Inputs, dt):
     """scene_characters_move (scene.c:1058) → character_move per char.
 
-    Characters update sequentially (later characters see earlier ones'
-    new body positions, like the C entity list walk)."""
+    Rosters of ≤2 characters update sequentially (later characters see
+    earlier ones' new body positions, exactly like the C entity-list
+    walk). Larger rosters move as ONE vmapped batch against the
+    pre-move body positions: the traced graph stays constant-size in C
+    instead of C copies of the controller, at the cost of same-frame
+    char-vs-char sweep visibility — a one-frame lag that only matters
+    when two characters cross within one step (~3 cm at walk speed)."""
     body_pos = st.phys.pos
     n_chars = cfg.char_params.body.shape[0]
-    new_chars = []
-    for ci in range(n_chars):
-        cp = jax.tree.map(lambda x: x[ci], cfg.char_params)
-        cs = jax.tree.map(lambda x: x[ci], st.chars)
-        dash = None if inputs.dash is None else inputs.dash[ci]
-        p_new, cs2 = C.character_move(
-            cfg.world, cfg.bodies, cp, cs, body_pos,
-            inputs.motion[ci, 0], inputs.motion[ci, 1], inputs.jump[ci], dt,
-            dash_input=dash,
-        )
-        body_pos = body_pos.at[cp.body].set(p_new)
-        new_chars.append(cs2)
-    if n_chars:
+    if n_chars == 0:
+        return st
+    if n_chars <= 2:
+        new_chars = []
+        for ci in range(n_chars):
+            cp = jax.tree.map(lambda x: x[ci], cfg.char_params)
+            cs = jax.tree.map(lambda x: x[ci], st.chars)
+            dash = None if inputs.dash is None else inputs.dash[ci]
+            p_new, cs2 = C.character_move(
+                cfg.world, cfg.bodies, cp, cs, body_pos,
+                inputs.motion[ci, 0], inputs.motion[ci, 1],
+                inputs.jump[ci], dt, dash_input=dash,
+            )
+            body_pos = body_pos.at[cp.body].set(p_new)
+            new_chars.append(cs2)
         chars = jax.tree.map(lambda *xs: jnp.stack(xs), *new_chars)
-    else:
-        chars = st.chars
+        return st._replace(phys=st.phys._replace(pos=body_pos), chars=chars)
+
+    dash = inputs.dash if inputs.dash is not None \
+        else jnp.zeros((n_chars,), bool)
+
+    def move_one(cp, cs, mot, jmp, dsh):
+        return C.character_move(cfg.world, cfg.bodies, cp, cs, body_pos,
+                                mot[0], mot[1], jmp, dt, dash_input=dsh)
+
+    p_new, chars = jax.vmap(move_one)(cfg.char_params, st.chars,
+                                      inputs.motion, inputs.jump, dash)
+    body_pos = body_pos.at[cfg.char_params.body].set(p_new)
     return st._replace(phys=st.phys._replace(pos=body_pos), chars=chars)
+
+
+def _apply_char_push(cfg: SceneConfig, st: EngineState, dt):
+    """phys_body_push (physics.c:677-693): the character shoves the
+    dynamic body its sweep ran into with force F = m_char·v_char
+    (Δv = m_char·v_char·dt/m_body) and re-enables it — so characters can
+    push boxes and wake sleeping bodies by walking into them."""
+    n_chars = cfg.char_params.body.shape[0]
+    vel = st.phys.vel
+    disabled = st.phys.disabled
+    dyn = cfg.bodies.active & ~cfg.bodies.kinematic
+    n = vel.shape[0]
+    inv_m = 1.0 / jnp.maximum(cfg.bodies.mass, 1e-6)
+    for ci in range(n_chars):
+        b = st.chars.push_body[ci]
+        sel = (jnp.arange(n) == b) & dyn
+        m_char = cfg.bodies.mass[cfg.char_params.body[ci]]
+        dv = st.chars.velocity[ci][None, :] * (m_char * dt * inv_m)[:, None]
+        vel = vel + jnp.where(sel[:, None], dv, 0.0)
+        disabled = disabled & ~sel
+    return st._replace(phys=st.phys._replace(vel=vel, disabled=disabled))
 
 
 def _limbo(cfg: SceneConfig, st: EngineState):
@@ -139,6 +177,35 @@ def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs,
     roster-controlled character slot when the player switches characters
     (scene_control_next scene.c:23-55 re-points scene->control and the
     camera follows); None keeps the static slot-0 target."""
+    if st.cameras is not None and cfg.camera_char is not None:
+        # multi-camera bank (≤4 slots, scene.h:39-40): every slot tracks
+        # its target every frame (scene_cameras_calc scene.c:1050-1055);
+        # input deltas steer slot 0, the active camera
+        cams = st.cameras
+        pitch = jnp.clip(cams.pitch.at[0].add(inputs.cam_delta[0]),
+                         -1.45, 1.45)
+        yaw = jnp.mod(cams.yaw.at[0].add(inputs.cam_delta[1]) + jnp.pi,
+                      2 * jnp.pi) - jnp.pi
+        dist = jnp.clip(cams.dist.at[0].add(inputs.cam_delta[2]),
+                        1.0, 50.0)
+        ctrl = jnp.int32(0) if control is None else control
+        follow = jnp.where(cfg.camera_char >= 0, cfg.camera_char, ctrl)
+        b = cfg.char_params.body[jnp.clip(
+            follow, 0, cfg.char_params.body.shape[0] - 1)]
+        targets = st.phys.pos[b]                        # (NC, 3)
+
+        def orbit(p, y, d, t):
+            q = mx.qmul(
+                mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), y),
+                mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), p),
+            )
+            return mx.transform_orbit(q, t, d)
+
+        eyes = jax.vmap(orbit)(pitch, yaw, dist, targets)
+        cams2 = CameraState(pitch=pitch, yaw=yaw, dist=dist, pos=eyes)
+        active = jax.tree.map(lambda x: x[0], cams2)
+        return st._replace(camera=active, cameras=cams2)
+
     cam = st.camera
     pitch = jnp.clip(cam.pitch + inputs.cam_delta[0], -1.45, 1.45)
     yaw = jnp.mod(cam.yaw + inputs.cam_delta[1] + jnp.pi, 2 * jnp.pi) - jnp.pi
@@ -170,6 +237,7 @@ def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
     rates. ``control`` optionally retargets the camera onto the
     roster-controlled character (see _camera_update)."""
     st = _characters_move(cfg, st, inputs, dt)
+    st = _apply_char_push(cfg, st, dt)
     st = st._replace(phys=W.phys_step(cfg.world, cfg.bodies, st.phys, dt,
                                       max_substeps))
     st = _limbo(cfg, st)

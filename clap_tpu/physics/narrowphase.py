@@ -142,13 +142,15 @@ def hf_capsule_contacts(hf: Heightfield, p_bot, p_top, r, n_samples: int = 9,
 
     offs = jnp.asarray(_HF_SAMPLE_OFFS[:n_samples], dtype=jnp.float32)  # (S, 2)
     if two_ended:
-        # tumbling capsules: sample around BOTH segment ends so a lying
-        # capsule rests on two supports (spheres and upright capsules
-        # keep the single-ended contact set)
-        ends = jnp.stack([p_bot, p_top])                   # (2, 3)
+        # tumbling capsules: sample around both segment ends AND the
+        # midpoint, so a lying capsule rests on two supports and a long
+        # capsule across a ridge still finds the center contact (the
+        # builder-admitted r2 midline gap). Spheres and upright capsules
+        # keep the single-ended contact set.
+        ends = jnp.stack([p_bot, 0.5 * (p_bot + p_top), p_top])  # (3, 3)
         sx = (ends[:, None, 0] + offs[None, :, 0] * r).reshape(-1)
         sz = (ends[:, None, 2] + offs[None, :, 1] * r).reshape(-1)
-        seg_pt = jnp.repeat(ends, n_samples, axis=0)       # (2S, 3)
+        seg_pt = jnp.repeat(ends, n_samples, axis=0)       # (3S, 3)
     else:
         sx = p_bot[0] + offs[:, 0] * r
         sz = p_bot[2] + offs[:, 1] * r
@@ -177,7 +179,7 @@ def capsule_world_contacts(world: StaticWorld, p_bot, p_top, r,
     """All static-world contacts of one capsule (segment p_bot→p_top,
     radius r): analytic heightfield planes + exact trimesh triangles.
 
-    Output capacity: n_samples (×2 when two_ended) heightfield slots +
+    Output capacity: n_samples (×3 when two_ended) heightfield slots +
     T trimesh slots.
     """
     hd, hn, hp, hv = hf_capsule_contacts(world.hf, p_bot, p_top, r,

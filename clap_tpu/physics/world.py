@@ -209,9 +209,10 @@ def _static_contacts(world: StaticWorld, params: BodyParams, pos,
 def _pair_contacts(params: BodyParams, pos, quat=None):
     """All-pairs capsule-capsule contacts between bodies.
 
-    Returns per-body accumulated push-out and per-pair data for the
-    solver: (depth, normal, j) arrays of shape (N, N): contact of body i
-    with body j; normal points from j toward i."""
+    Returns (depth, normal, point) arrays of shape (N, N[, 3]): contact
+    of body i with body j; normal points from j toward i; point is the
+    world-space contact point (mid-surface of the overlap), which the
+    solver needs for contact torques (ODE's dContactGeom.pos)."""
     n = pos.shape[0]
     p0, p1 = capsule_segment(pos, params.half_len, quat)
 
@@ -223,14 +224,17 @@ def _pair_contacts(params: BodyParams, pos, quat=None):
         # degenerate (same axis): push up
         normal = jnp.where(dist > 1e-9, normal, jnp.array([0.0, 1.0, 0.0]))
         depth = params.radius[i] + params.radius[j] - dist
+        # surface point of i toward j / of j toward i — midpoint
+        point = 0.5 * ((ci - normal * params.radius[i])
+                       + (cj + normal * params.radius[j]))
         ok = params.active[i] & params.active[j] & (i != j)
-        return jnp.where(ok, depth, -jnp.inf), normal
+        return jnp.where(ok, depth, -jnp.inf), normal, point
 
     ii = jnp.arange(n)
-    depth, normal = jax.vmap(
+    depth, normal, point = jax.vmap(
         lambda i: jax.vmap(lambda j: pair(i, j))(ii)
     )(ii)
-    return depth, normal
+    return depth, normal, point
 
 
 def _mix_pair(params: BodyParams):
@@ -281,6 +285,12 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
 
         def invI_apply(x):
             return x * inv_i[:, None]
+
+        def invI_rows(x):    # x (N, M, 3): apply body i's I⁻¹ per row
+            return x * inv_i[:, None, None]
+
+        def invI_cols(x):    # x (N, M, 3): apply body j's I⁻¹ per column
+            return x * inv_i[None, :, None]
     else:
         R = mx.mat3_from_quat(quat)                          # (N, 3, 3)
         inv_I = jnp.einsum("nab,nb,ncb->nac", R, inv_d, R)   # R diag Rᵀ
@@ -288,9 +298,15 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
         def invI_apply(x):
             return jnp.einsum("nab,nb->na", inv_I, x)
 
+        def invI_rows(x):
+            return jnp.einsum("nab,nmb->nma", inv_I, x)
+
+        def invI_cols(x):
+            return jnp.einsum("mab,nmb->nma", inv_I, x)
+
     # --- contacts
     sd, sn, sp = _static_contacts(world, params, pos, quat)  # (N,K),(N,K,3)
-    pd, pn = _pair_contacts(params, pos, quat)               # (N,N),(N,N,3)
+    pd, pn, ppt = _pair_contacts(params, pos, quat)          # (N,N),(N,N,3)
 
     # --- penetration push-out (physics.c:755-766), dynamic bodies only
     push_static = jnp.sum(
@@ -301,8 +317,12 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     )
     pos = pos + jnp.where(solve_mask[:, None], push_static + push_pairs, 0.0)
 
-    # wake bodies touched by an enabled body (ODE auto-re-enable)
-    touched = jnp.any((pd > 0) & solve_mask[None, :], axis=1)
+    # wake bodies touched by an enabled body OR by a kinematic character
+    # (ODE auto-re-enable: dBodyEnable fires on any contact-joint attach,
+    # including character-space collisions — a character walking into a
+    # sleeping box must wake it, physics.c:399-471)
+    waker = solve_mask | (params.kinematic & params.active)
+    touched = jnp.any((pd > 0) & waker[None, :], axis=1)
     disabled = state.disabled & ~touched
     solve_mask = params.active & ~params.kinematic & ~disabled
 
@@ -329,17 +349,36 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     )
     contact_s = sd > -CONTACT_MARGIN
 
-    # pair restitution targets from RELATIVE pre-solve velocities (ODE's
-    # contact restitution acts on the relative normal speed; using only
-    # body i's speed halved the rebound in symmetric collisions)
-    vrel_pre = vel[:, None, :] - jnp.where(
-        (params.kinematic | ~params.active)[None, :, None],
-        0.0, vel[None, :, :])
+    # pair contact-point offsets + full effective mass K (both bodies'
+    # linear AND angular terms — ODE's contact joint has the complete
+    # Jacobian, physics.c:291-330 builds it for every near_callback pair)
+    pr_i = ppt - pos[:, None, :]                             # (N, N, 3)
+    pr_j = ppt - pos[None, :, :]                             # (N, N, 3)
+    j_moves = (~params.kinematic & params.active)[None, :, None]
+
+    # pair restitution targets from RELATIVE pre-solve point velocities
+    # (ODE's contact restitution acts on the relative normal speed;
+    # using only body i's speed halved the rebound in symmetric
+    # collisions; angular terms make spinning hits rebound correctly)
+    vpt_i_pre = vel[:, None, :] + jnp.cross(
+        jnp.broadcast_to(angvel[:, None, :], pr_i.shape), pr_i)
+    vpt_j_pre = vel[None, :, :] + jnp.cross(
+        jnp.broadcast_to(angvel[None, :, :], pr_j.shape), pr_j)
+    vrel_pre = vpt_i_pre - jnp.where(j_moves, vpt_j_pre, 0.0)
     vn_pre_p = jnp.einsum("nmc,nmc->nm", pn, vrel_pre)
     target_p = jnp.where(
         (b_pair > 0) & (vn_pre_p < -bv_pair), -b_pair * vn_pre_p, 0.0
     )
     contact_p = pd > 0
+
+    rxn_i = jnp.cross(pr_i, pn)
+    rxn_j = jnp.cross(pr_j, pn)
+    ii_rxn_i = invI_rows(rxn_i)
+    ii_rxn_j = jnp.where(j_moves, invI_cols(rxn_j), 0.0)
+    K_pair = (inv_mass[:, None] + jnp.where(j_moves[..., 0],
+                                            inv_mass[None, :], 0.0)
+              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxn_i, pr_i), pn)
+              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxn_j, pr_j), pn))
 
     # slot-major copies: the unrolled solver slices one slot per pass,
     # and [k]-major slices are contiguous (strided [:, k] slices off the
@@ -384,22 +423,46 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
         w = w - lam_t[:, None] * iirxt
         return (v, w), None
 
-    def pair_pass(v):
-        """One Jacobi pass over pair contacts (mass-weighted split;
-        kinematic side immovable)."""
-        vrel = v[:, None, :] - jnp.where(
-            (params.kinematic | ~params.active)[None, :, None], 0.0, v[None, :, :]
-        )
+    def pair_pass(v, w):
+        """One Jacobi pass over pair contacts with the full contact
+        Jacobian: λ-impulses at the contact point (linear + angular,
+        split by the complete effective mass K_pair) plus Coulomb
+        friction ≤ μ·λ — stacked capsules get contact torques and rub
+        (near_callback builds exactly these contact joints,
+        physics.c:291-330). The (N, N) matrix is symmetric, so each row
+        applies only to body i; body j's share arrives via row j."""
+        act = contact_p & solve_mask[:, None]
+        vpt_i = v[:, None, :] + jnp.cross(
+            jnp.broadcast_to(w[:, None, :], pr_i.shape), pr_i)
+        vpt_j = v[None, :, :] + jnp.cross(
+            jnp.broadcast_to(w[None, :, :], pr_j.shape), pr_j)
+        vrel = vpt_i - jnp.where(j_moves, vpt_j, 0.0)
         vn_p = jnp.einsum("nmc,nmc->nm", pn, vrel)
-        dv_np = jnp.where(contact_p, jnp.maximum(target_p - vn_p, 0.0), 0.0)
-        mi = params.mass[:, None]
-        mj = params.mass[None, :]
-        share_i = jnp.where(
-            (params.active & ~params.kinematic & ~disabled)[None, :],
-            mj / jnp.maximum(mi + mj, 1e-6), 1.0,
-        )
-        dv_p = jnp.sum((dv_np * share_i)[..., None] * pn, axis=1)
-        return v + jnp.where(solve_mask[:, None], dv_p, 0.0)
+        lam = jnp.where(act, jnp.maximum(target_p - vn_p, 0.0)
+                        / jnp.maximum(K_pair, 1e-9), 0.0)
+        dv = jnp.sum(lam[..., None] * pn, axis=1) * inv_mass[:, None]
+        dw = jnp.sum(lam[..., None] * ii_rxn_i, axis=1)
+
+        # friction: tangential relative point velocity, cone-bounded by
+        # this pass's normal λ (mu mixed √(mu_i·mu_j), physics.c:291-330)
+        vt = vrel - vn_p[..., None] * pn
+        vt_len = jnp.linalg.norm(vt, axis=-1)
+        t_dir = vt / jnp.maximum(vt_len, 1e-9)[..., None]
+        rxt_i = jnp.cross(pr_i, t_dir)
+        rxt_j = jnp.cross(pr_j, t_dir)
+        ii_rxt_i = invI_rows(rxt_i)
+        ii_rxt_j = jnp.where(j_moves, invI_cols(rxt_j), 0.0)
+        Kt = (inv_mass[:, None]
+              + jnp.where(j_moves[..., 0], inv_mass[None, :], 0.0)
+              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxt_i, pr_i), t_dir)
+              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxt_j, pr_j), t_dir))
+        lam_t = jnp.where(act & (vt_len > 1e-9),
+                          jnp.minimum(vt_len / jnp.maximum(Kt, 1e-9),
+                                      mu_pair * lam), 0.0)
+        dv = dv - jnp.sum(lam_t[..., None] * t_dir, axis=1) * inv_mass[:, None]
+        dw = dw - jnp.sum(lam_t[..., None] * ii_rxt_i, axis=1)
+        return (v + jnp.where(solve_mask[:, None], dv, 0.0),
+                w + jnp.where(solve_mask[:, None], dw, 0.0))
 
     # fully unrolled: tiny static trip counts compile to one fused
     # dataflow — lax loops here materialize ~10 MB carry tuples per
@@ -408,7 +471,7 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     for _ in range(N_SOLVER_PASSES):
         for k in range(sd.shape[1]):
             (vel, angvel), _ = static_slot((vel, angvel), k)
-        vel = pair_pass(vel)
+        vel, angvel = pair_pass(vel, angvel)
 
     # --- damping + integrate (linear damping only, like phys_init —
     # physics.c:1126-1130 sets no angular damping)

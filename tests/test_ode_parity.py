@@ -210,3 +210,135 @@ def test_case9_kinematic_immunity():
                                atol=1e-6)
     # the sphere ended up resting somewhere sane (deflected or beside)
     assert float(st.pos[1, 1]) < 3.0
+
+
+def test_case10_stacked_spheres_settle():
+    """Stack: sphere B rests on sphere A rests on the ground. With full
+    pair-contact impulses (angular terms + friction) the stack must
+    settle at the analytic heights r and 3r and stay there — the mushy
+    linear-only pair pass let B sink into A (ODE's near_callback builds
+    complete contact joints for every pair, physics.c:291-330)."""
+    world = flat_world()
+    n = 4
+    r = 0.5
+    params = W.body_params_empty(n)
+    for i in (0, 1):
+        params = params._replace(
+            active=params.active.at[i].set(True),
+            radius=params.radius.at[i].set(r),
+            yoffset=params.yoffset.at[i].set(r),
+            ray_off=params.ray_off.at[i].set(r),
+            mu=params.mu.at[i].set(1.0),
+        )
+    params = W.finalize_inertia(params)
+    st = W.phys_state_init(n)
+    st = st._replace(
+        pos=st.pos.at[0].set(jnp.array([0.0, r, 0.0]))
+               .at[1].set(jnp.array([0.0, 3 * r + 0.05, 0.0])))
+    st = run_steps(world, params, st, 300)
+    assert float(st.pos[0, 1]) == pytest.approx(r, abs=0.04)
+    assert float(st.pos[1, 1]) == pytest.approx(3 * r, abs=0.08)
+    # lateral drift stays tiny (the stack does not slide apart)
+    assert abs(float(st.pos[1, 0])) + abs(float(st.pos[1, 2])) < 0.25
+    assert float(jnp.linalg.norm(st.vel[1])) < 0.1
+
+
+def test_case11_character_pushes_box():
+    """phys_body_push (physics.c:677-693): walking into a DISABLED
+    dynamic box wakes it and shoves it with F = m_char·v_char. The box
+    must move in the walk direction; momentum scale follows
+    Δv ≈ m_char·v·dt/m_box per contact frame."""
+    from clap_tpu.char.controller import CharParams
+    from clap_tpu.engine.state import (EntityParams, SceneConfig,
+                                       engine_state_init)
+    from clap_tpu.engine.step import engine_step, inputs_zero
+
+    world = flat_world()
+    nb = 4
+    params = W.body_params_empty(nb)
+    # slot 0: kinematic character capsule (r .3, hl .4, yoff 1.0)
+    params = params._replace(
+        active=params.active.at[0].set(True).at[1].set(True),
+        kinematic=params.kinematic.at[0].set(True),
+        radius=params.radius.at[0].set(0.3).at[1].set(0.4),
+        half_len=params.half_len.at[0].set(0.4),
+        yoffset=params.yoffset.at[0].set(1.0).at[1].set(0.4),
+        ray_off=params.ray_off.at[0].set(0.5).at[1].set(0.4),
+        mass=params.mass.at[0].set(70.0).at[1].set(5.0),
+        mu=params.mu.at[1].set(0.1),
+    )
+    params = W.finalize_inertia(params)
+    E = 4
+    ent = EntityParams(
+        active=jnp.zeros((E,), bool).at[1].set(True).at[2].set(True),
+        model_id=jnp.zeros((E,), jnp.int32),
+        body=jnp.full((E,), -1, jnp.int32).at[1].set(0).at[2].set(1),
+        body_is_char=jnp.zeros((E,), bool).at[1].set(True),
+        yoffset=jnp.zeros((E,), jnp.float32),
+        parent=jnp.full((E,), -1, jnp.int32),
+        skip_culling=jnp.zeros((E,), bool),
+    )
+    cp = CharParams(
+        body=jnp.array([0], jnp.int32),
+        lin_speed=jnp.array([2.4], jnp.float32),
+        jump_forward=jnp.array([1.2], jnp.float32),
+        jump_upward=jnp.array([5.0], jnp.float32),
+        can_dash=jnp.array([True]),
+    )
+    cfg = SceneConfig(world=world, bodies=params, entities=ent,
+                      char_params=cp,
+                      model_aabb=jnp.zeros((1, 2, 3), jnp.float32),
+                      limbo_height=jnp.float32(40.0),
+                      gravity_y=jnp.float32(-9.8))
+    st = engine_state_init(E, nb, 1)
+    st = st._replace(phys=st.phys._replace(
+        pos=st.phys.pos.at[0].set(jnp.array([0.0, 1.0, 0.0]))
+               .at[1].set(jnp.array([1.6, 0.4, 0.0])),
+        disabled=st.phys.disabled.at[1].set(True),   # asleep box
+    ))
+    step = jax.jit(lambda s, i: engine_step(cfg, s, i))
+    walk = inputs_zero(1)._replace(
+        motion=jnp.zeros((1, 2), jnp.float32).at[0, 0].set(1.0))
+    for _ in range(90):
+        st = step(st, walk)
+    # box woke up and moved in +x
+    assert float(st.phys.pos[1, 0]) > 1.75, np.asarray(st.phys.pos[1])
+    # character kept walking (the box does not wall it off forever)
+    assert float(st.phys.pos[0, 0]) > 0.4
+
+
+def test_case12_glancing_pair_collision_spins():
+    """Off-center pair collision with friction: contact torque spins
+    both bodies (z-offset hit → ±y angular velocity) while momentum
+    stays conserved along the flight axis — requires the angular terms
+    of the pair contact Jacobian."""
+    world = flat_world()
+    n = 4
+    r = 0.5
+    params = W.body_params_empty(n)
+    for i in (0, 1):
+        params = params._replace(
+            active=params.active.at[i].set(True),
+            radius=params.radius.at[i].set(r),
+            yoffset=params.yoffset.at[i].set(10.0),
+            ray_off=params.ray_off.at[i].set(r),
+            mu=params.mu.at[i].set(1.0),
+        )
+    params = W.finalize_inertia(params)
+    st = W.phys_state_init(n)
+    # flight high above ground; z offset 0.8·r → glancing contact
+    st = st._replace(
+        pos=st.pos.at[0].set(jnp.array([-1.2, 20.0, 0.0]))
+               .at[1].set(jnp.array([1.2, 20.0, 0.8 * r])),
+        vel=st.vel.at[0].set(jnp.array([6.0, 0.0, 0.0]))
+              .at[1].set(jnp.array([-6.0, 0.0, 0.0])),
+    )
+    st = run_steps(world, params, st, 25)
+    w0 = np.asarray(st.angvel[0])
+    w1 = np.asarray(st.angvel[1])
+    # friction torque about y from the tangential slide at the contact
+    assert abs(w0[1]) > 0.2, w0
+    assert abs(w1[1]) > 0.2, w1
+    # x-momentum conserved (equal masses, symmetric damping)
+    px = float(st.vel[0, 0] + st.vel[1, 0])
+    assert abs(px) < 0.1
