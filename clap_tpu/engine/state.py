@@ -36,7 +36,12 @@ class EntityParams(NamedTuple):
 
 
 class CameraState(NamedTuple):
-    """3rd-person orbit camera (camera.{c,h})."""
+    """3rd-person orbit camera (camera.{c,h}).
+
+    Used both as the single ACTIVE camera (scalar leaves — the
+    reference's ``s->camera`` pointer, scene.h:39) and, stacked with a
+    leading (NC,) axis, as the ≤4-slot camera bank (``s->cameras``,
+    scene.h:40, NR_CAMERAS_MAX)."""
 
     pitch: jnp.ndarray        # f32 radians
     yaw: jnp.ndarray          # f32 radians
@@ -57,11 +62,14 @@ class EngineState(NamedTuple):
     phys: PhysState
     # characters (C slots, stacked CharState)
     chars: CharState
-    # camera
+    # camera: the ACTIVE one (s->camera); the full ≤4-slot bank rides in
+    # ``cameras`` when the scene declares more than one (s->cameras,
+    # scene.h:39-40) — slot 0 is the active/controlled camera
     camera: CameraState
     # misc
     time: jnp.ndarray         # f32 seconds
     frame: jnp.ndarray        # int32
+    cameras: CameraState = None  # (NC,)-stacked bank or None
 
 
 class SceneConfig(NamedTuple):
@@ -74,16 +82,31 @@ class SceneConfig(NamedTuple):
     model_aabb: jnp.ndarray   # (M, 2, 3) min/max per model
     limbo_height: jnp.ndarray  # f32 (scene.h limbo_height)
     gravity_y: jnp.ndarray    # f32
+    camera_char: jnp.ndarray = None  # (NC,) int32 char each camera slot
+                                     # follows; -1 = the CONTROLLED char
+                                     # (scene_camera_follows scene.c:66)
 
 
-def engine_state_init(n_entities: int, n_bodies: int, n_chars: int) -> EngineState:
+def engine_state_init(n_entities: int, n_bodies: int, n_chars: int,
+                      n_cameras: int = 0) -> EngineState:
+    """n_cameras > 0 allocates the ≤4-slot camera bank (scene.h:40);
+    0 keeps the single-active-camera state (most scenes)."""
     import jax
 
     chars = jax.tree.map(
         lambda x: jnp.stack([x] * n_chars) if n_chars else x[None][:0],
         char_state_init(),
     )
+    cameras = None
+    if n_cameras:
+        cameras = CameraState(
+            pitch=jnp.full((n_cameras,), -0.3, jnp.float32),
+            yaw=jnp.zeros((n_cameras,), jnp.float32),
+            dist=jnp.full((n_cameras,), 8.0, jnp.float32),
+            pos=jnp.zeros((n_cameras, 3), jnp.float32),
+        )
     return EngineState(
+        cameras=cameras,
         pos=jnp.zeros((n_entities, 3), jnp.float32),
         rot=jnp.tile(jnp.array([0, 0, 0, 1], jnp.float32), (n_entities, 1)),
         scale=jnp.ones((n_entities,), jnp.float32),
