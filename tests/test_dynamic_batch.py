@@ -1,0 +1,170 @@
+"""Per-env dynamic batched rendering (assemble_scene_geometry_batch +
+render_frame_dynamic_batch) — the north-star composition's geometry
+path. Checks exact parity of the one-hot-matmul selection against the
+single-env gather path, image-level parity of the local-attrs shading
+mode, and the full composed step+render program."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clap_tpu import mathx as mx
+from clap_tpu.render.lights import lights_empty
+from clap_tpu.render.pipeline import (RenderOptions, render_frame,
+                                      render_frame_dynamic_batch)
+from clap_tpu.render.scenerender import (assemble_scene_geometry,
+                                         assemble_scene_geometry_batch,
+                                         build_render_tables,
+                                         default_edge_ids, model_from_mesh)
+from clap_tpu.render.view import make_subview
+from clap_tpu.render.camera import camera_view_proj
+
+
+def _sun():
+    lights = lights_empty(1)
+    d = jnp.array([-0.4, -0.8, -0.4])
+    return lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.ones(3)),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True))
+
+
+def _tables(E=6):
+    from clap_tpu.scene.primitives import cube
+
+    v, n, uv, f = cube(1.0)
+    flat_v = np.array([[-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8]],
+                      np.float32)
+    flat_n = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    flat_f = np.array([[0, 2, 1], [0, 3, 2]], np.uint32)
+    models = [
+        model_from_mesh(flat_v, flat_n, flat_f, with_lods=False),
+        model_from_mesh(v, n, f, base_color=(0.8, 0.4, 0.3),
+                        with_lods=False),
+    ]
+    model_id = np.array([0, 1, 1, 1, 0, 0], np.int32)[:E]
+    active = np.array([1, 1, 1, 0, 0, 0], bool)[:E]
+    edge = np.array([0, 1, 2, 0, 0, 0], np.float32)[:E]
+    rt = build_render_tables(models, model_id, active, entity_edge_id=edge)
+    return rt
+
+
+def _env_states(B, E=6, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((B, E, 3), np.float32)
+    pos[:, 1] = rng.uniform(-2, 2, (B, 3)) * np.array([1, 0, 1]) \
+        + np.array([0, 0.5, 0])
+    pos[:, 2] = rng.uniform(-3, 3, (B, 3)) * np.array([1, 0, 1]) \
+        + np.array([0, 0.5, 0])
+    ang = rng.uniform(0, 2 * np.pi, (B, E)).astype(np.float32)
+    mxs = np.zeros((B, E, 4, 4), np.float32)
+    for b in range(B):
+        for e in range(E):
+            q = jnp.array([0.0, np.sin(ang[b, e] / 2), 0.0,
+                           np.cos(ang[b, e] / 2)], jnp.float32)
+            mxs[b, e] = np.asarray(mx.mat4_compose_trs(
+                jnp.asarray(pos[b, e]), q, jnp.float32(1.0)))
+    visible = np.ones((B, E), bool)
+    eyes = np.stack([np.full(B, 6.0), np.full(B, 5.0),
+                     np.linspace(5.0, 7.0, B)], -1).astype(np.float32)
+    return jnp.asarray(mxs), jnp.asarray(visible), jnp.asarray(eyes)
+
+
+def test_batch_assembly_matches_single_env():
+    rt = _tables()
+    B = 3
+    mxs, vis, eyes = _env_states(B)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+
+    geom_b, axes = assemble_scene_geometry_batch(rt, mxs, vis, planes, eyes)
+    for b in range(B):
+        g1 = assemble_scene_geometry(rt, mxs[b], vis[b], planes[b], eyes[b])
+        # one-hot selection is EXACT: transformed verts bit-match the
+        # gather path's einsum
+        np.testing.assert_allclose(np.asarray(geom_b.verts[b]),
+                                   np.asarray(g1.verts), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(geom_b.face_valid[b]),
+                                      np.asarray(g1.face_valid))
+
+
+def test_dynamic_batch_image_parity():
+    rt = _tables()
+    B = 2
+    mxs, vis, eyes = _env_states(B, seed=3)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+    lights = _sun()
+    opts = RenderOptions(width=96, height=96, shadow_size=64,
+                         film_grain=0.0, ssao=False)
+
+    geom_b, axes = assemble_scene_geometry_batch(rt, mxs, vis, planes, eyes)
+    imgs = jax.jit(lambda g, v, e: render_frame_dynamic_batch(
+        opts, g, axes, v, proj, lights, e, far=60.0))(geom_b, views, eyes)
+    assert imgs.shape == (B, 96, 96, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+    for b in range(B):
+        g1 = assemble_scene_geometry(rt, mxs[b], vis[b], planes[b], eyes[b])
+        ref = render_frame(opts, g1, views[b], proj, lights, eyes[b],
+                           far=60.0)
+        diff = np.abs(np.asarray(imgs[b]) - np.asarray(ref))
+        # local-attrs mode (interp-then-rotate) vs world-space
+        # interpolation: linear ops commute, so only fp/normalization
+        # order differs
+        assert diff.mean() < 2e-3, diff.mean()
+        assert np.quantile(diff, 0.999) < 0.15
+
+
+def test_composed_step_and_render_batch():
+    """The north-star program: vmapped engine_step + per-env dynamic
+    assembly + render in ONE jit."""
+    from clap_tpu.engine.step import engine_step, inputs_zero
+    from clap_tpu.scene.testbed import build_testbed, replicate_state
+    from test_content import _tables_for_testbed
+
+    tb = build_testbed(seed=7, side=32.0, nr_v=32, n_dynamic=4,
+                       max_entities=16)
+    rt = _tables_for_testbed(tb.cfg)
+    lights = _sun()
+    opts = RenderOptions(width=64, height=64, shadow_size=64,
+                         film_grain=0.0, ssao=False)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    B = 4
+    sts = replicate_state(tb.state0, B)
+    ins1 = inputs_zero(1)._replace(
+        motion=jnp.array([[1.0, 0.0]], jnp.float32))
+    ins = jax.tree.map(lambda x: jnp.broadcast_to(x, (B, *x.shape)), ins1)
+    skip = tb.cfg.entities.skip_culling
+
+    @jax.jit
+    def step_and_render(sts, ins):
+        sts = jax.vmap(lambda s, i: engine_step(tb.cfg, s, i))(sts, ins)
+        cam = sts.camera
+
+        def view_of(c):
+            q = mx.qmul(
+                mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), c.yaw),
+                mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]),
+                                        c.pitch))
+            return camera_view_proj(c.pos, q, jnp.pi / 3, 1.0)[0]
+
+        views = jax.vmap(view_of)(cam)
+        planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+        geom, axes = assemble_scene_geometry_batch(
+            rt, sts.mx, sts.visible, planes, cam.pos, skip_culling=skip)
+        imgs = render_frame_dynamic_batch(opts, geom, axes, views, proj,
+                                          lights, cam.pos, far=100.0)
+        return sts, imgs
+
+    sts, imgs = step_and_render(sts, ins)
+    sts, imgs = step_and_render(sts, ins)
+    assert imgs.shape == (B, 64, 64, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert int(sts.frame[0]) == 2
+    # the scene actually renders content (not all background)
+    assert np.asarray(imgs).std() > 0.01
