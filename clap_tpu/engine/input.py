@@ -38,6 +38,10 @@ class InputRecord:
     zoom: float = 0.0
     pause: bool = False
     menu_toggle: bool = False
+    enter: bool = False      # menu activate
+    mouse_x: float | None = None   # pointer position (UI hover/click)
+    mouse_y: float | None = None
+    mouse_click: bool = False
 
 
 # default keyboard bindings (input-keyboard.c key → record field)
@@ -46,6 +50,7 @@ KEY_BINDINGS = {
     "up": "pitch_up", "down": "pitch_down",
     "left": "yaw_left", "right": "yaw_right",
     "space": "space", "tab": "tab", "escape": "menu_toggle",
+    "enter": "enter",
 }
 
 # joystick axis/button bindings (input-joystick.c per-pad tables)

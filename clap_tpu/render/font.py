@@ -1,12 +1,21 @@
 """Text rendering (reference: core/font.{c,h} — FreeType glyph atlas).
 
-Headless engine: a built-in procedural 5×7 bitmap font replaces the
-FreeType dependency (glyphs are column bitmasks, LSB = top row).
+Two tiers, same API:
+
+- ``GlyphAtlas``: a REAL baked glyph atlas — ASCII 32..126 rasterized
+  once from a TTF through PIL's FreeType bindings into a single alpha
+  atlas with per-glyph advance/bearing metrics, exactly the structure
+  font.c bakes into its texture atlas. ``load_font()`` finds a system
+  DejaVu face and caches the bake.
+- a built-in procedural 5×7 bitmap font (column bitmasks, LSB = top
+  row) as the no-dependency fallback and for tiny debug overlays.
+
 ``render_text`` rasterizes a string to an alpha bitmap on host; the UI
-layer composites it as a textured quad. Loading real font atlases can
-slot in behind the same API later.
+layer composites it as a textured quad.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -92,3 +101,97 @@ def render_text(text: str, scale: int = 2) -> np.ndarray:
 def text_size(text: str, scale: int = 2) -> tuple[int, int]:
     w = len(text) * (GLYPH_W + 1) * scale - scale if text else scale
     return GLYPH_H * scale, max(w, 1)
+
+
+# ---------------------------------------------------------------------------
+# baked glyph atlas (font.c: FreeType glyphs → one atlas texture +
+# per-glyph metrics; here baked through PIL's FreeType bindings)
+# ---------------------------------------------------------------------------
+
+_FONT_SEARCH = (
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+)
+
+_ASCII_FIRST, _ASCII_LAST = 32, 126
+
+
+class GlyphAtlas:
+    """Baked glyph atlas: one (H, W) alpha image holding every ASCII
+    glyph cell plus per-glyph advance widths (struct glyph / atlas
+    layout of font.c)."""
+
+    def __init__(self, ttf_path: str, size: int = 16):
+        from PIL import Image, ImageDraw, ImageFont
+
+        self.size = size
+        font = ImageFont.truetype(ttf_path, size)
+        ascent, descent = font.getmetrics()
+        self.cell_h = ascent + descent
+        n = _ASCII_LAST - _ASCII_FIRST + 1
+        advances = []
+        bitmaps = []
+        for code in range(_ASCII_FIRST, _ASCII_LAST + 1):
+            ch = chr(code)
+            adv = int(round(font.getlength(ch)))
+            w = max(adv, 1)
+            img = Image.new("L", (w + 2, self.cell_h), 0)
+            ImageDraw.Draw(img).text((0, 0), ch, fill=255, font=font)
+            bitmaps.append(np.asarray(img, np.float32)[:, :w] / 255.0)
+            advances.append(adv)
+        self.advance = np.asarray(advances, np.int32)
+        self.cell_w = int(self.advance.max()) + 1
+        atlas = np.zeros((self.cell_h, self.cell_w * n), np.float32)
+        for i, bm in enumerate(bitmaps):
+            atlas[:, i * self.cell_w : i * self.cell_w + bm.shape[1]] = bm
+        self.atlas = atlas          # (cell_h, cell_w · n_glyphs)
+
+    def _cell(self, ch: str) -> tuple[np.ndarray, int]:
+        code = ord(ch)
+        if not (_ASCII_FIRST <= code <= _ASCII_LAST):
+            code = ord("?")
+        i = code - _ASCII_FIRST
+        adv = int(self.advance[i])
+        return self.atlas[:, i * self.cell_w : i * self.cell_w
+                          + max(adv, 1)], adv
+
+    def render_text(self, text: str, scale: int = 1) -> np.ndarray:
+        """(H, W) float alpha bitmap for one line."""
+        if not text:
+            return np.zeros((self.cell_h * scale, scale), np.float32)
+        cols = []
+        for ch in text:
+            bm, adv = self._cell(ch)
+            cols.append(bm)
+        row = np.concatenate(cols, axis=1)
+        if scale != 1:
+            row = np.kron(row, np.ones((scale, scale), np.float32))
+        return row
+
+    def text_size(self, text: str, scale: int = 1) -> tuple[int, int]:
+        w = int(sum(max(int(self._cell(c)[1]), 1) for c in text)) if text \
+            else 1
+        return self.cell_h * scale, max(w * scale, 1)
+
+
+_ATLAS_CACHE: dict = {}
+
+
+def load_font(size: int = 16, path: str | None = None):
+    """Bake (and cache) a glyph atlas from a system TTF; returns None
+    when neither PIL nor a known font file is available — callers fall
+    back to the procedural 5×7 font."""
+    key = (path, size)
+    if key in _ATLAS_CACHE:
+        return _ATLAS_CACHE[key]
+    candidates = [path] if path else list(_FONT_SEARCH)
+    atlas = None
+    for p in candidates:
+        if p and os.path.exists(p):
+            try:
+                atlas = GlyphAtlas(p, size)
+                break
+            except Exception:
+                continue
+    _ATLAS_CACHE[key] = atlas
+    return atlas
