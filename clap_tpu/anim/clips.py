@@ -86,12 +86,21 @@ def sample_channels(times, values, t):
     [0, 1] (model.c:1303-1307)."""
     k = jnp.sum(times <= t, axis=-1) - 1
     k = jnp.clip(k, 0, times.shape[-1] - 2)
-    t0 = jnp.take_along_axis(times, k[:, None], axis=-1)[:, 0]
-    t1 = jnp.take_along_axis(times, k[:, None] + 1, axis=-1)[:, 0]
-    t1 = jnp.where(jnp.isfinite(t1), t1, t0 + 1.0)
+    # keyframe fetch as one-hot reductions instead of take_along_axis:
+    # under an instance vmap the per-instance k makes the gather a
+    # batched-index gather (~10 ns/row·C·B on TPU); the one-hot
+    # multiply-reduce is pure vector math and fuses
+    tidx = jnp.arange(times.shape[-1])
+    oh0 = (tidx[None, :] == k[:, None]).astype(times.dtype)     # (C, T)
+    oh1 = (tidx[None, :] == (k + 1)[:, None]).astype(times.dtype)
+    fin = jnp.where(jnp.isfinite(times), times, 0.0)  # inf·0 = nan guard
+    t0 = jnp.sum(fin * oh0, axis=-1)
+    t1 = jnp.sum(fin * oh1, axis=-1)
+    t1_inf = jnp.sum(jnp.isfinite(times) * oh1, -1) == 0
+    t1 = jnp.where(t1_inf, t0 + 1.0, t1)
     u = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
-    v0 = jnp.take_along_axis(values, k[:, None, None], axis=-2)[:, 0]
-    v1 = jnp.take_along_axis(values, k[:, None, None] + 1, axis=-2)[:, 0]
+    v0 = jnp.einsum("ct,ctd->cd", oh0, values)
+    v1 = jnp.einsum("ct,ctd->cd", oh1, values)
     return v0, v1, u
 
 

@@ -58,17 +58,40 @@ def local_matrices(pose: Pose) -> jnp.ndarray:
 
 
 def global_matrices(sk: Skeleton, local: jnp.ndarray) -> jnp.ndarray:
-    """Propagate the hierarchy level by level."""
+    """Propagate the hierarchy level by level.
+
+    Per-level parent gather + node scatter run as one-hot matmuls
+    (exact selection under HIGHEST): under an instance vmap the
+    ``glob[p]`` row gather is a batched-operand gather and the
+    ``.at[n].set`` a batched scatter — both ~10 ns/row on TPU, which
+    dominated the r2 skinning bench; the selection matrices depend only
+    on the static skeleton."""
+    import jax
+
     J = local.shape[0]
     glob = local  # roots are already correct
     D, W = sk.levels.shape
+    jj = jnp.arange(J)
+    hi = jax.lax.Precision.HIGHEST
+    lflat = local.reshape(J, 16)
     for d in range(1, D):  # trace-time loop over depth (static)
         nodes = sk.levels[d]                      # (W,)
         ok = nodes >= 0
         n = jnp.maximum(nodes, 0)
         p = jnp.maximum(sk.parent[n], 0)
-        upd = jnp.einsum("wij,wjk->wik", glob[p], local[n])
-        glob = glob.at[n].set(jnp.where(ok[:, None, None], upd, glob[n]))
+        sel_n = ((n[:, None] == jj[None, :]) & ok[:, None]
+                 ).astype(local.dtype)            # (W, J) static
+        sel_p = ((p[:, None] == jj[None, :]) & ok[:, None]
+                 ).astype(local.dtype)
+        gp = jnp.einsum("wj,jm->wm", sel_p, glob.reshape(J, 16),
+                        precision=hi).reshape(W, 4, 4)
+        ln = jnp.einsum("wj,jm->wm", sel_n, lflat,
+                        precision=hi).reshape(W, 4, 4)
+        upd = jnp.einsum("wij,wjk->wik", gp, ln)
+        cover = jnp.einsum("wj->j", sel_n)        # (J,) 0/1
+        scat = jnp.einsum("wj,wm->jm", sel_n, upd.reshape(W, 16),
+                          precision=hi).reshape(J, 4, 4)
+        glob = glob * (1.0 - cover)[:, None, None] + scat
     return glob
 
 

@@ -236,9 +236,20 @@ def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
     to world.MAX_SUBSTEPS (5, the reference cap) for variable frame
     rates. ``control`` optionally retargets the camera onto the
     roster-controlled character (see _camera_update)."""
+    # static-trimesh validity follows entity VISIBILITY: an invisible
+    # entity's collision is gone (the reference parks hidden platforms
+    # +100 up AND strips VISIBLE, main.c:96-138 — collision follows the
+    # entity state, so data-driven platform groups become solid/phantom
+    # per env)
+    world = cfg.world
+    if world.tri_entity is not None:
+        te = world.tri_entity
+        tvis = (te < 0) | st.visible[jnp.maximum(te, 0)]
+        world = world._replace(tri_valid=world.tri_valid & tvis)
+        cfg = cfg._replace(world=world)
     st = _characters_move(cfg, st, inputs, dt)
     st = _apply_char_push(cfg, st, dt)
-    st = st._replace(phys=W.phys_step(cfg.world, cfg.bodies, st.phys, dt,
+    st = st._replace(phys=W.phys_step(world, cfg.bodies, st.phys, dt,
                                       max_substeps))
     st = _limbo(cfg, st)
     st = _scene_update(cfg, st)

@@ -55,6 +55,8 @@ class LoadedScene:
     models: list
     doc: dict                      # retained JSON DOM for scene_save
     entity_names: list = field(default_factory=list)
+    game: object = None            # GameConfig when the scene declares
+                                   # switch/platform gameplay blocks
 
 
 def _mat4_from_trs(pos, rot, scale):
@@ -146,6 +148,12 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
     body_slot = 0
     tris_accum = []
     tri_ent_accum = []
+    # gameplay blocks (the ldjam57 wiring as DATA: switch_connect/
+    # disconnect + platform groups, main.c:82-138):
+    #   entity: {"switch": {"group": g, "permanent": bool}}
+    #   entity: {"platform": {"group": g, "on_pos": [x,y,z]}}
+    switches = []                  # (entity_idx, group, permanent)
+    platforms = []                 # (entity_idx, group, on_pos)
 
     for ei, (mi, e, is_char) in enumerate(entities):
         if ei >= max_entities:
@@ -176,14 +184,26 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
             visible=st.visible.at[ei].set(True),
         )
 
+        sw = e.get("switch")
+        if sw is not None:
+            switches.append((ei, int(sw.get("group", 0)),
+                             bool(sw.get("permanent", False))))
+        pf = e.get("platform")
+        if pf is not None:
+            platforms.append((ei, int(pf.get("group", 0)),
+                              pf.get("on_pos", [float(x) for x in pos])))
+
         phys = lm.physics
         geom = GEOM_CLASSES.get(phys.get("geom", ""), 0)
         if (geom or is_char) and body_slot < max_bodies:
-            if geom == 3 and lm.collision is not None:
-                # static trimesh baked into world space
+            coll_mesh = lm.collision if lm.collision is not None else lm.mesh
+            if geom == 3 and coll_mesh is not None:
+                # static trimesh baked into world space; the named
+                # "collision" mesh wins, else the render mesh serves
+                # (scene.c:1392-1421 convention)
                 m = _mat4_from_trs(pos, rot, scale)
-                v = lm.collision.verts @ m[:3, :3].T + m[:3, 3]
-                tv = v[lm.collision.indices.reshape(-1, 3)]
+                v = coll_mesh.verts @ m[:3, :3].T + m[:3, 3]
+                tv = v[coll_mesh.indices.reshape(-1, 3)]
                 tris_accum.append(tv)
                 tri_ent_accum.append(np.full((tv.shape[0],), ei, np.int32))
             else:
@@ -262,8 +282,13 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
         heightfield = make_heightfield(flat, nrm, [-512.0, -512.0], 1024.0)
     tris = np.concatenate(tris_accum) if tris_accum else None
     tri_ents = np.concatenate(tri_ent_accum) if tri_ent_accum else None
+    # the terrain heightfield is not a scene.json entity: its ground id
+    # is -1, NOT entity slot 0 (which is whatever loaded first — a
+    # terrain id of 0 made standing on the ground read as standing on
+    # the first entity, falsely tripping its switch block)
     world = make_world(heightfield, None if tris is None else jnp.asarray(tris),
-                       tri_entity=None if tri_ents is None else jnp.asarray(tri_ents))
+                       tri_entity=None if tri_ents is None else jnp.asarray(tri_ents),
+                       hf_entity=-1)
 
     char_params = CharParams(
         body=jnp.asarray(char_bodies or [0], jnp.int32),
@@ -289,9 +314,34 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
             [int(c.get("character", -1)) for c in cam_entries], jnp.int32)
         if n_cameras else None,
     )
+    game = None
+    if switches or platforms:
+        from ..engine.gamelogic import game_config_empty
+
+        game = game_config_empty(max(len(switches), 1), max_entities)
+        for k, (ei, grp, perm) in enumerate(switches):
+            game = game._replace(
+                switch_entity=game.switch_entity.at[k].set(ei),
+                switch_group=game.switch_group.at[k].set(grp),
+                switch_permanent=game.switch_permanent.at[k].set(perm),
+                switch_valid=game.switch_valid.at[k].set(True),
+            )
+        for ei, grp, on_pos in platforms:
+            game = game._replace(
+                platform_group=game.platform_group.at[ei].set(grp),
+                platform_on_pos=game.platform_on_pos.at[ei].set(
+                    jnp.asarray(on_pos, jnp.float32)),
+            )
+            # platform groups start OFF: invisible (and, through the
+            # visibility→collision coupling, phantom) until a switch
+            # turns the group on
+            st = st._replace(visible=st.visible.at[ei].set(False))
+        game = game._replace(connect_radius=jnp.float32(
+            doc.get("connect_radius", 3.0)))
+
     return LoadedScene(name=doc.get("name", "scene"), cfg=cfg, state0=st,
                        lights=lights, models=models, doc=doc,
-                       entity_names=entity_names)
+                       entity_names=entity_names, game=game)
 
 
 def save_scene(scene: LoadedScene) -> str:

@@ -1,22 +1,27 @@
 #!/usr/bin/env python
 """Platformer demo — the ldjam57 "Towards the Light" analogue
-(demo/ldjam57/main.c): switches toggle platform groups, character roster
-switching, game-over heights — driven by the data-table game rules
-(clap_tpu.engine.gamelogic) and the composed ``game_step`` instead of C
-callbacks (switch_connect/disconnect main.c:96-138, character_obj_next
-main.c:140-151).
+(demo/ldjam57/main.c), driven by the AUTHORED DATA LEVEL
+demo/level57.json: switches, platform groups, characters, cameras, and
+lights all load from scene.json gameplay blocks (switch_connect/
+disconnect main.c:96-138 as data, character roster main.c:140-245) —
+no scripted game wiring in code.
 
-The scripted run walks character 0 onto the terrain switch (revealing
-platform group 0), cycles control to character 1 mid-run (the camera
-retargets, scene_control_next scene.c:23-55) and keeps walking.
+The scripted run walks the controlled character onto raised switch box
+A (its own collision trimesh — the ground-entity hook character.c:
+490-496), revealing platform group 0, crosses the now-solid platforms,
+latches switch B for group 1, cycles control to character 1 mid-run
+(the camera retargets, scene_control_next scene.c:23-55), and reports
+whether anyone reached the light.
 
-Usage: python demo/platformer.py [--frames N]
+Usage: python demo/platformer.py [--frames N] [--level path.json]
 """
 import argparse
+import json
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 import jax.numpy as jnp
@@ -25,58 +30,68 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--frames", type=int, default=900)
+    ap.add_argument("--level",
+                    default=str(Path(__file__).parent / "level57.json"))
     args = ap.parse_args()
 
+    import assets57
     from clap_tpu.engine.game import GameSessionState, GameWorld, game_step
-    from clap_tpu.engine.gamelogic import game_config_empty, game_state_init
+    from clap_tpu.engine.gamelogic import game_state_init
     from clap_tpu.engine.step import inputs_zero
-    from clap_tpu.scene.testbed import build_testbed
+    from clap_tpu.scene.loader import load_scene
 
-    E = 32
-    tb = build_testbed(seed=9, side=48.0, nr_v=64, n_dynamic=4,
-                       max_entities=E, n_chars=2)
+    scene = load_scene(Path(args.level).read_text(),
+                       asset_loader=assets57.asset_loader,
+                       max_entities=16, max_bodies=4)
+    assert scene.game is not None, "level declares no gameplay blocks"
+    n_chars = scene.cfg.char_params.body.shape[0]
+    K = scene.game.switch_entity.shape[0]
 
-    # gameplay tables: standing on the terrain (entity 0) latches a
-    # permanent switch revealing platform group 0 (entities 10, 11)
-    gcfg = game_config_empty(2, E)
-    gcfg = gcfg._replace(
-        switch_entity=jnp.array([0, -1], jnp.int32),
-        switch_valid=jnp.array([True, False]),
-        switch_group=jnp.array([0, 0], jnp.int32),
-        switch_permanent=jnp.array([True, False]),
-        platform_group=gcfg.platform_group.at[10].set(0).at[11].set(0),
-        platform_on_pos=gcfg.platform_on_pos.at[10].set(
-            jnp.array([4.0, 2.0, 0.0])).at[11].set(jnp.array([8.0, 4.0, 0.0])),
-        connect_radius=jnp.float32(5.0),
-    )
-    gw = GameWorld(scene=tb.cfg, game=gcfg)
-    gs = GameSessionState(engine=tb.state0, game=game_state_init(2, 2))
+    gw = GameWorld(scene=scene.cfg, game=scene.game)
+    gs = GameSessionState(engine=scene.state0,
+                          game=game_state_init(K, n_chars))
 
     step = jax.jit(lambda s, i, nxt: game_step(gw, s, i, next_character=nxt))
-    walk = inputs_zero(2)._replace(
-        motion=jnp.zeros((2, 2), jnp.float32).at[0, 0].set(1.0))
-    walk2 = inputs_zero(2)._replace(
-        motion=jnp.zeros((2, 2), jnp.float32).at[1, 0].set(1.0))
+    walk = {c: inputs_zero(n_chars)._replace(
+        motion=jnp.zeros((n_chars, 2), jnp.float32).at[c, 0].set(1.0))
+        for c in range(n_chars)}
 
-    switch_frame = args.frames // 2
+    switch_frame = args.frames * 2 // 3
+    events = []
+    seen = set()
     for f in range(args.frames):
-        nxt = jnp.array(f == switch_frame)           # Tab at mid-run
-        ins = walk if f <= switch_frame else walk2   # drive controlled char
-        gs = step(gs, ins, nxt)
+        nxt = jnp.array(f == switch_frame)          # Tab at 2/3 mark
+        ctrl = int(gs.game.control)
+        gs = step(gs, walk[ctrl], nxt)
         if f == switch_frame:
-            print(f"frame {f}: control -> char", int(gs.game.control),
-                  "| connected:", np.asarray(gs.game.connected).tolist())
+            events.append((f, f"control -> char {int(gs.game.control)} "
+                           f"(connected {np.asarray(gs.game.connected).tolist()})"))
+        for k in range(K):
+            if bool(gs.game.switch_on[k]) and k not in seen:
+                seen.add(k)
+                events.append((f, f"switch {k} ON -> platforms visible: "
+                               f"{int(np.asarray(gs.engine.visible).sum())}"))
 
     st = gs.engine
+    for f, msg in events:
+        print(f"frame {f}: {msg}")
+    names = scene.entity_names
+    goal_x = 25.0
+    reached = [c for c in range(n_chars)
+               if float(st.phys.pos[scene.cfg.char_params.body[c], 0])
+               > goal_x - 2.0]
     print("frames:", args.frames)
-    print("char 0:", np.asarray(st.phys.pos[0]).round(2),
-          "| char 1:", np.asarray(st.phys.pos[1]).round(2))
+    for c in range(n_chars):
+        p = np.asarray(st.phys.pos[scene.cfg.char_params.body[c]])
+        print(f"char {c}: {p.round(2)}")
+    print("switches on:", np.asarray(gs.game.switch_on).tolist())
+    print("platforms visible:",
+          [names[i] for i in range(len(names))
+           if int(scene.game.platform_group[i]) >= 0 and bool(st.visible[i])])
     print("camera eye:", np.asarray(st.camera.pos).round(2),
           "(orbits char", int(gs.game.control), ")")
-    print("switch on:", bool(gs.game.switch_on[0]),
-          "| platform 10 visible:", bool(st.visible[10]),
-          "| game over:", bool(gs.game.game_over))
+    print("reached the light:", reached if reached else "no one (yet)")
 
 
 if __name__ == "__main__":
