@@ -36,6 +36,28 @@ def load_wav(path) -> np.ndarray:
     return data
 
 
+def load_ogg(path_or_bytes) -> np.ndarray:
+    """Decode an ogg/vorbis asset to mono float32 (the reference's
+    primary sound-asset format, sound.c via stb_vorbis; here bound to
+    the system libvorbisfile — utils/ogg.py)."""
+    from .ogg import decode_ogg, decode_ogg_bytes
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        pcm, _rate = decode_ogg_bytes(bytes(path_or_bytes))
+    else:
+        pcm, _rate = decode_ogg(str(path_or_bytes))
+    return pcm.mean(-1) if pcm.ndim > 1 else pcm
+
+
+def load_sound(path) -> np.ndarray:
+    """Format-dispatching loader (librarian hands sound.c whatever the
+    scene references: .ogg or .wav)."""
+    p = str(path)
+    if p.endswith(".ogg"):
+        return load_ogg(p)
+    return load_wav(p)
+
+
 def save_wav(path, data: np.ndarray, rate: int = SAMPLE_RATE) -> None:
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)
