@@ -129,3 +129,49 @@ def test_glyph_atlas_bakes_and_renders():
     assert h == atlas.cell_h and w > 0
     # fallback path still works
     assert render_text("HI").max() == 1.0
+
+
+def test_interactive_debug_panels():
+    """Rendered, navigable debug panels (the ImGui analogue): toggle
+    with Escape, fold with Enter, adjust values with left/right — all
+    through message_input records; panels composite over the frame."""
+    import jax.numpy as jnp
+    from clap_tpu.render.debugui import Adjustable, InteractiveDebugUI
+
+    state = {"exposure": 1.0, "bloom": True}
+    dui = InteractiveDebugUI(width=160, height=120)
+    dui.register("render", lambda: {"fps": 59.9})
+    dui.register_adjustable("render", "exposure", Adjustable(
+        get=lambda: state["exposure"],
+        set=lambda v: state.__setitem__("exposure", v), step=0.25))
+    dui.register_adjustable("render", "bloom", Adjustable(
+        get=lambda: state["bloom"],
+        set=lambda v: state.__setitem__("bloom", v)))
+    dui.toggle("render", True)
+
+    assert not dui.handle_input(InputRecord(down=True))  # hidden: ignored
+    assert dui.handle_input(InputRecord(menu_toggle=True))
+    assert dui.visible
+
+    # rows: header, fps, exposure, bloom — focus exposure and bump it
+    dui.handle_input(InputRecord(down=True))
+    dui.handle_input(InputRecord(down=True))
+    assert dui.handle_input(InputRecord(right=True))
+    assert state["exposure"] == 1.25
+    dui.handle_input(InputRecord(left=True))
+    assert state["exposure"] == 1.0
+    # bool adjustable toggles on either arrow
+    dui.handle_input(InputRecord(down=True))
+    dui.handle_input(InputRecord(right=True))
+    assert state["bloom"] is False
+
+    # header fold hides value rows
+    dui.focus = 0
+    assert dui.handle_input(InputRecord(enter=True))
+    assert len(dui._collect_rows()) == 1
+
+    frame = jnp.zeros((120, 160, 3), jnp.float32)
+    out = np.asarray(dui.compose(frame))
+    assert out.max() > 0.05      # panel drawn
+    dui.handle_input(InputRecord(menu_toggle=True))
+    assert np.asarray(dui.compose(frame)).max() == 0.0   # hidden again
