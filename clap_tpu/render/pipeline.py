@@ -109,6 +109,8 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
                 light_proj):
     """One cascade: depth-only raster → linearized VSM moments (d, d²)
     (shadow_vsm.frag:8-13)."""
+    from .raster import rasterize_depth
+
     s = opts.shadow_size
     clip = clip_transform(geom.verts, light_view, light_proj)
     sx, sy, z, iw = project_to_screen(clip, s, s)
@@ -116,8 +118,8 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
     rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces,
                                    geom.face_valid, two_sided=True)
     binned = bin_triangles(rec, ok, s, s)
-    gb = rasterize(rec, binned, s, s)
-    d = jnp.where(jnp.isfinite(gb.depth), gb.depth * 0.5 + 0.5, 1.0)
+    depth = rasterize_depth(rec, binned, s, s)
+    d = jnp.where(jnp.isfinite(depth), depth * 0.5 + 0.5, 1.0)
     return jnp.stack([d, d * d], axis=-1)      # (S, S, 2)
 
 
@@ -134,7 +136,7 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     # pad faces to a cluster multiple FIRST so per-cascade blocks stay
     # cluster-aligned in the concatenated stream (clusters must not
     # straddle cascade bands)
-    from .raster import CLUSTER, tile_dims
+    from .raster import CLUSTER, rasterize_depth, tile_dims
 
     faces0 = geom.faces
     valid0 = geom.face_valid
@@ -166,8 +168,8 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     binned = bin_triangles(rec, ok, s, n_casc * s,
                            band_id=band, band_tiles=s // th,
                            tile_h=th, tile_w=tw)
-    gb = rasterize(rec, binned, s, n_casc * s, th, tw)
-    d = jnp.where(jnp.isfinite(gb.depth), gb.depth * 0.5 + 0.5, 1.0)
+    depth = rasterize_depth(rec, binned, s, n_casc * s, th, tw)
+    d = jnp.where(jnp.isfinite(depth), depth * 0.5 + 0.5, 1.0)
     m = jnp.stack([d, d * d], axis=-1)
     return m.reshape(n_casc, s, s, 2)
 

@@ -187,18 +187,25 @@ def ssao(view_pos, view_normal, kernel, radius=0.5, bias=0.025):
     dzdy = (_shift2(view_pos[..., 1], 1, 0) - _shift2(view_pos[..., 1], -1, 0)) * 0.5
     dzdx = jnp.where(jnp.abs(dzdx) < 1e-6, 1e-6, dzdx)
     dzdy = jnp.where(jnp.abs(dzdy) < 1e-6, 1e-6, dzdy)
+    # all 16 taps in ONE gather: 16 separate depth[sv, su] fetches cost
+    # a kernel launch each (~2.8 ms/launch at 64 envs×64² in the r3
+    # trace); stacking the indices first amortizes it
+    sus, svs, szs = [], [], []
     for i in range(SSAO_KERNEL_SIZE):
         k = kernel[i]
         offs = t * k[0] + b * k[1] + n * k[2]
         sample = view_pos + offs * radius
         du = (sample[..., 0] - view_pos[..., 0]) / dzdx
         dv = (sample[..., 1] - view_pos[..., 1]) / dzdy
-        su = jnp.clip(xs + du, 0, W - 1).astype(jnp.int32)
-        sv = jnp.clip(ys + dv, 0, H - 1).astype(jnp.int32)
-        stored = depth[sv, su]
-        range_check = jnp.clip(radius / jnp.maximum(
-            jnp.abs(depth - stored), 1e-4), 0.0, 1.0)
-        occ = occ + jnp.where(stored >= sample[..., 2] + bias, 1.0, 0.0) * range_check
+        sus.append(jnp.clip(xs + du, 0, W - 1).astype(jnp.int32))
+        svs.append(jnp.clip(ys + dv, 0, H - 1).astype(jnp.int32))
+        szs.append(sample[..., 2])
+    stored = depth[jnp.stack(svs), jnp.stack(sus)]      # (K, H, W)
+    sz = jnp.stack(szs)
+    range_check = jnp.clip(radius / jnp.maximum(
+        jnp.abs(depth[None] - stored), 1e-4), 0.0, 1.0)
+    occ = jnp.sum(jnp.where(stored >= sz + bias, 1.0, 0.0) * range_check,
+                  axis=0)
     return 1.0 - occ / SSAO_KERNEL_SIZE
 
 

@@ -321,6 +321,140 @@ def records_to_coeffs(rec):
     return jnp.stack(cols, axis=-1)
 
 
+NCOEF_DEPTH = 12
+
+
+def records_to_coeffs_depth(rec):
+    """Depth-only coefficient records (T, 12): the 3 edge planes + the
+    z-plane, nothing else — shadow passes never read bary/perspective
+    weights or triangle ids, so their record rows shrink 2× (halving
+    the per-tile pre-gather bytes and kernel VMEM) and the kernel inner
+    loop drops ~40% of its FMA work."""
+    x0, y0, z0 = rec[:, 0], rec[:, 1], rec[:, 2]
+    x1, y1, z1 = rec[:, 4], rec[:, 5], rec[:, 6]
+    x2, y2, z2 = rec[:, 8], rec[:, 9], rec[:, 10]
+    a0 = y1 - y2
+    b0 = x2 - x1
+    c0 = (y2 - y1) * x1 - (x2 - x1) * y1
+    a1 = y2 - y0
+    b1 = x0 - x2
+    c1 = (y0 - y2) * x2 - (x0 - x2) * y2
+    a2 = y0 - y1
+    b2 = x1 - x0
+    c2 = (y1 - y0) * x0 - (x1 - x0) * y0
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    valid = area > 1e-8
+    inv_area = 1.0 / jnp.where(valid, area, 1.0)
+    za = (a0 * z0 + a1 * z1 + a2 * z2) * inv_area
+    zb = (b0 * z0 + b1 * z1 + b2 * z2) * inv_area
+    zc = (c0 * z0 + c1 * z1 + c2 * z2) * inv_area
+    zero = jnp.zeros_like(a0)
+    mone = jnp.full_like(a0, -1.0)
+    cols = [jnp.where(valid, v, d) for v, d in (
+        (a0, zero), (b0, zero), (c0, mone),
+        (a1, zero), (b1, zero), (c1, mone),
+        (a2, zero), (b2, zero), (c2, mone),
+        (za, zero), (zb, zero), (zc, zero))]
+    return jnp.stack(cols, axis=-1)
+
+
+def _raster_depth_kernel(width: int, height: int, tile_h: int, tile_w: int,
+                         count_ref, trec_ref, brec_ref, depth_ref):
+    """Depth-only tile kernel (shadow passes): edge/z planes, min-depth
+    reduce, no winner attributes."""
+    ti = pl.program_id(0)
+    ntx = pl.cdiv(width, tile_w)
+    tx0 = (ti % ntx) * tile_w
+    ty0 = (ti // ntx) * tile_h
+
+    px = (tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
+          ).astype(jnp.float32) + 0.5
+    py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
+          ).astype(jnp.float32) + 0.5
+
+    def shade_chunk(slab, n_valid, depth):
+        def col(i):
+            return slab[:, i][:, None, None]
+        e0 = col(0) * px + col(1) * py + col(2)
+        e1 = col(3) * px + col(4) * py + col(5)
+        e2 = col(6) * px + col(7) * py + col(8)
+        z = col(9) * px + col(10) * py + col(11)
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1, 1), 0)
+                 < n_valid)
+        zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
+            & (z >= -1.0) & (z <= 1.0)
+        zm = jnp.where(zok, z, jnp.inf)
+        rd = zm[0]
+        for c in range(1, TRI_CHUNK):
+            rd = jnp.minimum(rd, zm[c])
+        return jnp.minimum(rd, depth)
+
+    count = count_ref[ti, 0]
+    big_count = count_ref[ti, 1]
+
+    def small_body(k, depth):
+        slab = trec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
+        return shade_chunk(slab, count - k * TRI_CHUNK, depth)
+
+    def big_body(k, depth):
+        slab = brec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
+        return shade_chunk(slab, big_count - k * TRI_CHUNK, depth)
+
+    depth = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+    depth = jax.lax.fori_loop(0, pl.cdiv(count, TRI_CHUNK), small_body,
+                              depth)
+    depth = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body,
+                              depth)
+    depth_ref[:] = depth
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def rasterize_depth(rec, binned, width: int, height: int,
+                    tile_h: int = None, tile_w: int = None,
+                    cluster: int = None) -> jnp.ndarray:
+    """Depth-only raster (shadow maps): (H, W) min depth, inf = empty."""
+    cluster = cluster or CLUSTER
+    th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
+    tile_list, counts, big_idx, big_count = binned
+    ntx = pl.cdiv(width, tw)
+    nty = pl.cdiv(height, th)
+    n_tiles = ntx * nty
+    Hp, Wp = nty * th, ntx * tw
+
+    rec, _, _ = _pad_cluster(rec, jnp.ones(rec.shape[:1], bool), None,
+                             cluster)
+    coef = records_to_coeffs_depth(rec)
+    Tc = coef.shape[0] // cluster
+    crec = coef.reshape(Tc, cluster * NCOEF_DEPTH)
+    cap_c = tile_list.shape[1]
+    cap = cap_c * cluster
+    trec = crec[tile_list].reshape(n_tiles, cap, NCOEF_DEPTH)
+    n_big = big_idx.shape[0] * cluster
+    brec = crec[big_idx].reshape(1, n_big, NCOEF_DEPTH)
+    counts2 = jnp.stack(
+        [counts * cluster,
+         jnp.broadcast_to(big_count * cluster, counts.shape)], axis=-1
+    ).astype(jnp.int32)
+
+    kern = partial(_raster_depth_kernel, width, height, th, tw)
+    depth = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap, NCOEF_DEPTH), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_big, NCOEF_DEPTH), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((th, tw), lambda i: (i // ntx, i % ntx),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(counts2, trec, brec)[0]
+    return depth[:height, :width]
+
+
 CLUSTER = 8   # triangles per binning cluster (= TRI_CHUNK): binning,
               # sorting, and the per-tile record gather run at cluster
               # granularity — 8× fewer sort keys and gather rows, and the
@@ -391,6 +525,12 @@ def bin_triangles(rec, ok, width: int, height: int,
     y1 = jnp.clip(jnp.floor(tymax / th).astype(jnp.int32), ylo, yhi)
     # offscreen?
     off = (txmax < 0) | (txmin >= width) | (tymax < 0) | (tymin >= height)
+    if band_id is not None:
+        # drop clusters fully OUTSIDE their cascade band: the y-clamp
+        # above would otherwise drag them into the band's edge tiles,
+        # where they cover nothing but inflate every list they land in
+        # (measured ~2× shadow-list inflation on the testbed cascades)
+        off = off | (tymax < ylo * th) | (tymin >= (yhi + 1) * th)
     ok = cok & ~off
 
     spanx = x1 - x0 + 1
