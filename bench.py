@@ -273,18 +273,19 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                                           render_frame_dynamic_batch)
     from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
                                              build_render_tables,
-                                             default_edge_ids,
-                                             model_from_mesh)
+                                             default_edge_ids)
     from clap_tpu.render.view import make_subview
-    from clap_tpu.scene.primitives import cube
     from clap_tpu.scene.testbed import (build_demo_rig, build_testbed,
-                                        replicate_state)
+                                        replicate_state, testbed_models)
 
     n_chars = 2
+    # terrain split into 4×4 chunk entities: frustum culling + distance
+    # LOD apply to terrain per env (the monolithic mesh always drew all
+    # ~32k faces at LOD0 with culling skipped)
     tb = build_testbed(seed=42, side=64.0, nr_v=128, n_dynamic=8,
-                       max_entities=64, n_chars=n_chars)
+                       max_entities=96, n_chars=n_chars, terrain_chunks=4)
     sk, lib, acfg = build_demo_rig()
-    gcfg = game_config_empty(1, 64)._replace(
+    gcfg = game_config_empty(1, 96)._replace(
         switch_entity=jnp.array([0], jnp.int32),
         switch_valid=jnp.array([True]),
         switch_permanent=jnp.array([True]))
@@ -298,21 +299,7 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                            joint_mats=jnp.tile(jnp.eye(4, dtype=jnp.float32),
                                                (n_chars, 3, 1, 1)))
 
-    t = tb.terrain
-    cw, cn, _cu, cf = cube(1.0)
-
-    def cube_model(w, h, color):
-        v = cw * np.array([w, h, w], np.float32) \
-            + np.array([0, h / 2, 0], np.float32)
-        return model_from_mesh(v, cn, cf, base_color=color)
-
-    models = [
-        model_from_mesh(t.vx, t.norm, t.idx.reshape(-1, 3),
-                        base_color=(0.35, 0.5, 0.3), with_lods=False),
-        cube_model(0.6, 2.0, (0.8, 0.5, 0.4)),
-        cube_model(0.8, 0.8, (0.6, 0.6, 0.7)),
-        cube_model(0.8, 3.0, (0.4, 0.3, 0.2)),
-    ]
+    models = testbed_models(tb)
     ent = tb.cfg.entities
     edge = default_edge_ids(np.asarray(ent.active),
                             np.asarray(ent.body_is_char))

@@ -481,7 +481,7 @@ def _pad_cluster(rec, ok, band_id=None, cluster: int = CLUSTER):
 def bin_triangles(rec, ok, width: int, height: int,
                   band_id=None, band_tiles: int = 0,
                   tile_h: int = None, tile_w: int = None,
-                  cluster: int = CLUSTER):
+                  cluster: int = CLUSTER, cap: int = None):
     """Sort-based CLUSTER binning → (tile_list (n_tiles, cap/cluster)
     i32 cluster ids, tile_count (n_tiles,) i32 clusters, big_list
     (B,) i32 cluster ids, big_count).
@@ -590,7 +590,10 @@ def bin_triangles(rec, ok, width: int, height: int,
     # tile is the worst case) — uncapped, a small grid's deep lists both
     # blow the kernel's scoped VMEM (16 MB) and quadruple the per-tile
     # record pre-gather
-    cap_c = min(tile_capacity(width, height), T) // cluster
+    # per-tile capacity: default policy, or caller override (dense
+    # scenes — 100k+ tris at 720p — saturate the 1024 default and the
+    # depth-ordered cap silently drops the farthest clusters)
+    cap_c = min(cap if cap else tile_capacity(width, height), T) // cluster
     starts = jnp.searchsorted(st, jnp.arange(n_tiles))
     ends = jnp.searchsorted(st, jnp.arange(n_tiles) + 1)
     counts = jnp.minimum(ends - starts, cap_c).astype(jnp.int32)

@@ -167,6 +167,8 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
             continue
         m = models[int(mi)]
         V = len(m.verts)
+        if V == 0:
+            continue    # render-empty entity (e.g. gameplay-only slot)
         vs.append(m.verts)
         ns.append(m.normals)
         bc.append(m.base_color)

@@ -29,16 +29,50 @@ class Testbed(NamedTuple):
     cfg: SceneConfig
     state0: EngineState
     terrain: object
+    chunks: list = None     # [(verts, normals, faces)] terrain chunks
+
+
+def chunk_terrain(t, grid: int = 4) -> list:
+    """Split the terrain mesh into grid² independent chunks by face
+    centroid — each becomes its own entity so frustum culling and
+    distance LOD actually apply to terrain (the monolithic mesh always
+    drew ALL its faces: skip_culling + one LOD for the entity the
+    camera stands on)."""
+    v = np.asarray(t.vx, np.float32)
+    n = np.asarray(t.norm, np.float32)
+    f = np.asarray(t.idx, np.int64).reshape(-1, 3)
+    cent = v[f].mean(axis=1)
+    x0, x1 = v[:, 0].min(), v[:, 0].max()
+    z0, z1 = v[:, 2].min(), v[:, 2].max()
+    ix = np.clip(((cent[:, 0] - x0) / max(x1 - x0, 1e-6) * grid)
+                 .astype(np.int64), 0, grid - 1)
+    iz = np.clip(((cent[:, 2] - z0) / max(z1 - z0, 1e-6) * grid)
+                 .astype(np.int64), 0, grid - 1)
+    cid = ix * grid + iz
+    out = []
+    for c in range(grid * grid):
+        fc = f[cid == c]
+        if len(fc) == 0:
+            continue
+        un, inv = np.unique(fc.reshape(-1), return_inverse=True)
+        out.append((v[un], n[un], inv.reshape(-1, 3).astype(np.uint32)))
+    return out
 
 
 def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
                   n_dynamic: int = 8, max_entities: int = 64,
-                  char_aabb=(0.6, 2.0, 0.6), n_chars: int = 1) -> Testbed:
+                  char_aabb=(0.6, 2.0, 0.6), n_chars: int = 1,
+                  terrain_chunks: int = 0) -> Testbed:
     """Build the scene on host, upload as device constants + initial state.
 
     ``n_chars > 1`` builds a roster of characters (ldjam57-style: the
     player switches between them, main.c:140-245); they spawn in a line
-    along +x, 3 units apart, each with its own kinematic capsule."""
+    along +x, 3 units apart, each with its own kinematic capsule.
+
+    ``terrain_chunks = G`` splits the terrain into G×G chunk ENTITIES
+    (model ids 4..) so the render path culls and LODs terrain per
+    chunk; entity 0 stays the gameplay/collision terrain but renders
+    nothing (its model is empty)."""
     t = terrain_init_square_landscape(seed, -side / 2, 0.0, -side / 2,
                                       side, nr_v)
     hf = heightfield_from_terrain(t)
@@ -123,8 +157,9 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
             body=ent.body.at[ei].set(n_chars + i),
         )
     tree_pos = []
+    next_ei = 1 + n_chars + n_dynamic
     for k, (name, dx, dy, dz) in enumerate(t.instantiators):
-        ei = 1 + n_chars + n_dynamic + k
+        ei = next_ei
         if ei >= E:
             break
         ent = ent._replace(
@@ -132,13 +167,32 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
             model_id=ent.model_id.at[ei].set(3),
         )
         tree_pos.append((ei, (dx, dy, dz)))
+        next_ei += 1
 
-    model_aabb = jnp.array([
+    aabb_rows = [
         [[-side / 2, -10, -side / 2], [side / 2, 10, side / 2]],  # terrain
         [[-0.3, 0.0, -0.3], [0.3, 2.0, 0.3]],                     # character
         [[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]],                    # sphere
         [[-0.5, 0.0, -0.5], [0.5, 3.0, 0.5]],                     # tree
-    ], jnp.float32)
+    ]
+    chunks = None
+    if terrain_chunks:
+        chunks = chunk_terrain(t, terrain_chunks)
+        kept = []
+        for c, (cv, _cn, _cf) in enumerate(chunks):
+            ei = next_ei
+            if ei >= E:
+                break            # capacity bound: drop remaining chunks
+            ent = ent._replace(
+                active=ent.active.at[ei].set(True),
+                model_id=ent.model_id.at[ei].set(4 + c),
+            )
+            aabb_rows.append([cv.min(0).tolist(), cv.max(0).tolist()])
+            kept.append(chunks[c])
+            next_ei += 1
+        chunks = kept
+
+    model_aabb = jnp.array(aabb_rows, jnp.float32)
 
     cfg = SceneConfig(
         world=world, bodies=bodies, entities=ent, char_params=char_params,
@@ -168,7 +222,51 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
     st = st._replace(visible=ent.active)
     for ei, (dx, dy, dz) in tree_pos:
         st = st._replace(pos=st.pos.at[ei].set(jnp.array([dx, dy, dz], jnp.float32)))
-    return Testbed(cfg=cfg, state0=st, terrain=t)
+    return Testbed(cfg=cfg, state0=st, terrain=t, chunks=chunks)
+
+
+def testbed_models(tb: Testbed, with_lods: bool = True,
+                   terrain_color=(0.35, 0.5, 0.3)):
+    """ModelData list matching the testbed's model-id layout (render
+    side of models_render): 0 terrain (EMPTY when chunked), 1 character,
+    2 sphere, 3 tree, then one model per terrain chunk with LOD chains.
+    """
+    from ..render.scenerender import ModelData, model_from_mesh
+    from .primitives import cube
+
+    t = tb.terrain
+    cv, cn, _cu, cf = cube(1.0)
+    cv = np.asarray(cv, np.float32)
+    cn = np.asarray(cn, np.float32)
+    cf = np.asarray(cf)
+
+    def cube_model(w, h, color):
+        v = cv * np.array([w, h, w], np.float32) \
+            + np.array([0, h / 2, 0], np.float32)
+        return model_from_mesh(v, cn, cf, base_color=color,
+                               with_lods=with_lods)
+
+    if tb.chunks:
+        z3 = np.zeros((0, 3), np.float32)
+        terrain_model = ModelData(
+            verts=z3, normals=z3, base_color=z3,
+            rough_metal=np.zeros((0, 2), np.float32), emission=z3,
+            lod_faces=[np.zeros((0, 3), np.uint32)])
+    else:
+        terrain_model = model_from_mesh(
+            t.vx, t.norm, t.idx.reshape(-1, 3),
+            base_color=terrain_color, with_lods=False)
+    models = [
+        terrain_model,
+        cube_model(0.6, 2.0, (0.8, 0.5, 0.4)),
+        cube_model(0.8, 0.8, (0.6, 0.6, 0.7)),
+        cube_model(0.8, 3.0, (0.4, 0.3, 0.2)),
+    ]
+    for cvv, cnn, cff in (tb.chunks or []):
+        models.append(model_from_mesh(cvv, cnn, cff,
+                                      base_color=terrain_color,
+                                      with_lods=with_lods))
+    return models
 
 
 def replicate_state(st: EngineState, n_envs: int) -> EngineState:

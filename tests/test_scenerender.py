@@ -76,3 +76,48 @@ def test_lod_selection():
     assert not fv[(fe == 0) & (fl == 1)].any()
     assert fv[(fe == 1) & (fl == 1)].all()       # far → LOD 1
     assert not fv[(fe == 1) & (fl == 0)].any()
+
+
+def test_chunked_terrain_culls_and_lods():
+    """terrain_chunks splits terrain into chunk entities: a side view
+    culls behind-camera chunks and distance LOD drops far-chunk detail
+    (the monolithic terrain drew ALL faces at LOD0, skip_culling)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.scenerender import (assemble_scene_geometry,
+                                             build_render_tables,
+                                             default_edge_ids)
+    from clap_tpu.render.view import make_subview
+    from clap_tpu.scene.testbed import build_testbed, testbed_models
+
+    tb = build_testbed(seed=7, side=32.0, nr_v=64, n_dynamic=4,
+                      max_entities=96, terrain_chunks=4)
+    assert tb.chunks and len(tb.chunks) == 16
+    models = testbed_models(tb)
+    assert len(models) == 4 + 16
+    assert models[0].verts.shape[0] == 0          # entity 0 renders nothing
+    ent = tb.cfg.entities
+    rt = build_render_tables(
+        models, np.asarray(ent.model_id), np.asarray(ent.active),
+        entity_edge_id=default_edge_ids(np.asarray(ent.active),
+                                        np.asarray(ent.body_is_char)))
+    # chunk tris cover the whole terrain exactly once at LOD0
+    lod0 = (np.asarray(rt.face_lod) == 0)
+    n_terrain_lod0 = sum(
+        (np.asarray(rt.face_entity)[lod0] >= 1 + 1 + 4).sum()
+        for _ in [0])
+    assert n_terrain_lod0 >= tb.terrain.idx.size // 3 * 0.95
+
+    eye = jnp.array([0.0, 10.0, 0.0])
+    view = mx.mat4_look_at(eye, jnp.array([15.0, 0.0, 0.0]),
+                           jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    sv = make_subview(view, proj)
+    g = assemble_scene_geometry(rt, tb.state0.mx, tb.state0.visible,
+                                sv.planes, eye,
+                                skip_culling=ent.skip_culling)
+    fv = np.asarray(g.face_valid)
+    # side view: behind-camera chunks culled + far chunks LOD'd
+    assert fv.sum() < 0.5 * lod0.sum(), (fv.sum(), lod0.sum())
