@@ -88,6 +88,11 @@ class SceneGeometry(NamedTuple):
     # turns the image gather into a batched-operand gather (~5× slower).
     face_entity: jnp.ndarray = None  # (T,) int32 entity per face (shared)
     ent_rot: jnp.ndarray = None      # (E, 3, 3) entity rotation (per env)
+    shadow_face_valid: jnp.ndarray = None  # (T,) shadow-caster stream:
+                                     # COARSEST LOD per entity, visibility
+                                     # only (no camera frustum — off-
+                                     # screen casters still cast); falls
+                                     # back to face_valid when absent
 
 
 class TextureSets(NamedTuple):
@@ -115,8 +120,10 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
     clip = clip_transform(geom.verts, light_view, light_proj)
     sx, sy, z, iw = project_to_screen(clip, s, s)
     # shadow casting is two-sided: back faces flip instead of culling
+    sfv = geom.shadow_face_valid if geom.shadow_face_valid is not None \
+        else geom.face_valid
     rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces,
-                                   geom.face_valid, two_sided=True)
+                                   sfv, two_sided=True)
     binned = bin_triangles(rec, ok, s, s)
     depth = rasterize_depth(rec, binned, s, s)
     d = jnp.where(jnp.isfinite(depth), depth * 0.5 + 0.5, 1.0)
@@ -139,7 +146,8 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     from .raster import CLUSTER, rasterize_depth, tile_dims
 
     faces0 = geom.faces
-    valid0 = geom.face_valid
+    valid0 = geom.shadow_face_valid if geom.shadow_face_valid is not None \
+        else geom.face_valid
     pad = (-faces0.shape[0]) % CLUSTER
     if pad:
         faces0 = jnp.concatenate(

@@ -270,7 +270,23 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
                     ok_el.reshape(B, E * n_lod).astype(jnp.float32),
                     precision=hi) > 0.5
 
+    # shadow-caster stream: COARSEST LOD per entity, visibility only
+    # (off-screen casters still cast; shadow maps don't need LOD0 —
+    # the full-detail stream kept shadow tile lists pinned at the
+    # capacity cap, walking cap·n_tiles triangles every env)
+    fl = np.asarray(rt.face_lod)
+    fe = np.asarray(rt.face_entity)
+    coarse = np.zeros(E, np.int64)
+    np.maximum.at(coarse, fe, fl)
+    shadow_sel = fl == coarse[fe]                        # (Ti,) static
+    oh_sh = ((fe[:, None] == np.arange(E)[None, :])
+             & shadow_sel[:, None]).astype(np.float32)
+    sfv = jnp.einsum("te,be->bt", jnp.asarray(oh_sh),
+                     entity_visible.astype(jnp.float32),
+                     precision=hi) > 0.5
+
     geom = SceneGeometry(
+        shadow_face_valid=sfv,
         verts=wverts, normals=rt.normals, faces=rt.faces, face_valid=fv,
         base_color=rt.base_color, rough_metal=rt.rough_metal,
         emission=rt.emission,
@@ -286,7 +302,7 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
         verts=0, normals=None, faces=None, face_valid=0,
         base_color=None, rough_metal=None, emission=None,
         uv=None, tangent=None, tex_id=None, local_pos=None, mat_fbm=None,
-        edge_id=None, face_entity=None, ent_rot=0,
+        edge_id=None, face_entity=None, ent_rot=0, shadow_face_valid=0,
     )
     return geom, axes
 
@@ -329,15 +345,26 @@ def assemble_scene_geometry(rt: RenderTables, entity_mx, entity_visible,
     ent_ok = entity_visible & in_frustum
     fv = ent_ok[rt.face_entity] & (rt.face_lod == lod[rt.face_entity])
 
+    # shadow-caster stream: coarsest LOD, visibility only (see the
+    # batched variant for rationale)
+    fl = np.asarray(rt.face_lod)
+    fe = np.asarray(rt.face_entity)
+    coarse = np.zeros(entity_mx.shape[0], np.int64)
+    np.maximum.at(coarse, fe, fl)
+    shadow_sel = jnp.asarray(fl == coarse[fe])
+    sfv = entity_visible[rt.face_entity] & shadow_sel
+
     if not rt.any_material:
         return SceneGeometry(
             verts=wverts, normals=wnorm, faces=rt.faces, face_valid=fv,
             base_color=rt.base_color, rough_metal=rt.rough_metal,
             emission=rt.emission, edge_id=rt.edge_id,
+            shadow_face_valid=sfv,
         )
     return SceneGeometry(
         verts=wverts, normals=wnorm, faces=rt.faces, face_valid=fv,
         base_color=rt.base_color, rough_metal=rt.rough_metal,
         emission=rt.emission, uv=rt.uv, tangent=wtan, tex_id=rt.tex_id,
         local_pos=rt.verts, mat_fbm=rt.mat_fbm, edge_id=rt.edge_id,
+        shadow_face_valid=sfv,
     )

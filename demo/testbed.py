@@ -103,8 +103,6 @@ def main():
                  game_world=game_world, session0=session0)
 
     if args.render:
-        import numpy as np
-
         from clap_tpu.ops.noise import blue_noise2d
         from clap_tpu.render.lights import lights_empty
         from clap_tpu.render.pipeline import RenderOptions, TextureSets
@@ -166,8 +164,6 @@ def main():
         print("last frame:", tuple(eng.last_frame.shape),
               "mean", round(float(eng.last_frame.mean()), 3))
         if game_world is not None:
-            import numpy as np
-
             jm = np.asarray(eng.session.joint_mats)
             print("rigs animating:", jm.shape[0],
                   "poses differ from bind:",

@@ -78,6 +78,68 @@ def test_lod_selection():
     assert not fv[(fe == 1) & (fl == 0)].any()
 
 
+def test_shadow_stream_offscreen_and_coarse_lod():
+    """shadow_face_valid: visibility-only (off-frustum casters still
+    cast) at the COARSEST LOD per entity; invisible entities cast
+    nothing."""
+    v, n, uv, f = cube(1.0)
+    m = ModelData(verts=v, normals=n,
+                  base_color=np.full((24, 3), 0.5, np.float32),
+                  rough_metal=np.full((24, 2), 0.5, np.float32),
+                  emission=np.zeros((24, 3), np.float32),
+                  lod_faces=[f, f[:1]])
+    rt = build_render_tables([m, m, m], np.array([0, 1, 2], np.int32),
+                             np.array([True, True, True]))
+    # entity 0 in view, entity 1 far left out of the frustum (visible),
+    # entity 2 marked invisible
+    mats = mx.mat4_compose_trs(jnp.array([[0.0, 0, 0], [-500.0, 0, 0],
+                                          [0.0, 0, 0]]),
+                               mx.qidentity((3,)), jnp.ones(3))
+    eye = jnp.array([0.0, 0.0, 5.0])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    sv = make_subview(view, proj)
+    vis = jnp.array([True, True, False])
+    geom = assemble_scene_geometry(rt, mats, vis, sv.planes, eye)
+    fv = np.asarray(geom.face_valid)
+    sfv = np.asarray(geom.shadow_face_valid)
+    fe = np.asarray(rt.face_entity)
+    fl = np.asarray(rt.face_lod)
+    assert not fv[fe == 1].any()                 # frustum-culled in view
+    assert sfv[fe == 1].any()                    # ...but still casts
+    assert not sfv[fe == 2].any()                # invisible: no shadow
+    # shadow stream uses the coarsest LOD only (LOD 1 here)
+    assert not sfv[fl == 0].any()
+    assert sfv[(fe == 0) & (fl == 1)].all()
+
+
+def test_shadow_stream_batched_matches_single():
+    """Batched assembly emits the same shadow stream per env."""
+    from clap_tpu.render.scenerender import assemble_scene_geometry_batch
+
+    rt = make_tables()
+    mx1 = mx.mat4_compose_trs(jnp.array([[0.0, 0, 0], [-500.0, 0, 0],
+                                         [0.0, 0, 0]]),
+                              mx.qidentity((3,)), jnp.ones(3))
+    eye = jnp.array([0.0, 0.0, 5.0])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    sv = make_subview(view, proj)
+    vis = jnp.array([True, True, False])
+    single = assemble_scene_geometry(rt, mx1, vis, sv.planes, eye)
+    B = 2
+    bmx = jnp.broadcast_to(mx1, (B, *mx1.shape))
+    bvis = jnp.broadcast_to(vis, (B, 3))
+    bplanes = jnp.broadcast_to(sv.planes, (B, *sv.planes.shape))
+    beyes = jnp.broadcast_to(eye, (B, 3))
+    gb, _ = assemble_scene_geometry_batch(rt, bmx, bvis, bplanes, beyes)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(gb.shadow_face_valid[b]),
+                                      np.asarray(single.shadow_face_valid))
+        np.testing.assert_array_equal(np.asarray(gb.face_valid[b]),
+                                      np.asarray(single.face_valid))
+
+
 def test_chunked_terrain_culls_and_lods():
     """terrain_chunks splits terrain into chunk entities: a side view
     culls behind-camera chunks and distance LOD drops far-chunk detail
