@@ -237,18 +237,26 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
         streams.append(geom.edge_id[:, None])
         cursor += 1
     vattrs = jnp.concatenate(streams, axis=-1)
-    attrs = shade.interpolate_attrs(gb, geom.faces, vattrs, csrc, cbary)
+    local_mode = geom.ent_rot is not None and geom.face_entity is not None
+    if local_mode:
+        # per-face entity id rides the attr gather as a flat column
+        # (a separate face_entity image gather cost ~4 ms @ 16 envs)
+        attrs, flat_px = shade.interpolate_attrs(
+            gb, geom.faces, vattrs, csrc, cbary,
+            face_attrs=geom.face_entity[:, None].astype(jnp.float32))
+    else:
+        attrs = shade.interpolate_attrs(gb, geom.faces, vattrs, csrc,
+                                        cbary)
 
     # local-attrs mode: per-pixel entity rotation (one-hot MXU lookup —
     # exact selection under HIGHEST; a gather from a per-env (E, 9)
     # table would be a batched-operand gather under vmap)
     Rpx = None
-    if geom.ent_rot is not None and geom.face_entity is not None:
+    if local_mode:
         n_ent = geom.ent_rot.shape[0]
-        tid_px = jnp.maximum(gb.tri_id, 0)
-        if csrc is not None:
-            tid_px = jnp.mod(tid_px, geom.faces.shape[0])
-        fe = geom.face_entity[tid_px]                        # (H, W)
+        # float-exact below 2^24; background pixels carry -1 → no match
+        # → zero rotation, masked by the hit test downstream anyway
+        fe = flat_px[..., 0].astype(jnp.int32)               # (H, W)
         oh_px = (fe[..., None] == jnp.arange(n_ent)[None, None, :]
                  ).astype(jnp.float32)
         Rpx = jnp.einsum(

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gatherx import gather_rows
+
 
 def _shift2(img, dy, dx):
     """Clamped-edge shift (texture clamp-to-edge semantics):
@@ -200,7 +202,10 @@ def ssao(view_pos, view_normal, kernel, radius=0.5, bias=0.025):
         sus.append(jnp.clip(xs + du, 0, W - 1).astype(jnp.int32))
         svs.append(jnp.clip(ys + dv, 0, H - 1).astype(jnp.int32))
         szs.append(sample[..., 2])
-    stored = depth[jnp.stack(svs), jnp.stack(sus)]      # (K, H, W)
+    # flat row gather so the per-env depth map stays a shared-table
+    # gather under vmap (batched-operand form: 11.1 ms/frame @ 16 envs)
+    flat_idx = jnp.stack(svs) * W + jnp.stack(sus)
+    stored = gather_rows(depth.reshape(H * W), flat_idx)  # (K, H, W)
     sz = jnp.stack(szs)
     range_check = jnp.clip(radius / jnp.maximum(
         jnp.abs(depth[None] - stored), 1e-4), 0.0, 1.0)

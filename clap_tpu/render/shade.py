@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.gatherx import gather_rows
 from .lights import LIGHT_TILE, Lights
 from .raster import GBuffer
 
@@ -32,7 +33,8 @@ def pack_tri_attrs(faces, vattrs):
         axis=-1)
 
 
-def interpolate_attrs(gb: GBuffer, faces, vattrs, csrc=None, cbary=None):
+def interpolate_attrs(gb: GBuffer, faces, vattrs, csrc=None, cbary=None,
+                      face_attrs=None):
     """Per-pixel interpolated vertex attributes.
 
     faces: (T, 3) int32; vattrs: (V, A) packed per-vertex attributes.
@@ -46,19 +48,34 @@ def interpolate_attrs(gb: GBuffer, faces, vattrs, csrc=None, cbary=None):
     the view-invariant (T, 3A) one (a per-view table makes the image
     gather a batched-operand gather, ~5× slower at 64 views of a shared
     scene). cbary is accepted for API symmetry; the composition lives in
-    the raster records."""
+    the raster records.
+
+    face_attrs (T, F), optional: flat per-FACE columns appended to the
+    packed record so they ride the SAME per-pixel gather (a separate
+    face_entity image gather cost ~4 ms/frame at 16 envs). When given,
+    returns (attrs (H, W, A), flat (H, W, F)) — flat columns are copied
+    from the record, not interpolated; background pixels get -1."""
     del cbary
     A = vattrs.shape[-1]
     tri_attrs = pack_tri_attrs(faces, vattrs)          # (T, 3A) shared
+    if face_attrs is not None:
+        tri_attrs = jnp.concatenate(
+            [tri_attrs, face_attrs.astype(tri_attrs.dtype)], axis=-1)
     b0 = gb.bary[..., 0:1]
     b1 = gb.bary[..., 1:2]
     tid = jnp.maximum(gb.tri_id, 0)
     if csrc is not None:
         tid = jnp.mod(tid, faces.shape[0])
-    rec = tri_attrs[tid]                               # (H, W, 3A): 1 gather
+    rec = tri_attrs[tid]                            # (H, W, 3A+F): 1 gather
     b2 = 1.0 - b0 - b1
-    out = rec[..., :A] * b0 + rec[..., A:2 * A] * b1 + rec[..., 2 * A:] * b2
-    return jnp.where((gb.tri_id >= 0)[..., None], out, 0.0)
+    out = rec[..., :A] * b0 + rec[..., A:2 * A] * b1 \
+        + rec[..., 2 * A:3 * A] * b2
+    hit = (gb.tri_id >= 0)[..., None]
+    out = jnp.where(hit, out, 0.0)
+    if face_attrs is None:
+        return out
+    flat = jnp.where(hit, rec[..., 3 * A:], -1.0)
+    return out, flat
 
 
 def face_attr(gb: GBuffer, per_face):
@@ -299,7 +316,8 @@ def vsm_shadow(moments_maps, shadow_mvps, cascade_dists, world_pos,
     down = jnp.concatenate([atlas[1:], atlas[-1:]], axis=0)
     down_r = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
     quad = jnp.concatenate([atlas, right, down, down_r], axis=-1)  # (V,U,8)
-    m4 = quad[v0, u0]
+    # flat gather_rows: per-env atlases stay fast-path gathers under vmap
+    m4 = gather_rows(quad.reshape(-1, 8), v0 * s + u0)
     a, b = m4[..., 0:2], m4[..., 2:4]
     cc, dd = m4[..., 4:6], m4[..., 6:8]
     m = (a * (1 - fu) + b * fu) * (1 - fv) + (cc * (1 - fu) + dd * fu) * fv
@@ -354,13 +372,16 @@ def pcf_shadow(depth_maps, shadow_mvps, cascade_dists, world_pos,
     vi = jnp.minimum(v.astype(jnp.int32), n_casc * s - 1)
 
     r = kernel // 2
-    lit = jnp.zeros_like(d)
+    # all k² taps through ONE flat gather (separate fetches each pay a
+    # dispatch; batched-operand form pays ~5× the row cost under vmap)
+    idxs = []
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             su = jnp.clip(ui + dx, 0, s - 1)
             sv = jnp.clip(vi + dy, casc * s, (casc + 1) * s - 1)
-            stored = atlas[sv, su]
-            lit = lit + jnp.where(d - bias <= stored, 1.0, 0.0)
+            idxs.append(sv * s + su)
+    stored = gather_rows(atlas.reshape(-1), jnp.stack(idxs))  # (k², H, W)
+    lit = jnp.sum(jnp.where((d - bias)[None] <= stored, 1.0, 0.0), axis=0)
     sf = lit / float(kernel * kernel)
     inb = ok & (uv[..., 0] >= 0) & (uv[..., 0] <= 1) \
         & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)

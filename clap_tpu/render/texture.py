@@ -11,6 +11,26 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.gatherx import gather_rows
+
+
+def _quad_pack(tex, wrap: bool):
+    """Pre-pack each texel's 2×2 bilinear footprint into one row of 4C
+    channels (self | right | down | down-right) so a bilinear fetch is
+    ONE gather instead of four — gather cost on TPU scales with row
+    count, not row width. Runs at texture scale (tiny vs pixel scale).
+    wrap picks wrapped vs clamped neighbors (GL_REPEAT vs CLAMP)."""
+    if wrap:
+        right = jnp.roll(tex, -1, axis=-2)
+    else:
+        right = jnp.concatenate([tex[..., 1:, :], tex[..., -1:, :]],
+                                axis=-2)
+    down = jnp.roll(tex, -1, axis=-3) if wrap else jnp.concatenate(
+        [tex[..., 1:, :, :], tex[..., -1:, :, :]], axis=-3)
+    down_r = jnp.roll(right, -1, axis=-3) if wrap else jnp.concatenate(
+        [right[..., 1:, :, :], right[..., -1:, :, :]], axis=-3)
+    return jnp.concatenate([tex, right, down, down_r], axis=-1)
+
 
 def upload_texture(rgba_u8: np.ndarray) -> jnp.ndarray:
     """uint8 RGBA → float texture (texture_load analogue)."""
@@ -31,19 +51,16 @@ def sample_bilinear(tex, uv, wrap: bool = True):
     fu = (u - u0)[..., None]
     fv = (v - v0)[..., None]
     if wrap:
-        u1 = jnp.mod(u0 + 1, wt)
-        v1 = jnp.mod(v0 + 1, ht)
         u0 = jnp.mod(u0, wt)
         v0 = jnp.mod(v0, ht)
     else:
         u0 = jnp.clip(u0, 0, wt - 1)
         v0 = jnp.clip(v0, 0, ht - 1)
-        u1 = jnp.clip(u0 + 1, 0, wt - 1)
-        v1 = jnp.clip(v0 + 1, 0, ht - 1)
-    a = tex[v0, u0]
-    b = tex[v0, u1]
-    c = tex[v1, u0]
-    d = tex[v1, u1]
+    C = tex.shape[-1]
+    quad = _quad_pack(tex, wrap)                  # (Ht, Wt, 4C)
+    m = gather_rows(quad.reshape(-1, 4 * C), v0 * wt + u0)
+    a, b = m[..., :C], m[..., C:2 * C]
+    c, d = m[..., 2 * C:3 * C], m[..., 3 * C:]
     return (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
 
 
@@ -77,18 +94,16 @@ def sample_layered(tex, layer, uv, wrap: bool = True):
     fu = (u - u0)[..., None]
     fv = (v - v0)[..., None]
     if wrap:
-        u1 = jnp.mod(u0 + 1, wt)
-        v1 = jnp.mod(v0 + 1, ht)
         u0 = jnp.mod(u0, wt)
         v0 = jnp.mod(v0, ht)
     else:
-        u1 = jnp.clip(u0 + 1, 0, wt - 1)
-        v1 = jnp.clip(v0 + 1, 0, ht - 1)
         u0 = jnp.clip(u0, 0, wt - 1)
         v0 = jnp.clip(v0, 0, ht - 1)
     li = jnp.clip(layer, 0, tex.shape[0] - 1)
-    a = tex[li, v0, u0]
-    b = tex[li, v0, u1]
-    c = tex[li, v1, u0]
-    d = tex[li, v1, u1]
+    C = tex.shape[-1]
+    quad = _quad_pack(tex, wrap)                  # (L, Ht, Wt, 4C)
+    m = gather_rows(quad.reshape(-1, 4 * C),
+                    (li * ht + v0) * wt + u0)
+    a, b = m[..., :C], m[..., C:2 * C]
+    c, d = m[..., 2 * C:3 * C], m[..., 3 * C:]
     return (a * (1 - fu) + b * fu) * (1 - fv) + (c * (1 - fu) + d * fu) * fv
