@@ -88,11 +88,14 @@ class SceneGeometry(NamedTuple):
     # turns the image gather into a batched-operand gather (~5× slower).
     face_entity: jnp.ndarray = None  # (T,) int32 entity per face (shared)
     ent_rot: jnp.ndarray = None      # (E, 3, 3) entity rotation (per env)
-    shadow_face_valid: jnp.ndarray = None  # (T,) shadow-caster stream:
-                                     # COARSEST LOD per entity, visibility
-                                     # only (no camera frustum — off-
-                                     # screen casters still cast); falls
-                                     # back to face_valid when absent
+    # dedicated shadow-caster stream: a STATIC coarsest-LOD-per-entity
+    # face subset (RenderTables.shadow_faces) with visibility-only
+    # validity (no camera frustum — off-screen casters still cast).
+    # Falls back to faces/face_valid when absent. Static subsetting is
+    # what shrinks the record pipeline: per-env masks can't shorten the
+    # stream XLA walks (62k → 4.1k records on the composed testbed).
+    shadow_faces: jnp.ndarray = None       # (Ts, 3)
+    shadow_face_valid: jnp.ndarray = None  # (Ts,)
 
 
 class TextureSets(NamedTuple):
@@ -120,9 +123,11 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
     clip = clip_transform(geom.verts, light_view, light_proj)
     sx, sy, z, iw = project_to_screen(clip, s, s)
     # shadow casting is two-sided: back faces flip instead of culling
-    sfv = geom.shadow_face_valid if geom.shadow_face_valid is not None \
-        else geom.face_valid
-    rec, ok = assemble_tri_records(sx, sy, z, iw, geom.faces,
+    if geom.shadow_faces is not None:
+        sfaces, sfv = geom.shadow_faces, geom.shadow_face_valid
+    else:
+        sfaces, sfv = geom.faces, geom.face_valid
+    rec, ok = assemble_tri_records(sx, sy, z, iw, sfaces,
                                    sfv, two_sided=True)
     binned = bin_triangles(rec, ok, s, s)
     depth = rasterize_depth(rec, binned, s, s)
@@ -145,9 +150,10 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     # straddle cascade bands)
     from .raster import CLUSTER, rasterize_depth, tile_dims
 
-    faces0 = geom.faces
-    valid0 = geom.shadow_face_valid if geom.shadow_face_valid is not None \
-        else geom.face_valid
+    if geom.shadow_faces is not None:
+        faces0, valid0 = geom.shadow_faces, geom.shadow_face_valid
+    else:
+        faces0, valid0 = geom.faces, geom.face_valid
     pad = (-faces0.shape[0]) % CLUSTER
     if pad:
         faces0 = jnp.concatenate(

@@ -41,7 +41,13 @@ MAX_SPAN_X = 8       # bbox span cap in tiles (beyond → big-tri list)
 MAX_SPAN_Y = 8
 MAX_BIG_TRIS = 512
 
-# packed per-tri record column layout: 3 × [x, y, z, 1/w]
+# per-tri record layout: 3 × [x, y, z, 1/w] (+ tid, + optional cb).
+# Record streams travel TRANSPOSED — (C, T), component rows over a
+# packed triangle lane axis — because a (T, 13) layout lane-pads
+# 13 → 128 (10× HBM waste on every elementwise record pass; the
+# composed 16-env trace spent ~25 ms/frame in record-stream
+# reshapes/copies before this). The per-tile cluster records the
+# kernel consumes are built tri-major by records_to_coeffs at the end.
 _XC = (0, 4, 8)
 _YC = (1, 5, 9)
 _ZC = (2, 6, 10)
@@ -101,15 +107,16 @@ def corner_records(c0, c1, c2, valid_mask=None, two_sided: bool = False,
     record-corner order) so records_to_coeffs folds them into the
     kernel's perspective weights and the G-buffer bary comes out already
     composed."""
-    tri_f = jnp.arange(c0.shape[0], dtype=jnp.float32)[:, None]
+    tri_f = jnp.arange(c0.shape[0], dtype=jnp.float32)
     # v1/v2 swap: the screen y-flip turns GL/world CCW into image-space
     # CW; swapping restores positive kernel area for front faces (GL
     # front-face = CCW parity)
-    parts = [c0, c2, c1, tri_f]
+    cols = [c0[:, i] for i in range(4)] + [c2[:, i] for i in range(4)] \
+        + [c1[:, i] for i in range(4)] + [tri_f]
     if cb is not None:
-        parts += [cb[:, 0], cb[:, 2], cb[:, 1]]
-    rec = jnp.concatenate(parts, axis=-1)        # (T, 13[+6])
-    return _finish_records(rec, valid_mask, two_sided)
+        cols += [cb[:, 0, 0], cb[:, 0, 1], cb[:, 2, 0], cb[:, 2, 1],
+                 cb[:, 1, 0], cb[:, 1, 1]]
+    return _finish_records(cols, valid_mask, two_sided)
 
 
 def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
@@ -124,7 +131,7 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     the kernel's CCW test accepts them (shadow passes are two-sided
     without doubling the triangle count)."""
     vrec = jnp.stack([sx, sy, z, iw], axis=-1)            # (V, 4)
-    tri_f = jnp.arange(faces.shape[0], dtype=jnp.float32)[:, None]
+    tri_f = jnp.arange(faces.shape[0], dtype=jnp.float32)
     # v1/v2 swap: the screen y-flip turns GL/world CCW into image-space
     # CW; swapping restores positive kernel area for front faces (GL
     # front-face = CCW parity). ONE gather_rows over the corner order
@@ -132,39 +139,50 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     # vmap (three batched-operand gathers here cost 4.1 ms @ 16 envs)
     corner_idx = faces[:, jnp.array([0, 2, 1])].reshape(-1)   # (3T,)
     corners = gather_rows(vrec, corner_idx).reshape(faces.shape[0], 12)
-    rec = jnp.concatenate([corners, tri_f], axis=-1)      # (T, 13): + id
-    return _finish_records(rec, valid_mask, two_sided)
+    cols = [corners[:, i] for i in range(12)] + [tri_f]
+    return _finish_records(cols, valid_mask, two_sided)
 
 
-def _finish_records(rec, valid_mask, two_sided):
+def _finish_records(cols, valid_mask, two_sided):
     # (float tri ids are exact below 2^24 — they ride the kernel's
     # winner-select chain so no per-pixel id gather is ever needed)
-    x0, y0 = rec[:, _XC[0]], rec[:, _YC[0]]
-    x1, y1 = rec[:, _XC[1]], rec[:, _YC[1]]
-    x2, y2 = rec[:, _XC[2]], rec[:, _YC[2]]
+    # cols is a list of (T,) record columns in packed order. They pack
+    # into the (C, T) record ONCE here, and every subsequent op is a
+    # whole-(C, T) array op (static row permutation + masked where):
+    # per-column (T,) selects materialize 1-D arrays, which TPU lays
+    # out sublane-padded — measured 19 ms/frame on the 16-env composed
+    # trace vs ~2 ms for this form.
+    rec = jnp.stack(cols)                                 # (C, T)
+    C = len(cols)
+    x0, y0 = rec[_XC[0]], rec[_YC[0]]
+    x1, y1 = rec[_XC[1]], rec[_YC[1]]
+    x2, y2 = rec[_XC[2]], rec[_YC[2]]
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     if two_sided:
-        parts = [rec[:, 0:4], rec[:, 8:12], rec[:, 4:8], rec[:, 12:13]]
-        if rec.shape[1] > 13:   # swap the cb corner pairs too
-            parts += [rec[:, 13:15], rec[:, 17:19], rec[:, 15:17]]
-        flipped = jnp.concatenate(parts, axis=-1)
-        rec = jnp.where((area < 0)[:, None], flipped, rec)
+        # swap corner groups 1↔2 (and their cb pairs) for back faces
+        perm = np.arange(C)
+        perm[4:8], perm[8:12] = np.arange(8, 12), np.arange(4, 8)
+        if C > 13:
+            perm[15:17], perm[17:19] = np.arange(17, 19), np.arange(15, 17)
+        rec = jnp.where((area < 0)[None, :], rec[perm], rec)
         ok = jnp.abs(area) > 1e-8
     else:
         ok = area > 1e-8
     # w>0 for all corners (no near-plane clipping in v1: crossing tris
     # drop). The upper bound rejects the sign-preserving w≈0 clamp from
     # project_to_screen (iw ≈ ±1e9); a real vertex has iw ≤ 1/znear.
-    ok = ok & (rec[:, _WC[0]] > 0) & (rec[:, _WC[1]] > 0) \
-        & (rec[:, _WC[2]] > 0) & (rec[:, _WC].max(-1) < 1e8)
-    zs = rec[:, _ZC, ]
-    ok = ok & (zs.min(-1) <= 1.0) & (zs.max(-1) >= -1.0)
+    w0, w1, w2 = rec[_WC[0]], rec[_WC[1]], rec[_WC[2]]
+    ok = ok & (w0 > 0) & (w1 > 0) & (w2 > 0) \
+        & (jnp.maximum(jnp.maximum(w0, w1), w2) < 1e8)
+    z0, z1, z2 = rec[_ZC[0]], rec[_ZC[1]], rec[_ZC[2]]
+    ok = ok & (jnp.minimum(jnp.minimum(z0, z1), z2) <= 1.0) \
+        & (jnp.maximum(jnp.maximum(z0, z1), z2) >= -1.0)
     if valid_mask is not None:
         ok = ok & valid_mask
     # degenerate-out invalid records (zero coords → zero area → the
     # kernel rejects them): cluster binning walks whole clusters, so a
     # dead member's record must be inert on its own, not just unlisted
-    rec = jnp.where(ok[:, None], rec, 0.0)
+    rec = jnp.where(ok[None, :], rec, 0.0)
     return rec, ok
 
 
@@ -182,83 +200,101 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     needs no changes and stays perspective-correct (attributes are
     linear over the triangle's plane)."""
     T = faces.shape[0]
-    # gather_rows: per-env clip_verts stays a fast-path gather under vmap
-    v = gather_rows(clip_verts, faces.reshape(-1)).reshape(T, 3, 4)
-    w = v[..., 3]                            # (T, 3)
-    inside = w > w_eps                       # (T, 3)
-    n_in = inside.sum(-1)                    # (T,)
-
-    # canonical corner barys: A=(1,0) B=(0,1) C=(0,0)
-    cb = jnp.broadcast_to(
-        jnp.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], jnp.float32),
-        (T, 3, 2))
+    # COLUMNAR throughout: every intermediate is a (T,) lane-packed
+    # array. The previous (T, 3, 4)/(T, 3, 2) formulation lane-padded
+    # (3, 4) → (8, 128) — a 32× HBM blow-up on every materialized
+    # intermediate (~7 ms/frame of the 16-env composed trace).
+    # ONE corner gather in corner-major order so per-corner columns are
+    # contiguous slices: [all v0 | all v1 | all v2].
+    g = gather_rows(clip_verts, faces.T.reshape(-1))      # (3T, 4)
+    v = [[g[c * T:(c + 1) * T, i] for i in range(4)] for c in range(3)]
+    w = [v[c][3] for c in range(3)]
+    inside = [wc > w_eps for wc in w]
+    n_in = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
+            + inside[2].astype(jnp.int32))
 
     # rotate so the distinguished vertex is FIRST:
     #   n_in==1 → the single inside vertex; n_in==2 → the single outside
-    def rot_pick(x, k):
-        return jnp.concatenate(
-            [x[:, k:, ...], x[:, :k, ...]], axis=1)
     one_in = n_in == 1
-    k_in = jnp.argmax(inside, axis=-1)       # first True
-    k_out = jnp.argmax(~inside, axis=-1)     # first False
+    k_in = jnp.where(inside[0], 0, jnp.where(inside[1], 1, 2))
+    k_out = jnp.where(~inside[0], 0, jnp.where(~inside[1], 1, 2))
     k_rot = jnp.where(one_in, k_in, k_out)   # (T,)
-    # gatherless 3-way rotation select
-    s0 = (k_rot == 0)[:, None, None]
-    s1 = (k_rot == 1)[:, None, None]
-    vrots = [rot_pick(v, k) for k in range(3)]
-    cbrots = [rot_pick(cb, k) for k in range(3)]
-    vr = jnp.where(s0, vrots[0], jnp.where(s1, vrots[1], vrots[2]))
-    cbr = jnp.where(s0, cbrots[0], jnp.where(s1, cbrots[1], cbrots[2]))
+    s0 = k_rot == 0
+    s1 = k_rot == 1
+    s2 = k_rot == 2
 
-    A, B, C = vr[:, 0], vr[:, 1], vr[:, 2]
-    bA, bB, bC = cbr[:, 0], cbr[:, 1], cbr[:, 2]
-    wA, wB, wC = A[:, 3], B[:, 3], C[:, 3]
+    def pick(c0, c1, c2):
+        return jnp.where(s0, c0, jnp.where(s1, c1, c2))
+
+    # rotated corners A=v[k], B=v[k+1], C=v[k+2] (mod 3), per component
+    A = [pick(v[0][i], v[1][i], v[2][i]) for i in range(4)]
+    B = [pick(v[1][i], v[2][i], v[0][i]) for i in range(4)]
+    C = [pick(v[2][i], v[0][i], v[1][i]) for i in range(4)]
+    # canonical corner barys v0=(1,0) v1=(0,1) v2=(0,0), rotated
+    bA = [jnp.where(s0, 1.0, 0.0), jnp.where(s1, 1.0, 0.0)]
+    bB = [jnp.where(s2, 1.0, 0.0), jnp.where(s0, 1.0, 0.0)]
+    bC = [jnp.where(s1, 1.0, 0.0), jnp.where(s2, 1.0, 0.0)]
+    wA, wB, wC = A[3], B[3], C[3]
 
     def isect(p, q, wp, wq, bp, bq):
         t = (w_eps - wp) / jnp.where(wq - wp == 0, 1.0, wq - wp)
-        t = jnp.clip(t, 0.0, 1.0)[:, None]
-        return p + t * (q - p), bp + t[:, :2] * (bq - bp)
+        t = jnp.clip(t, 0.0, 1.0)
+        return ([p[i] + t * (q[i] - p[i]) for i in range(4)],
+                [bp[i] + t * (bq[i] - bp[i]) for i in range(2)])
 
     iAB, bAB = isect(A, B, wA, wB, bA, bB)
     iCA, bCA = isect(C, A, wC, wA, bC, bA)
-    iBC_fromB, bBC = isect(B, C, wB, wC, bB, bC)
 
     # slot A triangle:
     #   3 in → (A, B, C); 1 in (A inside) → (A, iAB, iCA);
     #   2 in (A outside) → (iAB, B, C)
-    all_in = (n_in == 3)[:, None, None]
-    one = one_in[:, None, None]
-    two = (n_in == 2)[:, None, None]
-    triA = jnp.where(
-        all_in, vr,
-        jnp.where(one, jnp.stack([A, iAB, iCA], axis=1),
-                  jnp.stack([iAB, B, C], axis=1)))
-    baryA = jnp.where(
-        all_in, cbr,
-        jnp.where(one, jnp.stack([bA, bAB, bCA], axis=1),
-                  jnp.stack([bAB, bB, bC], axis=1)))
+    all_in = n_in == 3
+    two = n_in == 2
+    tA0 = [jnp.where(two, iAB[i], A[i]) for i in range(4)]
+    tA1 = [jnp.where(one_in, iAB[i], B[i]) for i in range(4)]
+    tA2 = [jnp.where(one_in, iCA[i], C[i]) for i in range(4)]
+    bA0 = [jnp.where(two, bAB[i], bA[i]) for i in range(2)]
+    bA1 = [jnp.where(one_in, bAB[i], bB[i]) for i in range(2)]
+    bA2 = [jnp.where(one_in, bCA[i], bC[i]) for i in range(2)]
     okA = n_in > 0
-    # slot B: only the quad case → (iAB, C, iCA)... wait quad =
-    # (iAB, B, C, iCA) → second tri (iAB, C, iCA)
-    triB = jnp.stack([iAB, C, iCA], axis=1)
-    baryB = jnp.stack([bAB, bC, bCA], axis=1)
-    okB = n_in == 2
+    # slot B: only the quad case → quad (iAB, B, C, iCA) second tri
+    # (iAB, C, iCA)
+    tB0, tB1, tB2 = iAB, C, iCA
+    bB0, bB1, bB2 = bAB, bC, bCA
+    okB = two
 
-    tris = jnp.concatenate([triA, triB])      # (2T, 3, 4)
-    cbary = jnp.concatenate([baryA, baryB])   # (2T, 3, 2)
     csrc = jnp.concatenate([jnp.arange(T, dtype=jnp.int32)] * 2)
     ok = jnp.concatenate([okA, okB])
     if valid_mask is not None:
         ok = ok & jnp.concatenate([valid_mask] * 2)
 
-    # project the clipped corners and build records with SUB indices —
-    # per-corner directly (an indexed assemble here would be an identity
-    # gather of 6T rows, ~10 ms/frame-batch at 64 envs)
-    flat = tris.reshape(-1, 4)
-    sx, sy, z, iw = project_to_screen(flat, width, height)
-    vr = jnp.stack([sx, sy, z, iw], axis=-1).reshape(2 * T, 3, 4)
-    rec, ok2 = corner_records(vr[:, 0], vr[:, 1], vr[:, 2], ok,
-                              two_sided=two_sided, cb=cbary)
+    def proj_corner(slotA, slotB):
+        """Columnar project of one record corner over the 2T stream."""
+        x = jnp.concatenate([slotA[0], slotB[0]])
+        y = jnp.concatenate([slotA[1], slotB[1]])
+        z = jnp.concatenate([slotA[2], slotB[2]])
+        wc = jnp.concatenate([slotA[3], slotB[3]])
+        w_safe = jnp.where(jnp.abs(wc) < 1e-9,
+                           jnp.where(wc < 0, -1e-9, 1e-9), wc)
+        iw = 1.0 / w_safe
+        return [(x * iw * 0.5 + 0.5) * width,
+                (0.5 - y * iw * 0.5) * height, z * iw, iw]
+
+    p0 = proj_corner(tA0, tB0)
+    p1 = proj_corner(tA1, tB1)
+    p2 = proj_corner(tA2, tB2)
+    cbcols = [jnp.concatenate([a, b])
+              for a, b in zip(bA0 + bA1 + bA2, bB0 + bB1 + bB2)]
+    # record corner order (v0, v2, v1) + cb pairs in the same order
+    cols = p0 + p2 + p1 \
+        + [jnp.arange(2 * T, dtype=jnp.float32)] \
+        + cbcols[0:2] + cbcols[4:6] + cbcols[2:4]
+    rec, ok2 = _finish_records(cols, ok, two_sided)
+    # packed cbary kept for API compat (tests; DCE'd in the jit path)
+    cbary = jnp.stack(
+        [jnp.stack([cbcols[0], cbcols[1]], -1),
+         jnp.stack([cbcols[2], cbcols[3]], -1),
+         jnp.stack([cbcols[4], cbcols[5]], -1)], axis=1)   # (2T, 3, 2)
     return rec, ok2, csrc, cbary
 
 
@@ -281,13 +317,17 @@ def records_to_coeffs(rec):
     gather (a batched-operand gather cost ~29 ms/frame-batch at 64
     envs). Without cb the fold is the identity (record corners are
     face v0, v2, v1). Invalid records get c_k = -1 so every pixel fails
-    the e_k ≥ 0 test."""
-    x0, y0, z0, iw0 = rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
-    x1, y1, z1, iw1 = rec[:, 4], rec[:, 5], rec[:, 6], rec[:, 7]
-    x2, y2, z2, iw2 = rec[:, 8], rec[:, 9], rec[:, 10], rec[:, 11]
-    tid = rec[:, 12]
-    if rec.shape[1] > 13:
-        cb = [(rec[:, 13 + 2 * k], rec[:, 14 + 2 * k]) for k in range(3)]
+    the e_k ≥ 0 test.
+
+    Input records are the TRANSPOSED (C, T) stream; output is tri-major
+    (T, 24) — the one layout change, feeding the per-tile cluster
+    gather + kernel blocks directly."""
+    x0, y0, z0, iw0 = rec[0], rec[1], rec[2], rec[3]
+    x1, y1, z1, iw1 = rec[4], rec[5], rec[6], rec[7]
+    x2, y2, z2, iw2 = rec[8], rec[9], rec[10], rec[11]
+    tid = rec[12]
+    if rec.shape[0] > 13:
+        cb = [(rec[13 + 2 * k], rec[14 + 2 * k]) for k in range(3)]
     else:
         one = jnp.ones_like(tid)
         zero2 = jnp.zeros_like(tid)
@@ -334,9 +374,10 @@ def records_to_coeffs_depth(rec):
     weights or triangle ids, so their record rows shrink 2× (halving
     the per-tile pre-gather bytes and kernel VMEM) and the kernel inner
     loop drops ~40% of its FMA work."""
-    x0, y0, z0 = rec[:, 0], rec[:, 1], rec[:, 2]
-    x1, y1, z1 = rec[:, 4], rec[:, 5], rec[:, 6]
-    x2, y2, z2 = rec[:, 8], rec[:, 9], rec[:, 10]
+    # (C, T) in, (T, 12) out (see records_to_coeffs)
+    x0, y0, z0 = rec[0], rec[1], rec[2]
+    x1, y1, z1 = rec[4], rec[5], rec[6]
+    x2, y2, z2 = rec[8], rec[9], rec[10]
     a0 = y1 - y2
     b0 = x2 - x1
     c0 = (y2 - y1) * x1 - (x2 - x1) * y1
@@ -425,7 +466,7 @@ def rasterize_depth(rec, binned, width: int, height: int,
     n_tiles = ntx * nty
     Hp, Wp = nty * th, ntx * tw
 
-    rec, _, _ = _pad_cluster(rec, jnp.ones(rec.shape[:1], bool), None,
+    rec, _, _ = _pad_cluster(rec, jnp.ones((rec.shape[1],), bool), None,
                              cluster)
     coef = records_to_coeffs_depth(rec)
     Tc = coef.shape[0] // cluster
@@ -470,13 +511,14 @@ CLUSTER = 8   # triangles per binning cluster (= TRI_CHUNK): binning,
 
 
 def _pad_cluster(rec, ok, band_id=None, cluster: int = CLUSTER):
-    """Pad the record stream to a cluster multiple (degenerate records:
-    zero coords → area 0 → the kernel never shades them)."""
-    T = rec.shape[0]
+    """Pad the (C, T) record stream to a cluster multiple of T
+    (degenerate records: zero coords → area 0 → the kernel never shades
+    them)."""
+    T = rec.shape[1]
     pad = (-T) % cluster
     if pad:
-        rec = jnp.concatenate([rec, jnp.zeros((pad, rec.shape[1]),
-                                              rec.dtype)])
+        rec = jnp.concatenate(
+            [rec, jnp.zeros((rec.shape[0], pad), rec.dtype)], axis=1)
         ok = jnp.concatenate([ok, jnp.zeros((pad,), bool)])
         if band_id is not None:
             band_id = jnp.concatenate(
@@ -502,18 +544,21 @@ def bin_triangles(rec, ok, width: int, height: int,
     nty = pl.cdiv(height, th)
     n_tiles = ntx * nty
     rec, ok, band_id = _pad_cluster(rec, ok, band_id, cluster)
-    T = rec.shape[0]
+    T = rec.shape[1]
     mok = ok   # member-level validity (T,); `ok` becomes cluster-level
 
-    xs = rec[:, _XC, ]
-    ys = rec[:, _YC, ]
-    # per-tri bbox masked by validity → cluster bbox (invalid members
-    # contribute nothing; an all-invalid cluster is dropped)
+    # per-tri bbox from (C, T) component rows, masked by validity →
+    # cluster bbox (invalid members contribute nothing; an all-invalid
+    # cluster is dropped)
+    xs_min = jnp.minimum(jnp.minimum(rec[_XC[0]], rec[_XC[1]]), rec[_XC[2]])
+    xs_max = jnp.maximum(jnp.maximum(rec[_XC[0]], rec[_XC[1]]), rec[_XC[2]])
+    ys_min = jnp.minimum(jnp.minimum(rec[_YC[0]], rec[_YC[1]]), rec[_YC[2]])
+    ys_max = jnp.maximum(jnp.maximum(rec[_YC[0]], rec[_YC[1]]), rec[_YC[2]])
     Tc = T // cluster
-    txmin = jnp.where(mok, xs.min(1), jnp.inf).reshape(Tc, cluster).min(1)
-    txmax = jnp.where(mok, xs.max(1), -jnp.inf).reshape(Tc, cluster).max(1)
-    tymin = jnp.where(mok, ys.min(1), jnp.inf).reshape(Tc, cluster).min(1)
-    tymax = jnp.where(mok, ys.max(1), -jnp.inf).reshape(Tc, cluster).max(1)
+    txmin = jnp.where(mok, xs_min, jnp.inf).reshape(Tc, cluster).min(1)
+    txmax = jnp.where(mok, xs_max, -jnp.inf).reshape(Tc, cluster).max(1)
+    tymin = jnp.where(mok, ys_min, jnp.inf).reshape(Tc, cluster).min(1)
+    tymax = jnp.where(mok, ys_max, -jnp.inf).reshape(Tc, cluster).max(1)
     cok = mok.reshape(Tc, cluster).any(1)
     txmin = jnp.where(cok, txmin, 0.0)
     txmax = jnp.where(cok, txmax, -1.0)
@@ -581,7 +626,8 @@ def bin_triangles(rec, ok, width: int, height: int,
     # back order makes the per-tile capacity cap drop the FARTHEST
     # (likely occluded) clusters — graceful degradation on dense views.
     zbits = 12
-    tzmin = jnp.min(rec[:, _ZC, ], axis=1)              # (T,) per-tri
+    tzmin = jnp.minimum(jnp.minimum(rec[_ZC[0]], rec[_ZC[1]]),
+                        rec[_ZC[2]])                    # (T,) per-tri
     tzmin = jnp.where(mok, tzmin, jnp.inf)              # mask dead members
     czmin = tzmin.reshape(Tc, cluster).min(1)           # cluster near-z
     zq = jnp.clip((czmin * 0.5 + 0.5) * ((1 << zbits) - 1), 0,
@@ -741,7 +787,7 @@ def rasterize(rec, binned, width: int, height: int,
     # pad RAW records first: all-zero raw records convert to inert
     # coefficients (c_k = -1), whereas zero-padded coefficient rows
     # would cover every pixel (e_k = 0 ≥ 0)
-    rec, _, _ = _pad_cluster(rec, jnp.ones(rec.shape[:1], bool), None,
+    rec, _, _ = _pad_cluster(rec, jnp.ones((rec.shape[1],), bool), None,
                              cluster)
     coef = records_to_coeffs(rec)               # (T8, NCOEF)
     Tc = coef.shape[0] // cluster
@@ -836,7 +882,7 @@ def raster_brute(rec, ok, width: int, height: int) -> GBuffer:
         inv_s = 1.0 / jnp.maximum(d0 + d1 + d2, 1e-20)
         return inside & (z >= -1) & (z <= 1), z, d0 * inv_s, d1 * inv_s
 
-    inside, z, b0, b1 = jax.vmap(per_tri)(rec)       # (T, H, W)
+    inside, z, b0, b1 = jax.vmap(per_tri, in_axes=1)(rec)   # (T, H, W)
     z = jnp.where(inside & ok[:, None, None], z, jnp.inf)
     best = jnp.argmin(z, axis=0)                      # (H, W)
     depth = jnp.take_along_axis(z, best[None], axis=0)[0]

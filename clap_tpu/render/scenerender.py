@@ -62,6 +62,14 @@ class RenderTables(NamedTuple):
     entity_aabb: jnp.ndarray  # (E, 2, 3) model-local AABB per entity
     edge_id: jnp.ndarray = None  # (Vi,) f32 solid id 0-15 + 128·exclude
                                  # (RT2 alpha packing, model.frag:109-125)
+    # STATIC shadow-caster subset: the coarsest LOD of every entity.
+    # Shadow passes raster this stream instead of the full all-LOD face
+    # table — the testbed's 4-cascade atlas stream shrinks 62k → 4.1k
+    # records per env (shadow maps never need finer LODs, and the
+    # per-env LOD mask can't shrink the STATIC stream the record
+    # pipeline walks).
+    shadow_faces: jnp.ndarray = None        # (Ts, 3)
+    shadow_face_entity: jnp.ndarray = None  # (Ts,) int32
 
 
 def model_from_mesh(verts, normals, faces, base_color=(0.7, 0.7, 0.7),
@@ -193,18 +201,27 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         voff += len(m.verts)
     cat = lambda xs, d=np.float32: jnp.asarray(  # noqa: E731
         np.concatenate(xs) if xs else np.zeros((0,), d))
+    # static shadow-caster subset: coarsest LOD per entity
+    fe_np = np.concatenate(fe) if fe else np.zeros((0,), np.int32)
+    fl_np = np.concatenate(fl) if fl else np.zeros((0,), np.int32)
+    fs_np = (np.concatenate(fs).astype(np.int32) if fs
+             else np.zeros((0, 3), np.int32))
+    coarse = np.zeros(len(entity_model), np.int64)
+    np.maximum.at(coarse, fe_np, fl_np)
+    ssel = fl_np == coarse[fe_np]
     return RenderTables(
         verts=cat(vs), normals=cat(ns), base_color=cat(bc),
         rough_metal=cat(rm), emission=cat(em),
         uv=cat(uvs), tangent=cat(tgs), tex_id=cat(tids),
         mat_fbm=cat(fbms), any_material=any_material,
         vert_entity=cat(ve, np.int32).astype(jnp.int32),
-        faces=jnp.asarray(np.concatenate(fs).astype(np.int32)
-                          if fs else np.zeros((0, 3), np.int32)),
+        faces=jnp.asarray(fs_np),
         face_entity=cat(fe, np.int32).astype(jnp.int32),
         face_lod=cat(fl, np.int32).astype(jnp.int32),
         entity_aabb=jnp.asarray(aabbs),
         edge_id=cat(eids) if entity_edge_id is not None else None,
+        shadow_faces=jnp.asarray(fs_np[ssel]),
+        shadow_face_entity=jnp.asarray(fe_np[ssel].astype(np.int32)),
     )
 
 
@@ -270,22 +287,17 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
                     ok_el.reshape(B, E * n_lod).astype(jnp.float32),
                     precision=hi) > 0.5
 
-    # shadow-caster stream: COARSEST LOD per entity, visibility only
-    # (off-screen casters still cast; shadow maps don't need LOD0 —
-    # the full-detail stream kept shadow tile lists pinned at the
-    # capacity cap, walking cap·n_tiles triangles every env)
-    fl = np.asarray(rt.face_lod)
-    fe = np.asarray(rt.face_entity)
-    coarse = np.zeros(E, np.int64)
-    np.maximum.at(coarse, fe, fl)
-    shadow_sel = fl == coarse[fe]                        # (Ti,) static
-    oh_sh = ((fe[:, None] == np.arange(E)[None, :])
-             & shadow_sel[:, None]).astype(np.float32)
+    # shadow-caster stream: the STATIC coarsest-LOD face subset
+    # (rt.shadow_faces), visibility-only validity (off-screen casters
+    # still cast). One-hot keeps it a matmul, not a batched gather.
+    oh_sh = (np.asarray(rt.shadow_face_entity)[:, None]
+             == np.arange(E)[None, :]).astype(np.float32)
     sfv = jnp.einsum("te,be->bt", jnp.asarray(oh_sh),
                      entity_visible.astype(jnp.float32),
                      precision=hi) > 0.5
 
     geom = SceneGeometry(
+        shadow_faces=rt.shadow_faces,
         shadow_face_valid=sfv,
         verts=wverts, normals=rt.normals, faces=rt.faces, face_valid=fv,
         base_color=rt.base_color, rough_metal=rt.rough_metal,
@@ -302,7 +314,8 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
         verts=0, normals=None, faces=None, face_valid=0,
         base_color=None, rough_metal=None, emission=None,
         uv=None, tangent=None, tex_id=None, local_pos=None, mat_fbm=None,
-        edge_id=None, face_entity=None, ent_rot=0, shadow_face_valid=0,
+        edge_id=None, face_entity=None, ent_rot=0,
+        shadow_faces=None, shadow_face_valid=0,
     )
     return geom, axes
 
@@ -345,26 +358,21 @@ def assemble_scene_geometry(rt: RenderTables, entity_mx, entity_visible,
     ent_ok = entity_visible & in_frustum
     fv = ent_ok[rt.face_entity] & (rt.face_lod == lod[rt.face_entity])
 
-    # shadow-caster stream: coarsest LOD, visibility only (see the
-    # batched variant for rationale)
-    fl = np.asarray(rt.face_lod)
-    fe = np.asarray(rt.face_entity)
-    coarse = np.zeros(entity_mx.shape[0], np.int64)
-    np.maximum.at(coarse, fe, fl)
-    shadow_sel = jnp.asarray(fl == coarse[fe])
-    sfv = entity_visible[rt.face_entity] & shadow_sel
+    # shadow-caster stream: the STATIC coarsest-LOD subset, visibility
+    # only (see the batched variant for rationale)
+    sfv = entity_visible[rt.shadow_face_entity]
 
     if not rt.any_material:
         return SceneGeometry(
             verts=wverts, normals=wnorm, faces=rt.faces, face_valid=fv,
             base_color=rt.base_color, rough_metal=rt.rough_metal,
             emission=rt.emission, edge_id=rt.edge_id,
-            shadow_face_valid=sfv,
+            shadow_faces=rt.shadow_faces, shadow_face_valid=sfv,
         )
     return SceneGeometry(
         verts=wverts, normals=wnorm, faces=rt.faces, face_valid=fv,
         base_color=rt.base_color, rough_metal=rt.rough_metal,
         emission=rt.emission, uv=rt.uv, tangent=wtan, tex_id=rt.tex_id,
         local_pos=rt.verts, mat_fbm=rt.mat_fbm, edge_id=rt.edge_id,
-        shadow_face_valid=sfv,
+        shadow_faces=rt.shadow_faces, shadow_face_valid=sfv,
     )

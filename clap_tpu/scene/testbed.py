@@ -158,9 +158,15 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
         )
     tree_pos = []
     next_ei = 1 + n_chars + n_dynamic
+    # reserve entity slots for the terrain chunks: trees otherwise fill
+    # every slot and the chunk loop below keeps ZERO chunks — terrain
+    # silently falls back to the monolithic no-cull/no-LOD model (this
+    # bit the composed bench: terrain_chunks=4 with max_entities=96
+    # rendered 32k un-culled LOD0 terrain faces every env)
+    tree_cap = E - terrain_chunks * terrain_chunks
     for k, (name, dx, dy, dz) in enumerate(t.instantiators):
         ei = next_ei
-        if ei >= E:
+        if ei >= tree_cap:
             break
         ent = ent._replace(
             active=ent.active.at[ei].set(True),

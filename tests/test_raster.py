@@ -58,8 +58,14 @@ def test_backface_culled():
 
 
 def _random_scene(rng, T=40, width=256, height=64):
-    # random CCW triangles in clip space with varying depth and w
-    pts = rng.uniform(-1.2, 1.2, (T, 3, 2)).astype(np.float32)
+    # random CCW triangles in clip space with varying depth and w:
+    # moderate-size tris around scattered centers (full-screen ones
+    # legitimately land in every bin and saturate the tiny test caps)
+    ctr = rng.uniform(-1.0, 1.0, (T, 1, 2))
+    # spatially-coherent order (cluster binning groups consecutive
+    # 8-tri clusters; production streams are Morton-ordered)
+    ctr = ctr[np.lexsort((ctr[:, 0, 0], ctr[:, 0, 1]))]
+    pts = (ctr + rng.uniform(-0.35, 0.35, (T, 3, 2))).astype(np.float32)
     # enforce CCW in screen space: flip if signed area (with y flip) negative
     z = rng.uniform(-0.9, 0.9, (T, 1)).astype(np.float32)
     w = rng.uniform(0.5, 2.0, (T, 1)).astype(np.float32)
@@ -70,10 +76,9 @@ def _random_scene(rng, T=40, width=256, height=64):
     faces = np.arange(T * 3, dtype=np.int32).reshape(T, 3)
     sx, sy, zz, iw = project_to_screen(jnp.asarray(clip), width, height)
     rec, ok = assemble_tri_records(sx, sy, zz, iw, jnp.asarray(faces))
-    # fix winding: recompute area and swap v1/v2 where negative
-    area = (rec[:, 2] - rec[:, 0]) * (rec[:, 5] - rec[:, 1]) \
-        - (rec[:, 3] - rec[:, 1]) * (rec[:, 4] - rec[:, 0])
-    faces_fixed = np.where((np.asarray(area) < 0)[:, None],
+    # fix winding: assemble's validity is exactly the front-face test
+    # (CCW area > 0), so swap v1/v2 wherever the first pass culled
+    faces_fixed = np.where((~np.asarray(ok))[:, None],
                            faces[:, [0, 2, 1]], faces)
     rec, ok = assemble_tri_records(sx, sy, zz, iw, jnp.asarray(faces_fixed))
     return rec, ok
@@ -205,7 +210,7 @@ def test_near_plane_clipping():
     ], jnp.float32)
     faces = jnp.array([[0, 1, 2]], jnp.int32)
     rec, ok, csrc, cbary = clip_near_records(clip, faces, W, H)
-    assert rec.shape[0] == 2
+    assert rec.shape[1] == 2     # records are (C, T) column-major
     # the quad case: out-vertex is v2 → both sub-tris valid
     assert bool(ok[0]) and bool(ok[1])
     binned = bin_triangles(rec, ok, W, H)

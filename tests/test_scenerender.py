@@ -104,13 +104,14 @@ def test_shadow_stream_offscreen_and_coarse_lod():
     fv = np.asarray(geom.face_valid)
     sfv = np.asarray(geom.shadow_face_valid)
     fe = np.asarray(rt.face_entity)
-    fl = np.asarray(rt.face_lod)
+    sfe = np.asarray(rt.shadow_face_entity)
+    # static shadow subset: coarsest LOD only (LOD 1 = 1 face per cube)
+    assert np.asarray(rt.shadow_faces).shape == (3, 3)
+    assert sfv.shape == sfe.shape
     assert not fv[fe == 1].any()                 # frustum-culled in view
-    assert sfv[fe == 1].any()                    # ...but still casts
-    assert not sfv[fe == 2].any()                # invisible: no shadow
-    # shadow stream uses the coarsest LOD only (LOD 1 here)
-    assert not sfv[fl == 0].any()
-    assert sfv[(fe == 0) & (fl == 1)].all()
+    assert sfv[sfe == 1].any()                   # ...but still casts
+    assert not sfv[sfe == 2].any()               # invisible: no shadow
+    assert sfv[sfe == 0].all()
 
 
 def test_shadow_stream_batched_matches_single():
