@@ -39,6 +39,10 @@ class RenderOptions:
     shadow_size: int = 1024
     shadow_vsm: bool = True
     ssao: bool = True
+    # "shift": gather-free fixed-tap AO (post.ssao_shift, the fast
+    # default); "kernel": the reference's hemisphere-sample estimator
+    # (ssao.c:81 parity, one 16·H·W-row gather per frame)
+    ssao_mode: str = "shift"
     bloom: bool = True
     edge_aa: bool = True            # SMAA-lite
     edge_sobel: bool = True         # else laplace on depth
@@ -488,13 +492,17 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         hdr = post.smaa_neighborhood_blend(hdr, smaa_weights)
 
     if opts.ssao:
-        import jax as _jax
-
-        kern = ssao_kernel_arr if ssao_kernel_arr is not None else \
-            post.ssao_kernel(_jax.random.PRNGKey(7))
         q_pos = vpos[::4, ::4]
         q_nrm = vnrm[::4, ::4]
-        ao_q = post.ssao_blur(post.ssao(q_pos, q_nrm, kern))
+        if opts.ssao_mode == "shift":
+            ao_raw = post.ssao_shift(q_pos, q_nrm)
+        else:
+            import jax as _jax
+
+            kern = ssao_kernel_arr if ssao_kernel_arr is not None else \
+                post.ssao_kernel(_jax.random.PRNGKey(7))
+            ao_raw = post.ssao(q_pos, q_nrm, kern)
+        ao_q = post.ssao_blur(ao_raw)
         ao = post.upsample2(post.upsample2(
             ao_q, ao_q.shape[0] * 2, ao_q.shape[1] * 2), H, W)
         hdr = hdr * (0.4 + 0.6 * ao[..., None])

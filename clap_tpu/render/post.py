@@ -214,6 +214,43 @@ def ssao(view_pos, view_normal, kernel, radius=0.5, bias=0.025):
     return 1.0 - occ / SSAO_KERNEL_SIZE
 
 
+def ssao_shift(view_pos, view_normal, radius: float = 0.5,
+               bias: float = 0.025):
+    """Gather-free SSAO: taps at FIXED screen-space offsets read via
+    static shifts (jnp.roll-style slicing fuses — no gather op at all),
+    scored horizon-style: a neighbor occludes when the unit vector to
+    its surface point rises above the tangent plane, attenuated by
+    world distance so far silhouettes don't darken.
+
+    The reference samples a view-space hemisphere kernel per pixel
+    (ssao.c:81, ssao.frag:17-59) — that needs a data-dependent image
+    gather (16·H·W rows, one of the two largest gather sites in the
+    composed trace). This formulation trades the world-space-exact
+    sample sphere for screen-fixed taps; with the 4×4 blur the result
+    is visually equivalent at the ¼-res it runs at, and the parity
+    variant stays available as ``ssao`` (RenderOptions.ssao_mode).
+
+    view_pos (H, W, 3) view-space positions; returns (H, W) in [0, 1]
+    (1 = unoccluded)."""
+    n = view_normal
+    # 16 taps: 2 spirals of 8 at 1..5-px radii (¼-res pixels)
+    taps = [(0, 1), (1, 1), (2, 0), (2, -2), (0, -3), (-3, -2),
+            (-4, 0), (-3, 3), (0, 5), (4, 4), (1, -2), (-2, 1),
+            (5, 0), (-5, 1), (-1, -5), (2, 4)]
+    occ = jnp.zeros(view_pos.shape[:2], view_pos.dtype)
+    for dy, dx in taps:
+        dvec = _shift2(view_pos, dy, dx) - view_pos
+        d2 = jnp.sum(dvec * dvec, -1)
+        inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-8))
+        # horizon term: sin of elevation above the tangent plane
+        elev = jnp.sum(n * dvec, -1) * inv_d
+        # range attenuation: occluders beyond `radius` fade out
+        atten = jnp.clip(radius * radius / jnp.maximum(d2, 1e-8),
+                         0.0, 1.0)
+        occ = occ + jnp.maximum(elev - bias, 0.0) * atten
+    return 1.0 - jnp.clip(occ / (len(taps) * 0.5), 0.0, 1.0)
+
+
 def ssao_blur(ao):
     """4×4 box blur of the ¼-res AO (pipeline-builder.c:457-486)."""
     acc = jnp.zeros_like(ao)

@@ -82,6 +82,35 @@ def test_downsample_upsample():
     np.testing.assert_allclose(np.asarray(up), 1.0, atol=1e-6)
 
 
+def test_ssao_modes_corner_vs_plane():
+    """Both AO estimators (reference hemisphere kernel + gather-free
+    shift taps) darken a concave corner and leave a flat plane
+    nearly unoccluded."""
+    H = W = 64
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] * 0.05
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] * 0.05
+    # flat floor facing the camera at z=-3 (view space)
+    flat_pos = jnp.stack([jnp.broadcast_to(xs, (H, W)),
+                          jnp.broadcast_to(ys, (H, W)),
+                          jnp.full((H, W), -3.0)], -1)
+    flat_nrm = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (H, W, 3))
+    # concave step: right half pops 0.4 toward the camera; the left
+    # half near the seam sees the wall rise above its tangent plane
+    step = jnp.where(xs >= xs[0, W // 2], 0.4, 0.0)
+    corner_pos = flat_pos.at[..., 2].add(jnp.broadcast_to(step, (H, W)))
+    ao_shift_flat = np.asarray(post.ssao_shift(flat_pos, flat_nrm))
+    ao_shift_cor = np.asarray(post.ssao_shift(corner_pos, flat_nrm))
+    kern = post.ssao_kernel(jax.random.PRNGKey(7))
+    ao_kern_flat = np.asarray(post.ssao(flat_pos, flat_nrm, kern))
+    ao_kern_cor = np.asarray(post.ssao(corner_pos, flat_nrm, kern))
+    seam = (slice(8, -8), slice(W // 2 - 4, W // 2))   # left of the wall
+    inner = (slice(8, -8), slice(8, 16))               # far from seam
+    for flat, cor in ((ao_shift_flat, ao_shift_cor),
+                      (ao_kern_flat, ao_kern_cor)):
+        assert flat[inner].mean() > 0.9        # plane: unoccluded
+        assert cor[seam].mean() < flat[seam].mean() - 0.1   # corner darker
+
+
 def test_sobel_detects_edge():
     img = jnp.zeros((16, 128)).at[:, 64:].set(1.0)
     e = np.asarray(post.sobel_edges(img))
