@@ -356,7 +356,8 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
             # projection + atlas-fetch cost, bilinear upsample back
             sf_q = shade.vsm_shadow(shadow_moments, shadow_mvps,
                                     cascade_dists,
-                                    wpos[::4, ::4], view_depth[::4, ::4])
+                                    post.downsample_pool(wpos, 4),
+                                    post.downsample_pool(view_depth, 4))
             sf_h = post.upsample2(sf_q[..., None],
                                   sf_q.shape[0] * 2, sf_q.shape[1] * 2)
             sf = post.upsample2(sf_h, H, W)[..., 0]
@@ -492,8 +493,12 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         hdr = post.smaa_neighborhood_blend(hdr, smaa_weights)
 
     if opts.ssao:
-        q_pos = vpos[::4, ::4]
-        q_nrm = vnrm[::4, ::4]
+        # ¼-res inputs via average pooling (::4 strided decimation pays
+        # a lane-stride relayout; pooling also denoises the AO inputs)
+        q_pos = post.downsample_pool(vpos, 4)
+        q_nrm = post.downsample_pool(vnrm, 4)
+        q_nrm = q_nrm / jnp.maximum(
+            jnp.linalg.norm(q_nrm, axis=-1, keepdims=True), 1e-6)
         if opts.ssao_mode == "shift":
             ao_raw = post.ssao_shift(q_pos, q_nrm)
         else:

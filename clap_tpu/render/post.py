@@ -14,28 +14,51 @@ import numpy as np
 from ..ops.gatherx import gather_rows
 
 
-def _shift2(img, dy, dx):
-    """Clamped-edge shift (texture clamp-to-edge semantics):
-    result[y, x] = img[clamp(y+dy), clamp(x+dx)].
+def _pad_edge(img, ry: int, rx: int):
+    """Edge-pad once for a stencil of radius (ry, rx). jnp.pad(edge)
+    lowers to concat-of-slices and MATERIALIZES — so consumers must pad
+    ONCE and take many fused slices via _tap, never pad per tap (the
+    per-tap form cost 9.6 ms of a 24.7 ms 720p frame)."""
+    pads = ((ry, ry), (rx, rx)) + ((0, 0),) * (img.ndim - 2)
+    return jnp.pad(img, pads, mode="edge")
 
-    Implemented as edge-pad + static slice — index-array shifts lower to
-    per-element gathers on TPU, ~10× the cost of a strided copy."""
+
+def _tap(p, dy: int, dx: int, ry: int, rx: int, h: int, w: int):
+    """Shifted window of a padded image: result[y, x] =
+    img[clamp(y+dy), clamp(x+dx)] given p = _pad_edge(img, ry, rx)."""
+    return p[ry + dy:ry + dy + h, rx + dx:rx + dx + w]
+
+
+def _shift2(img, dy, dx):
+    """Clamped-edge shift (texture clamp-to-edge semantics). One-off
+    use only — for multi-tap stencils use _pad_edge + _tap so the pad
+    materializes once per stencil, not once per tap."""
     h, w = img.shape[0], img.shape[1]
-    pads = ((max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))) \
-        + ((0, 0),) * (img.ndim - 2)
-    p = jnp.pad(img, pads, mode="edge")
-    y0 = max(dy, 0)
-    x0 = max(dx, 0)
-    return p[y0:y0 + h, x0:x0 + w]
+    p = _pad_edge(img, abs(dy), abs(dx))
+    return _tap(p, dy, dx, abs(dy), abs(dx), h, w)
 
 
 def downsample2(img):
-    """½-res box-ish downsample; chained twice for the bloom ¼ buffer
-    (downsample.frag: 4-corner + center weighted)."""
+    """½-res box downsample; chained twice for the bloom ¼ buffer
+    (downsample.frag: 4-corner + center weighted). reduce_window: the
+    strided-slice form (c[0::2, 0::2] + …) pays lane-dim stride-2
+    relayouts — 9.6 ms of a 24.7 ms 720p frame; the pooled form lowers
+    to the TPU window reducer."""
     h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
     c = img[:h, :w]
-    q = (c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2] + c[1::2, 1::2]) * 0.25
-    return q
+    win = (2, 2) + (1,) * (img.ndim - 2)
+    return jax.lax.reduce_window(c, 0.0, jax.lax.add, win, win,
+                                 "VALID") * 0.25
+
+
+def downsample_pool(img, f: int):
+    """f×f average pool (used to build the ¼-res SSAO inputs — strided
+    ::f decimation pays the same lane-stride penalty as downsample2)."""
+    h, w = img.shape[0] // f * f, img.shape[1] // f * f
+    c = img[:h, :w]
+    win = (f, f) + (1,) * (img.ndim - 2)
+    return jax.lax.reduce_window(c, 0.0, jax.lax.add, win, win,
+                                 "VALID") / (f * f)
 
 
 def upsample2(img, out_h: int, out_w: int):
@@ -48,8 +71,10 @@ def upsample2(img, out_h: int, out_w: int):
         fy, fx = out_h // h, out_w // w
         up = jnp.repeat(jnp.repeat(img, fy, axis=0), fx, axis=1)
         # one smoothing tap to soften the blocks (bloom/AO are low-freq)
-        return 0.25 * (up + _shift2(up, 0, 1) + _shift2(up, 1, 0)
-                       + _shift2(up, 1, 1))
+        pd = _pad_edge(up, 1, 1)
+        return 0.25 * (up + _tap(pd, 0, 1, 1, 1, out_h, out_w)
+                       + _tap(pd, 1, 0, 1, 1, out_h, out_w)
+                       + _tap(pd, 1, 1, 1, 1, out_h, out_w))
     return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "bilinear")
 
 
@@ -60,16 +85,20 @@ _G11 /= _G11.sum()
 
 
 def gauss_blur_h(img):
+    h, w = img.shape[0], img.shape[1]
+    pd = _pad_edge(img, 0, 5)
     acc = jnp.zeros_like(img)
     for i, wgt in enumerate(_G11):
-        acc = acc + wgt * _shift2(img, 0, i - 5)
+        acc = acc + wgt * _tap(pd, 0, i - 5, 0, 5, h, w)
     return acc
 
 
 def gauss_blur_v(img):
+    h, w = img.shape[0], img.shape[1]
+    pd = _pad_edge(img, 5, 0)
     acc = jnp.zeros_like(img)
     for i, wgt in enumerate(_G11):
-        acc = acc + wgt * _shift2(img, i - 5, 0)
+        acc = acc + wgt * _tap(pd, i - 5, 0, 5, 0, h, w)
     return acc
 
 
@@ -95,26 +124,34 @@ def bloom_chain(hdr_emission, out_h: int, out_w: int, intensity=1.0,
 
 def sobel_edges(img_luma):
     """Sobel magnitude on a single-channel image."""
-    gx = (_shift2(img_luma, -1, 1) + 2 * _shift2(img_luma, 0, 1) + _shift2(img_luma, 1, 1)
-          - _shift2(img_luma, -1, -1) - 2 * _shift2(img_luma, 0, -1) - _shift2(img_luma, 1, -1))
-    gy = (_shift2(img_luma, 1, -1) + 2 * _shift2(img_luma, 1, 0) + _shift2(img_luma, 1, 1)
-          - _shift2(img_luma, -1, -1) - 2 * _shift2(img_luma, -1, 0) - _shift2(img_luma, -1, 1))
+    h, w = img_luma.shape[0], img_luma.shape[1]
+    pd = _pad_edge(img_luma, 1, 1)
+
+    def t(dy, dx):
+        return _tap(pd, dy, dx, 1, 1, h, w)
+
+    gx = (t(-1, 1) + 2 * t(0, 1) + t(1, 1)
+          - t(-1, -1) - 2 * t(0, -1) - t(1, -1))
+    gy = (t(1, -1) + 2 * t(1, 0) + t(1, 1)
+          - t(-1, -1) - 2 * t(-1, 0) - t(-1, 1))
     return jnp.sqrt(gx * gx + gy * gy)
 
 
 def laplace_edges(depth_lin, kernel: int = 3):
     """Laplacian on linearized depth (edge_filter.glsl laplace path)."""
+    h, w = depth_lin.shape[0], depth_lin.shape[1]
+    pd = _pad_edge(depth_lin, 1, 1)
     if kernel == 3:
         acc = -4.0 * depth_lin
         for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-            acc = acc + _shift2(depth_lin, dy, dx)
+            acc = acc + _tap(pd, dy, dx, 1, 1, h, w)
     else:  # 5-point ring
         acc = -8.0 * depth_lin
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy == dx == 0:
                     continue
-                acc = acc + _shift2(depth_lin, dy, dx)
+                acc = acc + _tap(pd, dy, dx, 1, 1, h, w)
     return jnp.abs(acc)
 
 
@@ -124,10 +161,12 @@ def laplace_edges(depth_lin, kernel: int = 3):
 
 def smaa_blend_weights(edges):
     """4-direction edge continuity weights from an edge-strength image."""
-    el = _shift2(edges, 0, -1)
-    er = _shift2(edges, 0, 1)
-    eu = _shift2(edges, -1, 0)
-    ed = _shift2(edges, 1, 0)
+    h, w = edges.shape[0], edges.shape[1]
+    pd = _pad_edge(edges, 1, 1)
+    el = _tap(pd, 0, -1, 1, 1, h, w)
+    er = _tap(pd, 0, 1, 1, 1, h, w)
+    eu = _tap(pd, -1, 0, 1, 1, h, w)
+    ed = _tap(pd, 1, 0, 1, 1, h, w)
     tot = el + er + eu + ed + 1e-6
     return jnp.stack([el, er, eu, ed], -1) / tot[..., None] \
         * jnp.clip(edges, 0.0, 1.0)[..., None]
@@ -137,11 +176,13 @@ def smaa_neighborhood_blend(color, weights):
     """Blend each pixel toward its neighbors by the SMAA weights
     (combine.frag:67-68, 94-97)."""
     wsum = jnp.sum(weights, -1, keepdims=True)
+    h, w = color.shape[0], color.shape[1]
+    pd = _pad_edge(color, 1, 1)
     blended = (
-        weights[..., 0:1] * _shift2(color, 0, -1)
-        + weights[..., 1:2] * _shift2(color, 0, 1)
-        + weights[..., 2:3] * _shift2(color, -1, 0)
-        + weights[..., 3:4] * _shift2(color, 1, 0)
+        weights[..., 0:1] * _tap(pd, 0, -1, 1, 1, h, w)
+        + weights[..., 1:2] * _tap(pd, 0, 1, 1, 1, h, w)
+        + weights[..., 2:3] * _tap(pd, -1, 0, 1, 1, h, w)
+        + weights[..., 3:4] * _tap(pd, 1, 0, 1, 1, h, w)
     )
     return color * (1 - wsum * 0.5) + blended * 0.5
 
@@ -238,8 +279,10 @@ def ssao_shift(view_pos, view_normal, radius: float = 0.5,
             (-4, 0), (-3, 3), (0, 5), (4, 4), (1, -2), (-2, 1),
             (5, 0), (-5, 1), (-1, -5), (2, 4)]
     occ = jnp.zeros(view_pos.shape[:2], view_pos.dtype)
+    h, w = view_pos.shape[0], view_pos.shape[1]
+    pd = _pad_edge(view_pos, 5, 5)
     for dy, dx in taps:
-        dvec = _shift2(view_pos, dy, dx) - view_pos
+        dvec = _tap(pd, dy, dx, 5, 5, h, w) - view_pos
         d2 = jnp.sum(dvec * dvec, -1)
         inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-8))
         # horizon term: sin of elevation above the tangent plane
@@ -254,9 +297,11 @@ def ssao_shift(view_pos, view_normal, radius: float = 0.5,
 def ssao_blur(ao):
     """4×4 box blur of the ¼-res AO (pipeline-builder.c:457-486)."""
     acc = jnp.zeros_like(ao)
+    h, w = ao.shape[0], ao.shape[1]
+    pd = _pad_edge(ao, 2, 2)
     for dy in (-1, 0, 1, 2):
         for dx in (-1, 0, 1, 2):
-            acc = acc + _shift2(ao, dy, dx)
+            acc = acc + _tap(pd, dy, dx, 2, 2, h, w)
     return acc / 16.0
 
 
