@@ -256,8 +256,13 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
             ).astype(jnp.float32)                        # (Vi, E) const
     packed = entity_mx[:, :, :3, :].reshape(B, E, 12)
     g = jnp.einsum("ve,bec->bvc", oh_v, packed, precision=hi)
-    m = g.reshape(B, vi, 3, 4)
-    wverts = jnp.einsum("bvij,vj->bvi", m[..., :3], rt.verts) + m[..., 3]
+    # apply the selected 3×4 rows via fused slices — a (B, Vi, 3, 4)
+    # reshape would lane-pad (3, 4) → (8, 128) when materialized
+    vx, vy, vz = rt.verts[:, 0], rt.verts[:, 1], rt.verts[:, 2]
+    wverts = jnp.stack(
+        [g[..., 4 * i] * vx + g[..., 4 * i + 1] * vy
+         + g[..., 4 * i + 2] * vz + g[..., 4 * i + 3] for i in range(3)],
+        axis=-1)
 
     # per-entity world AABB cull + distance LOD (per env)
     c = 0.5 * (rt.entity_aabb[:, 0] + rt.entity_aabb[:, 1])
