@@ -140,9 +140,15 @@ def bench_headless(n_envs: int, frames: int = 30):
     return dt  # seconds per frame
 
 
-def bench_full_frame(width=1280, height=720):
+def bench_full_frame(width=1280, height=720, nr_v=96, n_cubes=0,
+                     raster_cap=0, name="full_frame_720p_ms"):
     """Config #5: full frame — culling + rasterizer + shadow/SSAO/bloom/
-    SMAA chain at 720p on a procedural scene (terrain + cubes)."""
+    SMAA chain at 720p on a procedural scene (terrain + cubes).
+
+    The dense variant (nr_v=240, n_cubes=256 → ~117k tris) is the
+    VERDICT-r2 #5 scene scale (ldjam57-like density, clap.c:230-233's
+    60 FPS design point); raster_cap lifts the per-tile list capacity so
+    the depth-ordered binning cap doesn't silently drop geometry."""
     import numpy as np
 
     from clap_tpu import mathx as mx
@@ -153,10 +159,34 @@ def bench_full_frame(width=1280, height=720):
 
     from clap_tpu.render.raster import cluster_faces
 
-    t = terrain_init_square_landscape(3, -32.0, 0.0, -32.0, 64.0, 96)
-    verts = jnp.asarray(t.vx)
-    normals = jnp.asarray(t.norm)
-    faces = jnp.asarray(cluster_faces(t.vx, t.idx.reshape(-1, 3))[0])
+    t = terrain_init_square_landscape(3, -32.0, 0.0, -32.0, 64.0, nr_v)
+    vx, nrm_np, idx = t.vx, t.norm, t.idx.reshape(-1, 3)
+    if n_cubes:
+        # scatter cube "entities" on the heightfield (ldjam57 platforms)
+        from clap_tpu.scene.primitives import cube
+
+        cv, cn, _cuv, cf = cube(1.6)
+        rng = np.random.default_rng(9)
+        gx = rng.uniform(-30.0, 30.0, n_cubes)
+        gz = rng.uniform(-30.0, 30.0, n_cubes)
+        vs, ns, fs = [vx], [nrm_np], [idx]
+        base = vx.shape[0]
+        hg = t.heights
+        nv = hg.shape[0]
+        for i in range(n_cubes):
+            xi = int((gx[i] + 32.0) / 64.0 * (nv - 1))
+            zi = int((gz[i] + 32.0) / 64.0 * (nv - 1))
+            h = float(hg[min(xi, nv - 1), min(zi, nv - 1)])
+            vs.append(cv + np.array([gx[i], h + 0.8, gz[i]], np.float32))
+            ns.append(cn)
+            fs.append(cf + base)
+            base += cv.shape[0]
+        vx = np.concatenate(vs).astype(np.float32)
+        nrm_np = np.concatenate(ns).astype(np.float32)
+        idx = np.concatenate(fs).astype(np.int32)
+    verts = jnp.asarray(vx)
+    normals = jnp.asarray(nrm_np)
+    faces = jnp.asarray(cluster_faces(vx, idx)[0])
     V = verts.shape[0]
     geom = SceneGeometry(
         verts=verts, normals=normals, faces=faces,
@@ -166,7 +196,7 @@ def bench_full_frame(width=1280, height=720):
         emission=jnp.zeros((V, 3)),
     )
     opts = RenderOptions(width=width, height=height, shadow_size=512,
-                         film_grain=0.0)
+                         film_grain=0.0, raster_cap=raster_cap)
     eye = jnp.array([0.0, 18.0, 28.0])
     view = mx.mat4_look_at(eye, jnp.array([0.0, 2.0, 0.0]),
                            jnp.array([0.0, 1.0, 0.0]))
@@ -183,15 +213,36 @@ def bench_full_frame(width=1280, height=720):
     # real arguments (a zero-arg closure would let XLA constant-fold the
     # whole frame at compile time)
     frame = jax.jit(lambda g, v, p, e: render_frame(opts, g, v, p, lights, e))
-    _sync(frame(geom, view, proj, eye))
+    img0 = _sync(frame(geom, view, proj, eye))
+    # structural artifact guard (VERDICT r2 weak #8): the timed program
+    # must actually depend on its arguments — a nudged camera must
+    # change the image, or the timing is measuring a cached constant
+    eye2 = eye + jnp.array([0.5, 0.0, 0.0])
+    view2 = mx.mat4_look_at(eye2, jnp.array([0.0, 2.0, 0.0]),
+                            jnp.array([0.0, 1.0, 0.0]))
+    img1 = _sync(frame(geom, view2, proj, eye2))
+    depends = bool(jnp.any(jnp.abs(img0 - img1) > 1e-6))
+    # binning-saturation honesty: dropped geometry would flatter the
+    # timing — report how close the frame is to the per-tile caps
+    from clap_tpu.render.raster import (bin_stats, bin_triangles,
+                                        clip_near_records)
+    from clap_tpu.render.pipeline import clip_transform
+    clipv = clip_transform(geom.verts, view, proj)
+    rec, ok, _, _ = clip_near_records(clipv, geom.faces, width, height,
+                                      geom.face_valid)
+    bs = bin_stats(bin_triangles(rec, ok, width, height,
+                                 cap=raster_cap or None), width, height)
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         img = frame(geom, view, proj, eye)
     _sync(img)
     dt = (time.perf_counter() - t0) / reps
-    return {"metric": "full_frame_720p_ms", "value": dt * 1e3,
-            "fps": 1.0 / dt, "tris": int(faces.shape[0])}
+    return {"metric": name, "value": dt * 1e3,
+            "fps": 1.0 / dt, "tris": int(faces.shape[0]),
+            "input_dependent": depends,
+            "tiles_at_cap": bs["tiles_at_cap"],
+            "max_per_tile": bs["max_per_tile"]}
 
 
 def bench_batched_render(n_envs: int = 64, res: int = 256):
@@ -438,6 +489,14 @@ def main():
         sub["full_frame"] = bench_full_frame()
     except Exception as e:  # pragma: no cover
         sub["full_frame"] = {"error": str(e)[:200]}
+
+    try:
+        # VERDICT-r2 #5 density: ≥100k tris at 720p, full post chain
+        sub["full_frame_dense"] = bench_full_frame(
+            nr_v=240, n_cubes=256, raster_cap=4096,
+            name="full_frame_720p_dense_ms")
+    except Exception as e:  # pragma: no cover
+        sub["full_frame_dense"] = {"error": str(e)[:200]}
 
     try:
         sub["batched_render"] = bench_batched_render()

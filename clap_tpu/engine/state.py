@@ -85,6 +85,13 @@ class SceneConfig(NamedTuple):
     camera_char: jnp.ndarray = None  # (NC,) int32 char each camera slot
                                      # follows; -1 = the CONTROLLED char
                                      # (scene_camera_follows scene.c:66)
+    ent_rest_pos: jnp.ndarray = None  # (E, 3) entity load-pose positions.
+                                      # When set, static-trimesh collision
+                                      # FOLLOWS its owning entity: tris
+                                      # translate by (pos - rest) each step
+                                      # (ODE geoms ride their entities,
+                                      # physics.c:789-811; None = all tri
+                                      # entities are immobile, skip the work)
 
 
 def engine_state_init(n_entities: int, n_bodies: int, n_chars: int,

@@ -246,6 +246,20 @@ def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
         te = world.tri_entity
         tvis = (te < 0) | st.visible[jnp.maximum(te, 0)]
         world = world._replace(tri_valid=world.tri_valid & tvis)
+        if cfg.ent_rest_pos is not None:
+            # trimesh collision FOLLOWS its entity (ODE geoms ride
+            # entity transforms, physics.c:789-811): translate each
+            # triangle by its owner's (pos - rest) delta. One-hot MXU
+            # matmul — delta is per-env under vmap, and a (T,) gather
+            # of a per-env (E, 3) table would be a batched-operand
+            # gather; the (T, E) one-hot is a trace-time constant.
+            oh = (jnp.maximum(te, 0)[:, None]
+                  == jnp.arange(st.pos.shape[0])[None, :]
+                  ).astype(jnp.float32)                  # (T, E) const
+            delta = jax.lax.dot(oh, st.pos - cfg.ent_rest_pos,
+                                precision=jax.lax.Precision.HIGHEST)
+            delta = jnp.where((te >= 0)[:, None], delta, 0.0)
+            world = world._replace(tris=world.tris + delta[:, None, :])
         cfg = cfg._replace(world=world)
     st = _characters_move(cfg, st, inputs, dt)
     st = _apply_char_push(cfg, st, dt)

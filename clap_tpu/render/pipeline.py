@@ -61,6 +61,12 @@ class RenderOptions:
                                             # (model.frag:109-125)
     outline_strength: float = 0.35          # cartoon-outline darkening in
                                             # combine (0 = off)
+    raster_cap: int = 0                     # per-tile triangle capacity for
+                                            # the model pass (0 = policy
+                                            # default; dense 100k+ tri scenes
+                                            # saturate the 1024 default and
+                                            # the depth-ordered cap silently
+                                            # drops the farthest clusters)
 
 
 class SceneGeometry(NamedTuple):
@@ -206,7 +212,8 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
 
     rec, ok, csrc, cbary = clip_near_records(clip, geom.faces, W, H,
                                              geom.face_valid)
-    binned = bin_triangles(rec, ok, W, H)
+    binned = bin_triangles(rec, ok, W, H,
+                           cap=opts.raster_cap or None)
     gb = rasterize(rec, binned, W, H)
 
     # dynamic attribute layout: optional streams (uv, tangents, texture

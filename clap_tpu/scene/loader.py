@@ -305,11 +305,27 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
             model_aabb[mi, 0] = lm.mesh.verts.min(0)
             model_aabb[mi, 1] = lm.mesh.verts.max(0)
 
+    # entity-following trimesh: only pay for per-env translated collision
+    # triangles when some tri-owning entity can actually move — a
+    # platform whose active position differs from its load pose
+    # (on_pos), or a scene that opts in explicitly
+    rest_pos = None
+    if tri_ents is not None:
+        tri_owner = set(int(x) for x in tri_ents.tolist())
+        movable = bool(doc.get("collision_follows_entities", False))
+        for ei, _grp, on_pos in platforms:
+            if ei in tri_owner and not np.allclose(
+                    np.asarray(on_pos, np.float32), np.asarray(st.pos[ei])):
+                movable = True
+        if movable:
+            rest_pos = jnp.asarray(st.pos)
+
     cfg = SceneConfig(
         world=world, bodies=bodies, entities=ent, char_params=char_params,
         model_aabb=jnp.asarray(model_aabb),
         limbo_height=jnp.float32(doc.get("limbo_height", 40.0)),
         gravity_y=jnp.float32(-9.8),
+        ent_rest_pos=rest_pos,
         camera_char=jnp.asarray(
             [int(c.get("character", -1)) for c in cam_entries], jnp.int32)
         if n_cameras else None,

@@ -93,10 +93,21 @@ class SoundEngine:
     sounds: list = field(default_factory=list)
     voices: list = field(default_factory=lambda: [Voice() for _ in range(MAX_VOICES)])
     master_gain: float = 1.0
+    chains: dict = field(default_factory=dict)   # sound id → effect list
+    master_chain: list = field(default_factory=list)
 
     def add_sound(self, data: np.ndarray) -> int:
         self.sounds.append(np.asarray(data, np.float32))
         return len(self.sounds) - 1
+
+    def set_effect_chain(self, sound: int, chain) -> None:
+        """Attach (or None = detach) an effect chain to a SOUND — every
+        voice playing it renders through the chain
+        (sound_set_effect_chain, sound.h:45-49)."""
+        if chain is None:
+            self.chains.pop(sound, None)
+        else:
+            self.chains[sound] = list(chain)
 
     def play(self, sound: int, gain: float = 1.0, loop: bool = False,
              pitch: float = 1.0) -> int:
@@ -133,8 +144,15 @@ class SoundEngine:
                 v.pos += frames * v.pitch
                 if v.pos >= len(data):
                     v.playing = False
-            out += seg * v.gain
-        return np.clip(out * self.master_gain, -1.0, 1.0)
+            seg = seg * v.gain
+            chain = self.chains.get(v.sound)
+            if chain:
+                seg = apply_effect_chain(chain, seg.astype(np.float32))
+            out += seg
+        out = out * self.master_gain
+        if self.master_chain:
+            out = apply_effect_chain(self.master_chain, out)
+        return np.clip(out, -1.0, 1.0)
 
 
 def lowpass_fft(signal: np.ndarray, cutoff_hz: float,
@@ -145,3 +163,128 @@ def lowpass_fft(signal: np.ndarray, cutoff_hz: float,
     freqs = np.fft.rfftfreq(len(signal), 1.0 / rate)
     spec = np.where(freqs <= cutoff_hz, spec, 0.0)
     return np.fft.irfft(spec, len(signal)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Effect chains (sound.c:302-630: reverb + delay audio post processing,
+# attached per sound / per chain; EQ and compressor are empty descriptor
+# slots in the reference too, sound.c:619-620)
+# ---------------------------------------------------------------------------
+
+_REVERB_TYPES = {
+    # comb delay sizes, allpass delay sizes (sound.c:342-357)
+    "small_room": ([1200, 1433, 1597, 1759], [149, 211]),
+    "hall": ([1723, 1999, 2239, 2503, 2801, 3203], [173, 263]),
+}
+
+
+class ReverbEffect:
+    """Schroeder reverb (sound.c:340-520): parallel damped comb filters
+    (early reflections) summed, then cascaded allpass diffusers, mixed
+    dry/wet. Stateful across process() calls like the reference's
+    per-chain filter state."""
+
+    def __init__(self, reverb_type: str = "small_room",
+                 room_size: float = 1.0, damping: float = 0.2,
+                 wet_dry: float = 0.3, channels: int = 1,
+                 feedback: float = 0.84):
+        if not (0.0 <= room_size <= 1.0 and 0.0 <= damping <= 1.0
+                and 0.0 <= wet_dry <= 1.0):
+            raise ValueError("reverb params out of [0,1]")
+        comb_sizes, ap_sizes = _REVERB_TYPES[reverb_type]
+        self.sizes = np.maximum(
+            (np.array(comb_sizes) * room_size).astype(np.int64), 1)
+        self.ap_sizes = np.maximum(
+            (np.array(ap_sizes) * room_size).astype(np.int64), 1)
+        nc, ch = len(comb_sizes), channels
+        self.bufs = np.zeros((nc, int(self.sizes.max()), ch), np.float32)
+        self.pos = np.zeros(nc, np.int64)
+        self.fstore = np.zeros((nc, ch), np.float32)
+        self.abufs = [np.zeros((int(s), ch), np.float32)
+                      for s in self.ap_sizes]
+        self.apos = np.zeros(len(ap_sizes), np.int64)
+        self.feedback = feedback          # decay (sound.c:496 fixed 0.84)
+        self.damp1 = damping
+        self.damp2 = 1.0 - damping
+        self.wet = wet_dry
+        self.dry = 1.0 - wet_dry
+        self.channels = ch
+
+    def process(self, buf: np.ndarray) -> np.ndarray:
+        """(frames,) or (frames, channels) float32 → same shape."""
+        mono = buf.ndim == 1
+        x = buf[:, None] if mono else buf
+        out = np.empty_like(x, np.float32)
+        nc = len(self.sizes)
+        idx = np.arange(nc)
+        for i in range(x.shape[0]):       # IIR recursions are sequential
+            xi = x[i]
+            outs = self.bufs[idx, self.pos]                  # (nc, ch)
+            self.fstore = outs * self.damp2 + self.fstore * self.damp1
+            self.bufs[idx, self.pos] = xi + self.fstore * self.feedback
+            self.pos = (self.pos + 1) % self.sizes
+            y = outs.mean(0)
+            for a, ab in enumerate(self.abufs):
+                buffered = ab[self.apos[a]]
+                ab[self.apos[a]] = y + buffered * 0.5
+                self.apos[a] = (self.apos[a] + 1) % self.ap_sizes[a]
+                y = buffered - y
+            out[i] = xi * self.dry + y * self.wet
+        return out[:, 0] if mono else out
+
+
+class DelayEffect:
+    """Feedback delay line (sound.c:522-607): per-channel delay, the
+    delayed signal feeds back into the ring, dry/wet mix. Vectorized in
+    blocks of the shortest delay (within a block every read precedes the
+    write that could alias it)."""
+
+    MAX_SAMPLES = 96000   # 2 s at 48 kHz (sound.c:527)
+
+    def __init__(self, delay_ms, feedback: float = 0.4,
+                 wet_dry: float = 0.5, rate: int = SAMPLE_RATE,
+                 channels: int = 1):
+        if not (0.0 <= feedback <= 1.0 and 0.0 <= wet_dry <= 1.0):
+            raise ValueError("delay params out of [0,1]")
+        d = np.atleast_1d(np.asarray(delay_ms, np.float64))
+        if d.shape[0] != channels:
+            d = np.full((channels,), float(d[0]))
+        if (d < 0).any():
+            raise ValueError("negative delay")
+        self.delay = np.maximum((d / 1000.0 * rate).astype(np.int64), 1)
+        if int(self.delay.max()) > self.MAX_SAMPLES:
+            raise ValueError("delay exceeds 2 s buffer")
+        self.size = int(self.delay.max())
+        self.buf = np.zeros((self.size, channels), np.float32)
+        self.wpos = 0
+        self.feedback = feedback
+        self.wet = wet_dry
+        self.dry = 1.0 - wet_dry
+        self.channels = channels
+
+    def process(self, buf: np.ndarray) -> np.ndarray:
+        mono = buf.ndim == 1
+        x = buf[:, None] if mono else buf
+        out = np.empty_like(x, np.float32)
+        step = int(self.delay.min())
+        i = 0
+        while i < x.shape[0]:
+            n = min(step, x.shape[0] - i)
+            w = (self.wpos + np.arange(n)) % self.size          # (n,)
+            r = (w[:, None] + self.size - self.delay[None, :]) % self.size
+            delayed = self.buf[r, np.arange(self.channels)[None, :]]
+            xi = x[i:i + n]
+            out[i:i + n] = xi * self.dry + delayed * self.wet
+            self.buf[w] = xi + delayed * self.feedback
+            self.wpos = int((self.wpos + n) % self.size)
+            i += n
+        return out[:, 0] if mono else out
+
+
+def apply_effect_chain(chain, buf: np.ndarray) -> np.ndarray:
+    """Run a buffer through an ordered effect list (the reference's
+    sound_effect_chain node processes effects in list order,
+    sound.c:286-300)."""
+    for eff in chain or ():
+        buf = eff.process(buf)
+    return buf

@@ -108,3 +108,38 @@ def test_hidden_platforms_are_phantom():
         s = step(s, ins)
     foot_solid = float(s.phys.pos[b0, 1]) - float(cfg.bodies.yoffset[b0])
     assert foot_solid > 0.45, (foot_solid, "should stand on plat.1 top 0.6")
+
+
+def test_collision_follows_moved_platform():
+    """A platform whose on_pos differs from its load pose: the collision
+    triangles TRANSLATE with the entity (SceneConfig.ent_rest_pos path —
+    ODE geoms ride their entities, physics.c:789-811), so a character
+    lands on the platform at its ACTIVE position, not where the mesh was
+    baked at scene load."""
+    import json
+
+    doc = json.loads(LEVEL.read_text())
+    # plat.1: load pose [9, 0.2, 0] (top 0.6) → active position raised
+    # a full unit (top 1.6)
+    doc["model"][1]["entity"][1]["platform"]["on_pos"] = [9.0, 1.2, 0.0]
+    scene = load_scene(json.dumps(doc), asset_loader=assets57.asset_loader,
+                       max_entities=16, max_bodies=4)
+    cfg = scene.cfg
+    assert cfg.ent_rest_pos is not None, \
+        "loader should detect the movable tri entity"
+    st = scene.state0
+    b0 = cfg.char_params.body[0]
+    st = st._replace(phys=st.phys._replace(
+        pos=st.phys.pos.at[b0].set(jnp.array([9.0, 4.0, 0.0]))))
+    # entity 3 = plat.1, moved to its raised active position + visible
+    st = st._replace(pos=st.pos.at[3].set(jnp.array([9.0, 1.2, 0.0])),
+                     visible=st.visible.at[3].set(True))
+    step = jax.jit(lambda s, i: engine_step(cfg, s, i))
+    ins = inputs_zero(2)
+    s = st
+    for _ in range(150):
+        s = step(s, ins)
+    foot = float(s.phys.pos[b0, 1]) - float(cfg.bodies.yoffset[b0])
+    assert foot > 1.45, (foot, "should stand on the MOVED platform, top 1.6")
+    # and the character reports standing on THAT entity
+    assert int(s.chars.collision[0]) == 3

@@ -97,3 +97,74 @@ def test_ws_telemetry_end_to_end():
         cli.close()
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# effect chains (sound.c:302-630: Schroeder reverb + feedback delay)
+# ---------------------------------------------------------------------------
+
+def test_delay_effect_echoes_impulse():
+    from clap_tpu.utils.sound import DelayEffect
+
+    rate = 8000
+    d = DelayEffect(delay_ms=100.0, feedback=0.5, wet_dry=0.5, rate=rate)
+    x = np.zeros(2400, np.float32)
+    x[0] = 1.0
+    y = d.process(x)
+    ds = int(0.1 * rate)                      # 800 samples
+    # dry copy at t=0, first echo at ds scaled by wet, second echo
+    # at 2·ds scaled by wet·feedback (ring feedback, sound.c:558-580)
+    assert abs(y[0] - 0.5) < 1e-6
+    assert abs(y[ds] - 0.5) < 1e-6
+    assert abs(y[2 * ds] - 0.25) < 1e-6
+    # nothing between the taps
+    assert np.abs(y[1:ds]).max() < 1e-6
+
+
+def test_delay_stereo_per_channel():
+    from clap_tpu.utils.sound import DelayEffect
+
+    rate = 8000
+    d = DelayEffect(delay_ms=[50.0, 100.0], feedback=0.0, wet_dry=1.0,
+                    rate=rate, channels=2)
+    x = np.zeros((1700, 2), np.float32)
+    x[0] = 1.0
+    y = d.process(x)
+    assert abs(y[400, 0] - 1.0) < 1e-6       # left echo at 50 ms
+    assert abs(y[800, 1] - 1.0) < 1e-6       # right echo at 100 ms
+    assert abs(y[400, 1]) < 1e-6 and abs(y[800, 0]) < 1e-6
+
+
+def test_reverb_tail_decays():
+    from clap_tpu.utils.sound import ReverbEffect
+
+    rv = ReverbEffect("small_room", room_size=0.25, damping=0.2,
+                      wet_dry=1.0)
+    x = np.zeros(3600, np.float32)
+    x[0] = 1.0
+    y = rv.process(x)
+    # a reverb tail exists after the direct sound...
+    assert np.abs(y[300:1200]).max() > 1e-4
+    # ...and decays (feedback 0.84 < 1): late window quieter than early
+    early = float(np.abs(y[300:1500]).max())
+    late = float(np.abs(y[2400:3600]).max())
+    assert late < early
+    # dry-only config is a passthrough
+    rv0 = ReverbEffect("small_room", room_size=0.25, wet_dry=0.0)
+    y0 = rv0.process(x[:600])
+    np.testing.assert_allclose(y0, x[:600], atol=1e-7)
+
+
+def test_engine_per_sound_chain():
+    from clap_tpu.utils.sound import DelayEffect, SoundEngine
+
+    eng = SoundEngine(rate=8000)
+    imp = np.zeros(16, np.float32)
+    imp[0] = 1.0
+    s = eng.add_sound(imp)
+    eng.set_effect_chain(s, [DelayEffect(delay_ms=25.0, feedback=0.0,
+                                         wet_dry=0.5, rate=8000)])
+    eng.play(s)
+    out = eng.mix(400)
+    assert abs(out[0] - 0.5) < 1e-6           # dry at t=0
+    assert abs(out[200] - 0.5) < 1e-6         # echo at 25 ms (200 samples)
