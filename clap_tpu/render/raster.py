@@ -353,6 +353,12 @@ def records_to_coeffs(rec):
     q1 = [p[k] * cb[k][1] for k in range(3)]
     zero = jnp.zeros_like(a0)
     mone = jnp.full_like(a0, -1.0)
+    # column 22: per-tri zmin (+inf for dead records) — rasterize()
+    # reduces it to CLUSTER zmin so the kernel can early-out a tile
+    # whose every pixel is already covered nearer than the (depth-
+    # sorted) remainder of its list
+    zmin = jnp.minimum(jnp.minimum(z0, z1), z2)
+    inf = jnp.full_like(a0, jnp.inf)
     cols = [jnp.where(valid, v, d) for v, d in (
         (a0, zero), (b0, zero), (c0, mone),
         (a1, zero), (b1, zero), (c1, mone),
@@ -361,7 +367,7 @@ def records_to_coeffs(rec):
         (q0[0], zero), (q0[1], zero), (q0[2], zero),
         (q1[0], zero), (q1[1], zero), (q1[2], zero),
         (p[0], zero), (p[1], zero), (p[2], zero),
-        (tid, tid), (zero, zero), (zero, zero))]
+        (tid, tid), (zmin, inf), (zero, zero))]
     return jnp.stack(cols, axis=-1)
 
 
@@ -529,7 +535,8 @@ def _pad_cluster(rec, ok, band_id=None, cluster: int = CLUSTER):
 def bin_triangles(rec, ok, width: int, height: int,
                   band_id=None, band_tiles: int = 0,
                   tile_h: int = None, tile_w: int = None,
-                  cluster: int = CLUSTER, cap: int = None):
+                  cluster: int = CLUSTER, cap: int = None,
+                  refine: bool = None):
     """Sort-based CLUSTER binning → (tile_list (n_tiles, cap/cluster)
     i32 cluster ids, tile_count (n_tiles,) i32 clusters, big_list
     (B,) i32 cluster ids, big_count).
@@ -538,7 +545,16 @@ def bin_triangles(rec, ok, width: int, height: int,
     by the cascade-atlas shadow pass so each cascade's triangles only
     bin into its own rows (the viewport-clip analogue; pixels of other
     bands are never touched). Clusters must not straddle bands: callers
-    pad each band's triangle block to a cluster multiple."""
+    pad each band's triangle block to a cluster multiple.
+
+    refine: edge-function tile rejection — drop (cluster, tile) pairs
+    whose triangles provably miss the tile (a tile whose most-inside
+    corner is still outside one edge can't be covered; conservative,
+    never drops a covered pair). bbox binning at cluster granularity
+    walks ~2× inflated lists on wide grids; the refinement only pays
+    when the tile grid is 2-D (on full-width tile rows — 256² targets —
+    a cluster's bbox rows ≈ its true coverage), so the default is
+    ntx > 1."""
     th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
     ntx = pl.cdiv(width, tw)
     nty = pl.cdiv(height, th)
@@ -616,6 +632,41 @@ def bin_triangles(rec, ok, width: int, height: int,
     ty = y0[:, None, None] + dy[None, :, None]
     tx = x0[:, None, None] + dx[None, None, :]
     pair_ok = small[:, None, None] & (ty <= y1[:, None, None]) & (tx <= x1[:, None, None])
+
+    if refine is None:
+        refine = ntx > 1
+    if refine and sx_span * sy_span > 1:
+        # edge-function tile rejection: for each candidate (cluster,
+        # tile) pair, a member triangle covers the tile only if the
+        # tile's most-inside corner is inside EVERY edge (tiles fully
+        # outside one edge can't intersect — conservative, exact bbox
+        # stays the outer filter). Pixel centers sit at +0.5 inside the
+        # [tx0, tx0+tw] rect, so testing the full rect is safe.
+        px0 = (tx * tw).astype(jnp.float32)
+        px1 = px0 + tw
+        py0 = (ty * th).astype(jnp.float32)
+        py1 = py0 + th
+        x0r = rec[_XC[0]].reshape(Tc, cluster)
+        x1r = rec[_XC[1]].reshape(Tc, cluster)
+        x2r = rec[_XC[2]].reshape(Tc, cluster)
+        y0r = rec[_YC[0]].reshape(Tc, cluster)
+        y1r = rec[_YC[1]].reshape(Tc, cluster)
+        y2r = rec[_YC[2]].reshape(Tc, cluster)
+        e_abc = (
+            (y1r - y2r, x2r - x1r, (y2r - y1r) * x1r - (x2r - x1r) * y1r),
+            (y2r - y0r, x0r - x2r, (y0r - y2r) * x2r - (x0r - x2r) * y2r),
+            (y0r - y1r, x1r - x0r, (y1r - y0r) * x0r - (x1r - x0r) * y0r),
+        )
+        inside = mok.reshape(Tc, cluster)[:, :, None, None]
+        for a, b, c in e_abc:
+            aa = a[:, :, None, None]
+            bb = b[:, :, None, None]
+            best = aa * jnp.where(aa > 0, px1[:, None], px0[:, None]) \
+                + bb * jnp.where(bb > 0, py1[:, None], py0[:, None]) \
+                + c[:, :, None, None]
+            inside = inside & (best >= 0.0)
+        pair_ok = pair_ok & jnp.any(inside, axis=1)
+
     tile_id = ty * ntx + tx
     tile_id = jnp.where(pair_ok, tile_id, n_tiles)      # sentinel sorts last
     cl_id = jnp.broadcast_to(jnp.arange(Tc, dtype=jnp.int32)[:, None, None],
@@ -736,10 +787,23 @@ def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
 
     count = count_ref[ti, 0]
     big_count = count_ref[ti, 1]
+    n_small = pl.cdiv(count, TRI_CHUNK)
 
-    def small_body(k, carry):
+    def small_cond(c):
+        return (c[0] < n_small) & ~c[1]
+
+    def small_body(c):
+        k = c[0]
         slab = trec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        return shade_chunk(slab, count - k * TRI_CHUNK, carry)
+        new = shade_chunk(slab, count - k * TRI_CHUNK, c[2:])
+        # depth-sorted early-out: the list is front-to-back by cluster
+        # zmin (record col 22, +inf on dead rows), so once every pixel
+        # is covered NEARER than this chunk's zmin, no later chunk can
+        # win a depth test either — stop walking (dense scenes put
+        # 1000s of occluded far clusters in horizon tiles). 1e-3 margin
+        # covers the 12-bit sort-key quantization (~4.9e-4).
+        done = jnp.max(new[0]) < jnp.min(slab[:, 22]) - 1e-3
+        return (k + jnp.int32(1), done, *new)
 
     def big_body(k, carry):
         slab = brec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
@@ -755,7 +819,8 @@ def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
     # dynamic trip counts: tiles only walk their real triangle lists.
     # (Static-bound variants measured SLOWER — the ~50µs/tile cost is
     # fixed per grid step, hence the large 32×256 tiles.)
-    carry = jax.lax.fori_loop(0, pl.cdiv(count, TRI_CHUNK), small_body, init)
+    carry = jax.lax.while_loop(
+        small_cond, small_body, (jnp.int32(0), jnp.bool_(False), *init))[2:]
     carry = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body, carry)
     depth, tidf, d0o, d1o, so = carry
     depth_ref[:] = depth
@@ -791,6 +856,10 @@ def rasterize(rec, binned, width: int, height: int,
                              cluster)
     coef = records_to_coeffs(rec)               # (T8, NCOEF)
     Tc = coef.shape[0] // cluster
+    # col 22: per-tri zmin → CLUSTER zmin (the kernel's early-out key;
+    # must match the binning sort's cluster granularity)
+    czmin = coef[:, 22].reshape(Tc, cluster).min(axis=1)
+    coef = coef.at[:, 22].set(jnp.repeat(czmin, cluster))
     crec = coef.reshape(Tc, cluster * NCOEF)
     cap_c = tile_list.shape[1]
     cap = cap_c * cluster

@@ -270,3 +270,28 @@ def test_barycentrics_through_clip():
     gb1 = rasterize(rec1, bin_triangles(rec1, ok1, W, H), W, H)
     a1 = np.asarray(interpolate_attrs(gb1, faces, vattrs, csrc, cbary))
     np.testing.assert_allclose(a0, a1, atol=1e-4)
+
+
+def test_refined_binning_matches_and_shrinks():
+    """Edge-function tile rejection (bin_triangles refine=True): drops
+    provably-missed (cluster, tile) pairs — the rendered G-buffer is
+    IDENTICAL (the test is conservative) while per-tile lists shrink on
+    a 2-D tile grid (bbox binning walks ~2× inflated lists there)."""
+    rng = np.random.default_rng(11)
+    width, height = 512, 256            # 32×256 tiles → ntx=2, nty=8
+    rec, ok = _random_scene(rng, T=160, width=width, height=height)
+    b_off = bin_triangles(rec, ok, width, height, refine=False)
+    b_on = bin_triangles(rec, ok, width, height, refine=True)
+    gb_off = rasterize(rec, b_off, width, height)
+    gb_on = rasterize(rec, b_on, width, height)
+    np.testing.assert_array_equal(np.asarray(gb_off.tri_id),
+                                  np.asarray(gb_on.tri_id))
+    d0 = np.asarray(gb_off.depth)
+    d1 = np.asarray(gb_on.depth)
+    m = np.isfinite(d0)
+    np.testing.assert_allclose(d0[m], d1[m], atol=0)
+    n_off = int(np.asarray(b_off[1]).sum())
+    n_on = int(np.asarray(b_on[1]).sum())
+    assert n_on <= n_off
+    # random thin tris over a 2×8 grid: rejection must actually bite
+    assert n_on < n_off, (n_on, n_off)
