@@ -371,15 +371,16 @@ def records_to_coeffs(rec):
     return jnp.stack(cols, axis=-1)
 
 
-NCOEF_DEPTH = 12
+NCOEF_DEPTH = 16
 
 
 def records_to_coeffs_depth(rec):
-    """Depth-only coefficient records (T, 12): the 3 edge planes + the
-    z-plane, nothing else — shadow passes never read bary/perspective
-    weights or triangle ids, so their record rows shrink 2× (halving
-    the per-tile pre-gather bytes and kernel VMEM) and the kernel inner
-    loop drops ~40% of its FMA work."""
+    """Depth-only coefficient records (T, 16): the 3 edge planes + the
+    z-plane + per-tri zmin (col 12, the early-out key) + pad — shadow
+    passes never read bary/perspective weights or triangle ids, so
+    their record rows shrink vs the 24-wide main records (less per-tile
+    pre-gather and kernel VMEM, ~40% less inner-loop FMA), and 16 cols
+    × 8-tri clusters = exactly 128 lanes per cluster row."""
     # (C, T) in, (T, 12) out (see records_to_coeffs)
     x0, y0, z0 = rec[0], rec[1], rec[2]
     x1, y1, z1 = rec[4], rec[5], rec[6]
@@ -401,11 +402,14 @@ def records_to_coeffs_depth(rec):
     zc = (c0 * z0 + c1 * z1 + c2 * z2) * inv_area
     zero = jnp.zeros_like(a0)
     mone = jnp.full_like(a0, -1.0)
+    zmin = jnp.minimum(jnp.minimum(z0, z1), z2)
+    inf = jnp.full_like(a0, jnp.inf)
     cols = [jnp.where(valid, v, d) for v, d in (
         (a0, zero), (b0, zero), (c0, mone),
         (a1, zero), (b1, zero), (c1, mone),
         (a2, zero), (b2, zero), (c2, mone),
-        (za, zero), (zb, zero), (zc, zero))]
+        (za, zero), (zb, zero), (zc, zero),
+        (zmin, inf), (zero, zero), (zero, zero), (zero, zero))]
     return jnp.stack(cols, axis=-1)
 
 
@@ -442,18 +446,28 @@ def _raster_depth_kernel(width: int, height: int, tile_h: int, tile_w: int,
 
     count = count_ref[ti, 0]
     big_count = count_ref[ti, 1]
+    n_small = pl.cdiv(count, TRI_CHUNK)
 
-    def small_body(k, depth):
+    def small_cond(c):
+        return (c[0] < n_small) & ~c[1]
+
+    def small_body(c):
+        k = c[0]
         slab = trec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        return shade_chunk(slab, count - k * TRI_CHUNK, depth)
+        depth = shade_chunk(slab, count - k * TRI_CHUNK, c[2])
+        # front-to-back early-out (see _raster_tile_kernel): once every
+        # pixel's min depth is nearer than this chunk's cluster zmin
+        # (col 12), the depth-sorted remainder can't lower anything
+        done = jnp.max(depth) < jnp.min(slab[:, 12]) - 1e-3
+        return (k + jnp.int32(1), done, depth)
 
     def big_body(k, depth):
         slab = brec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
         return shade_chunk(slab, big_count - k * TRI_CHUNK, depth)
 
     depth = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
-    depth = jax.lax.fori_loop(0, pl.cdiv(count, TRI_CHUNK), small_body,
-                              depth)
+    depth = jax.lax.while_loop(
+        small_cond, small_body, (jnp.int32(0), jnp.bool_(False), depth))[2]
     depth = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body,
                               depth)
     depth_ref[:] = depth
@@ -476,6 +490,9 @@ def rasterize_depth(rec, binned, width: int, height: int,
                              cluster)
     coef = records_to_coeffs_depth(rec)
     Tc = coef.shape[0] // cluster
+    # col 12: per-tri zmin → CLUSTER zmin (matches the binning sort key)
+    czmin = coef[:, 12].reshape(Tc, cluster).min(axis=1)
+    coef = coef.at[:, 12].set(jnp.repeat(czmin, cluster))
     crec = coef.reshape(Tc, cluster * NCOEF_DEPTH)
     cap_c = tile_list.shape[1]
     cap = cap_c * cluster
