@@ -301,7 +301,7 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
 NCOEF = 24    # coefficient-record width (8 records × 24 = 3 vregs)
 
 
-def records_to_coeffs(rec):
+def records_to_coeffs(rec, cluster: int = None):
     """(T, 13[+6]) raw vertex records → (T, 24) screen-plane coefficient
     records: per edge k the affine form e_k(px,py) = a_k·px + b_k·py +
     c_k, the z-plane (za, zb, zc), and the perspective-weight coefficient
@@ -353,12 +353,19 @@ def records_to_coeffs(rec):
     q1 = [p[k] * cb[k][1] for k in range(3)]
     zero = jnp.zeros_like(a0)
     mone = jnp.full_like(a0, -1.0)
-    # column 22: per-tri zmin (+inf for dead records) — rasterize()
-    # reduces it to CLUSTER zmin so the kernel can early-out a tile
-    # whose every pixel is already covered nearer than the (depth-
-    # sorted) remainder of its list
+    # column 22: zmin (+inf for dead records) — the kernel's early-out
+    # key: a tile whose every pixel is covered nearer than the (depth-
+    # sorted) remainder of its list stops walking. With ``cluster`` the
+    # reduction to CLUSTER zmin happens here in the cheap (T,) column
+    # domain (an .at[:, 22].set afterwards would re-materialize the
+    # whole lane-padded (T, 24) array).
     zmin = jnp.minimum(jnp.minimum(z0, z1), z2)
     inf = jnp.full_like(a0, jnp.inf)
+    zmin = jnp.where(valid, zmin, inf)
+    if cluster:
+        czmin = zmin.reshape(-1, cluster).min(axis=1)
+        zmin = jnp.repeat(czmin, cluster)
+        inf = zmin
     cols = [jnp.where(valid, v, d) for v, d in (
         (a0, zero), (b0, zero), (c0, mone),
         (a1, zero), (b1, zero), (c1, mone),
@@ -374,7 +381,7 @@ def records_to_coeffs(rec):
 NCOEF_DEPTH = 16
 
 
-def records_to_coeffs_depth(rec):
+def records_to_coeffs_depth(rec, cluster: int = None):
     """Depth-only coefficient records (T, 16): the 3 edge planes + the
     z-plane + per-tri zmin (col 12, the early-out key) + pad — shadow
     passes never read bary/perspective weights or triangle ids, so
@@ -404,6 +411,11 @@ def records_to_coeffs_depth(rec):
     mone = jnp.full_like(a0, -1.0)
     zmin = jnp.minimum(jnp.minimum(z0, z1), z2)
     inf = jnp.full_like(a0, jnp.inf)
+    zmin = jnp.where(valid, zmin, inf)
+    if cluster:   # col 12 = CLUSTER zmin (see records_to_coeffs)
+        czmin = zmin.reshape(-1, cluster).min(axis=1)
+        zmin = jnp.repeat(czmin, cluster)
+        inf = zmin
     cols = [jnp.where(valid, v, d) for v, d in (
         (a0, zero), (b0, zero), (c0, mone),
         (a1, zero), (b1, zero), (c1, mone),
@@ -488,11 +500,8 @@ def rasterize_depth(rec, binned, width: int, height: int,
 
     rec, _, _ = _pad_cluster(rec, jnp.ones((rec.shape[1],), bool), None,
                              cluster)
-    coef = records_to_coeffs_depth(rec)
+    coef = records_to_coeffs_depth(rec, cluster)  # col 12 = cluster zmin
     Tc = coef.shape[0] // cluster
-    # col 12: per-tri zmin → CLUSTER zmin (matches the binning sort key)
-    czmin = coef[:, 12].reshape(Tc, cluster).min(axis=1)
-    coef = coef.at[:, 12].set(jnp.repeat(czmin, cluster))
     crec = coef.reshape(Tc, cluster * NCOEF_DEPTH)
     cap_c = tile_list.shape[1]
     cap = cap_c * cluster
@@ -871,12 +880,8 @@ def rasterize(rec, binned, width: int, height: int,
     # would cover every pixel (e_k = 0 ≥ 0)
     rec, _, _ = _pad_cluster(rec, jnp.ones((rec.shape[1],), bool), None,
                              cluster)
-    coef = records_to_coeffs(rec)               # (T8, NCOEF)
-    Tc = coef.shape[0] // cluster
-    # col 22: per-tri zmin → CLUSTER zmin (the kernel's early-out key;
-    # must match the binning sort's cluster granularity)
-    czmin = coef[:, 22].reshape(Tc, cluster).min(axis=1)
-    coef = coef.at[:, 22].set(jnp.repeat(czmin, cluster))
+    coef = records_to_coeffs(rec, cluster)      # (T8, NCOEF), col 22 =
+    Tc = coef.shape[0] // cluster               # cluster zmin (early-out)
     crec = coef.reshape(Tc, cluster * NCOEF)
     cap_c = tile_list.shape[1]
     cap = cap_c * cluster
