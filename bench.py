@@ -303,7 +303,12 @@ def bench_batched_render(n_envs: int = 64, res: int = 256):
 
 
 def bench_step_and_render(n_envs: int = 64, res: int = 256,
-                          frames: int = 10, chunk: int = 256):
+                          frames: int = 10, chunk: int = 64):
+    # chunk=64: per-env G-buffers + the 128-lane-padded attr-gather
+    # output are ~35 MB/env at 256² — a single 256-env vmap would
+    # materialize ~9 GB of transient per frame (v5e HBM is 16 GB);
+    # lax.map over 64-env chunks keeps the peak at the measured-safe
+    # 64-env working set.
     """THE north-star composition: vmapped game_step (sim + rules +
     batched rig animation) + per-env dynamic geometry assembly +
     render_frame — ONE jitted XLA program per frame, per-env entity
