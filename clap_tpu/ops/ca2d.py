@@ -198,14 +198,40 @@ def _ca2d_kernel(rule: CARule, steps: int, in_ref, out_ref):
     offs = _VN_OFFS if rule.neigh in ("vn1", "vnv") else _VN_OFFS + _DIAG_OFFS
     cmp_gt = rule.neigh in ("vnv", "mv")
 
-    def one_step(_, v):
-        n = jnp.zeros((1, h, w), jnp.int32)
-        for dy, dx in offs:
-            nb = pltpu.roll(pltpu.roll(v, (-dy) % h, 1), (-dx) % w, 2)
-            valid = (ys + dy >= 0) & (ys + dy < h) & (xs + dx >= 0) & (xs + dx < w)
-            nb = jnp.where(valid, nb, 0)
-            n = n + (nb > v if cmp_gt else nb != 0).astype(jnp.int32)
-        return _apply_rule(rule, v, n)
+    def shift_y(a, dy):
+        r = pltpu.roll(a, (-dy) % h, 1)
+        return jnp.where((ys + dy >= 0) & (ys + dy < h), r, 0)
+
+    def shift_x(a, dx):
+        r = pltpu.roll(a, (-dx) % w, 2)
+        return jnp.where((xs + dx >= 0) & (xs + dx < w), r, 0)
+
+    if not cmp_gt:
+        # count-of-nonzero neighborhoods are SEPARABLE: 3×3 sum = row
+        # sums then column sums — 4 single-axis rolls/generation instead
+        # of 16 two-axis rolls (the rolls dominate the VMEM-resident
+        # loop; the whole-run kernel is benchmark config #1)
+        def one_step(_, v):
+            b = (v != 0).astype(jnp.int32)
+            if rule.neigh == "m1":
+                r = b + shift_x(b, 1) + shift_x(b, -1)
+                n = r + shift_y(r, 1) + shift_y(r, -1) - b
+            else:                                   # vn1: 4-neighborhood
+                n = shift_x(b, 1) + shift_x(b, -1) \
+                    + shift_y(b, 1) + shift_y(b, -1)
+            return _apply_rule(rule, v, n)
+    else:
+        # value-comparing neighborhoods (nb > v) are not separable
+        def one_step(_, v):
+            n = jnp.zeros((1, h, w), jnp.int32)
+            for dy, dx in offs:
+                nb = v
+                if dy:
+                    nb = shift_y(nb, dy)
+                if dx:
+                    nb = shift_x(nb, dx)
+                n = n + (nb > v).astype(jnp.int32)
+            return _apply_rule(rule, v, n)
 
     v = in_ref[:].astype(jnp.int32)
     v = jax.lax.fori_loop(0, steps, one_step, v)
