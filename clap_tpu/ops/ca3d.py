@@ -101,14 +101,14 @@ def _shift3d(v, dz, dy, dx):
 
 
 def _m26_count(v):
-    n = jnp.zeros_like(v)
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dz == dy == dx == 0:
-                    continue
-                n = n + (_shift3d(v, dz, dy, dx) != 0).astype(v.dtype)
-    return n
+    """Moore-26 count of nonzero neighbors — SEPARABLE: the 3×3×3 box
+    sum is three 1-D passes (6 single-axis shifts, not 26 triple-axis
+    shifts), minus the center."""
+    b = (v != 0).astype(v.dtype)
+    s = b + _shift3d(b, 0, 0, 1) + _shift3d(b, 0, 0, -1)
+    s = s + _shift3d(s, 0, 1, 0) + _shift3d(s, 0, -1, 0)
+    s = s + _shift3d(s, 1, 0, 0) + _shift3d(s, -1, 0, 0)
+    return s - b
 
 
 @partial(jax.jit, static_argnums=0)
