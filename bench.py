@@ -60,7 +60,7 @@ def bench_skinning(n_inst: int = 1024, n_joints: int = 64, n_verts: int = 4096):
     from clap_tpu.anim.clips import (PATH_ROTATION, PATH_TRANSLATION,
                                      build_library, sample_pose)
     from clap_tpu.anim.joints import build_skeleton, joint_matrices
-    from clap_tpu.anim.skin import skin_verts
+    from clap_tpu.anim.skin import skin_verts_batch
 
     rng = np.random.default_rng(0)
     # branching rig (depth ~log2 J) — real character skeletons are
@@ -93,11 +93,13 @@ def bench_skinning(n_inst: int = 1024, n_joints: int = 64, n_verts: int = 4096):
 
     @jax.jit
     def pose_and_skin(ts):
-        def one(t):
+        def pose_of(t):
             pose = sample_pose(lib, sk.base, jnp.int32(0), t)
-            jt = joint_matrices(sk, pose)
-            return skin_verts(jt, verts, normals, w, ji)[0]
-        return jax.vmap(one)(ts)
+            return joint_matrices(sk, pose)
+        jts = jax.vmap(pose_of)(ts)          # (B, J, 4, 4)
+        # single-contraction batched LBS (instance axis on lanes) —
+        # vmapped skin_verts lane-pads its (B, V, 12) intermediate
+        return skin_verts_batch(jts, verts, normals, w, ji)[0]
 
     ts = jnp.linspace(0.0, 2.0, n_inst)
     _sync(pose_and_skin(ts))

@@ -44,3 +44,39 @@ def skin_verts(jt: jnp.ndarray, verts, normals, weights, jidx):
     sv = jnp.einsum("vij,vj->vi", m[:, :, :3], verts) + m[:, :, 3]
     sn = jnp.einsum("vij,vj->vi", m[:, :, :3], normals)
     return sv, sn
+
+
+def skin_verts_batch(jts: jnp.ndarray, verts, normals, weights, jidx):
+    """LBS for B instances of ONE rig/mesh in a single MXU contraction.
+
+    ``jax.vmap(skin_verts)`` lowers the blend to B tiny (V,J)@(J,12)
+    dots whose 12-wide outputs lane-pad to 128 on TPU — ~10× padded
+    HBM traffic on the (B,V,12) intermediate (the r3 skinning bench
+    spent most of its 5.4 ms there). Here the instance axis joins the
+    LANE axis instead: one (V,J) @ (J, 12·B) matmul with COMPONENT-MAJOR
+    columns (component c of every instance contiguous), so each of the
+    12 per-component slices is a full (V, B) lane block — no padding,
+    no strided lane reads.
+
+    jts: (B, J, 4, 4); verts/normals: (V, 3); weights/jidx: (V, 4).
+    Returns (sv (B, V, 3), sn (B, V, 3)).
+    """
+    B, J = jts.shape[0], jts.shape[1]
+    W = blend_matrix(weights, jidx, J, verts.dtype)        # (V, J) shared
+    # (B, J, 12) → (J, 12, B) → (J, 12·B), component-major lanes
+    pT = jnp.transpose(jts[:, :, :3, :].reshape(B, J, 12), (1, 2, 0))
+    bl = jnp.einsum("vj,jm->vm", W, pT.reshape(J, 12 * B),
+                    precision=jax.lax.Precision.HIGHEST)   # (V, 12B)
+
+    def comp(c):
+        return bl[:, c * B:(c + 1) * B]                     # (V, B) slice
+
+    vx, vy, vz = verts[:, 0:1], verts[:, 1:2], verts[:, 2:3]
+    nx, ny, nz = normals[:, 0:1], normals[:, 1:2], normals[:, 2:3]
+    sv = jnp.stack(
+        [comp(4 * i) * vx + comp(4 * i + 1) * vy + comp(4 * i + 2) * vz
+         + comp(4 * i + 3) for i in range(3)], axis=-1)     # (V, B, 3)
+    sn = jnp.stack(
+        [comp(4 * i) * nx + comp(4 * i + 1) * ny + comp(4 * i + 2) * nz
+         for i in range(3)], axis=-1)
+    return jnp.transpose(sv, (1, 0, 2)), jnp.transpose(sn, (1, 0, 2))

@@ -135,3 +135,33 @@ def test_batched_pose_sampling():
     assert poses.trans.shape == (64, 3, 3)
     jts = jax.vmap(lambda p: joint_matrices(sk, p))(poses)
     assert jts.shape == (64, 3, 4, 4)
+
+
+def test_skin_verts_batch_matches_vmapped_single():
+    # the single-contraction batched LBS must agree with vmapped
+    # skin_verts exactly (same math, different MXU layout)
+    from clap_tpu.anim.skin import skin_verts_batch
+
+    rng = np.random.default_rng(3)
+    B, J, V = 5, 7, 33
+    # random affine joint mats (rotation-ish + translation)
+    jts = np.tile(np.eye(4, dtype=np.float32), (B, J, 1, 1))
+    jts[:, :, :3, :3] += rng.standard_normal((B, J, 3, 3)).astype(np.float32) * 0.3
+    jts[:, :, :3, 3] = rng.standard_normal((B, J, 3)).astype(np.float32)
+    verts = rng.standard_normal((V, 3)).astype(np.float32)
+    normals = rng.standard_normal((V, 3)).astype(np.float32)
+    w = rng.random((V, 4)).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    ji = rng.integers(0, J, (V, 4)).astype(np.int32)
+
+    jts_j = jnp.asarray(jts)
+    sv_ref, sn_ref = jax.vmap(
+        lambda jt: skin_verts(jt, jnp.asarray(verts), jnp.asarray(normals),
+                              jnp.asarray(w), jnp.asarray(ji)))(jts_j)
+    sv, sn = skin_verts_batch(jts_j, jnp.asarray(verts),
+                              jnp.asarray(normals), jnp.asarray(w),
+                              jnp.asarray(ji))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(sv_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sn), np.asarray(sn_ref),
+                               atol=1e-4, rtol=1e-4)
