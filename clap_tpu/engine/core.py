@@ -128,6 +128,7 @@ class Engine:
         self._render = None
         self.last_frame = None
         self._frame_dir = None
+        self.display = None
         if cfg.graphics_init:
             cfg.graphics_init(self)
 
@@ -199,6 +200,17 @@ class Engine:
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
+    def attach_display(self, host: str = "127.0.0.1", port: int = 8080,
+                       max_fps: float = 30.0):
+        """Live browser display (display-www.c + input-www.c analogue):
+        serves http://host:port/ and streams rendered frames over a
+        WebSocket; browser key events feed the frame loop's inputs
+        (when the caller passes none). Requires attach_graphics."""
+        from ..render.display import DisplayServer
+
+        self.display = DisplayServer(host, port, max_fps=max_fps)
+        return self.display
+
     # --- timers (clap.c:339-439: sorted one-shot list) ---
     def timer_set(self, delay_s: float, fn: Callable):
         self.timers.append((time.monotonic() + delay_s, fn))
@@ -229,6 +241,13 @@ class Engine:
         if inputs is None:
             if self.cfg.fuzzer:
                 inputs = fuzz_inputs(self.fuzz_key, jnp.int32(self.frame_no))
+            elif self.display is not None and self.display.n_clients:
+                from .input import record_to_inputs
+
+                n_chars = self.scene_cfg.char_params.body.shape[0]
+                inputs = record_to_inputs(
+                    self.display.record, float(self.state.camera.yaw),
+                    n_chars=max(n_chars, 1))
             else:
                 inputs = self._zero_inputs
         self.profiler.step("input")
@@ -252,6 +271,10 @@ class Engine:
                 save_png(os.path.join(self._frame_dir,
                                       f"frame_{self.frame_no:04d}.png"),
                          np.asarray(self.last_frame))
+            if self.display is not None:
+                import numpy as np
+
+                self.display.push_frame(np.asarray(self.last_frame))
         self.profiler.step("render")
 
         if self.cfg.frame_cb:

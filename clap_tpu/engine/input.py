@@ -34,6 +34,7 @@ class InputRecord:
     delta_rx: float = 0.0
     delta_ry: float = 0.0
     space: bool = False      # jump
+    shift: bool = False      # dash (character.c:12-67)
     tab: bool = False        # character switch
     zoom: float = 0.0
     pause: bool = False
@@ -49,8 +50,8 @@ KEY_BINDINGS = {
     "w": "up", "s": "down", "a": "left", "d": "right",
     "up": "pitch_up", "down": "pitch_down",
     "left": "yaw_left", "right": "yaw_right",
-    "space": "space", "tab": "tab", "escape": "menu_toggle",
-    "enter": "enter",
+    "space": "space", "shift": "shift", "tab": "tab",
+    "escape": "menu_toggle", "enter": "enter",
 }
 
 # joystick axis/button bindings (input-joystick.c per-pad tables)
@@ -86,9 +87,12 @@ def record_to_inputs(rec: InputRecord, cam_yaw, lin_speed=1.0,
     motion = jnp.zeros((n_chars, 2), jnp.float32).at[0].set(
         jnp.stack([dx, dz]))
     jump = jnp.zeros((n_chars,), bool).at[0].set(bool(rec.space))
+    dash = jnp.zeros((n_chars,), bool).at[0].set(bool(rec.shift))
     pitch_d = (float(rec.pitch_down) - float(rec.pitch_up)) * 0.03 \
         + rec.delta_ry * 0.01
     yaw_d = (float(rec.yaw_right) - float(rec.yaw_left)) * 0.05 \
         + rec.delta_rx * 0.01
     cam = jnp.array([pitch_d, yaw_d, rec.zoom], jnp.float32)
-    return Inputs(motion=motion, jump=jump, cam_delta=cam)
+    # dash always populated: a None leaf changes the Inputs treedef vs
+    # inputs_zero and forces a second jit specialization of the step
+    return Inputs(motion=motion, jump=jump, cam_delta=cam, dash=dash)

@@ -27,7 +27,12 @@ def main():
     ap.add_argument("--envs", type=int, default=1)
     ap.add_argument("--dump", default=None,
                     help="frame output directory (--render)")
+    ap.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="live browser display on http://127.0.0.1:PORT "
+                         "(implies --render; WASD/arrows/space drive it)")
     args = ap.parse_args()
+    if args.serve:
+        args.render = True
 
     from clap_tpu.engine.core import ClapConfig, Engine
     from clap_tpu.scene.testbed import build_testbed, replicate_state
@@ -157,6 +162,10 @@ def main():
                             particle_world=game_world.particles,
                             particle_size=0.1,
                             particle_color=(0.95, 0.9, 0.5))
+
+    if args.serve:
+        d = eng.attach_display(port=args.serve)
+        print(f"display: http://{d.host}:{d.port}/  (ctrl-c to stop)")
 
     eng.run(max_frames=args.frames)
     print("frames:", eng.frame_no, "profiler:", eng.profiler.report())
