@@ -67,6 +67,12 @@ class RenderOptions:
                                             # saturate the 1024 default and
                                             # the depth-ordered cap silently
                                             # drops the farthest clusters)
+    attr_bf16: bool = False                 # store the per-pixel attr-gather
+                                            # table in bf16: the gather output
+                                            # is lane-padded to 128 cols, so
+                                            # dtype is the only lever on its
+                                            # HBM bytes (2×); exact for ids
+                                            # < 256, ~0.4% on normals/colors
 
 
 class SceneGeometry(NamedTuple):
@@ -255,15 +261,17 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
         cursor += 1
     vattrs = jnp.concatenate(streams, axis=-1)
     local_mode = geom.ent_rot is not None and geom.face_entity is not None
+    tdt = jnp.bfloat16 if opts.attr_bf16 else None
     if local_mode:
         # per-face entity id rides the attr gather as a flat column
         # (a separate face_entity image gather cost ~4 ms @ 16 envs)
         attrs, flat_px = shade.interpolate_attrs(
             gb, geom.faces, vattrs, csrc, cbary,
-            face_attrs=geom.face_entity[:, None].astype(jnp.float32))
+            face_attrs=geom.face_entity[:, None].astype(jnp.float32),
+            table_dtype=tdt)
     else:
         attrs = shade.interpolate_attrs(gb, geom.faces, vattrs, csrc,
-                                        cbary)
+                                        cbary, table_dtype=tdt)
 
     # local-attrs mode: per-pixel entity rotation (one-hot MXU lookup —
     # exact selection under HIGHEST; a gather from a per-env (E, 9)

@@ -34,7 +34,7 @@ def pack_tri_attrs(faces, vattrs):
 
 
 def interpolate_attrs(gb: GBuffer, faces, vattrs, csrc=None, cbary=None,
-                      face_attrs=None):
+                      face_attrs=None, table_dtype=None):
     """Per-pixel interpolated vertex attributes.
 
     faces: (T, 3) int32; vattrs: (V, A) packed per-vertex attributes.
@@ -54,19 +54,31 @@ def interpolate_attrs(gb: GBuffer, faces, vattrs, csrc=None, cbary=None,
     packed record so they ride the SAME per-pixel gather (a separate
     face_entity image gather cost ~4 ms/frame at 16 envs). When given,
     returns (attrs (H, W, A), flat (H, W, F)) — flat columns are copied
-    from the record, not interpolated; background pixels get -1."""
+    from the record, not interpolated; background pixels get -1.
+
+    table_dtype (e.g. jnp.bfloat16): storage dtype of the gathered
+    record. TPU HBM stores the (B·H·W, 3A+F) gather output lane-padded
+    to 128 columns whatever A is, so dtype is the ONLY lever on its
+    bytes — bf16 halves the dominant HBM term of deferred shading.
+    Interpolation upcasts back to vattrs.dtype. bf16's 8-bit mantissa
+    is plenty for normals/colors/roughness, and integer-valued columns
+    (edge ids ≤ 128, entity ids) stay EXACT below 256."""
     del cbary
     A = vattrs.shape[-1]
     tri_attrs = pack_tri_attrs(faces, vattrs)          # (T, 3A) shared
     if face_attrs is not None:
         tri_attrs = jnp.concatenate(
             [tri_attrs, face_attrs.astype(tri_attrs.dtype)], axis=-1)
+    if table_dtype is not None:
+        tri_attrs = tri_attrs.astype(table_dtype)
     b0 = gb.bary[..., 0:1]
     b1 = gb.bary[..., 1:2]
     tid = jnp.maximum(gb.tri_id, 0)
     if csrc is not None:
         tid = jnp.mod(tid, faces.shape[0])
     rec = tri_attrs[tid]                            # (H, W, 3A+F): 1 gather
+    if table_dtype is not None:
+        rec = rec.astype(vattrs.dtype)
     b2 = 1.0 - b0 - b1
     out = rec[..., :A] * b0 + rec[..., A:2 * A] * b1 \
         + rec[..., 2 * A:3 * A] * b2

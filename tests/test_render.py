@@ -403,3 +403,33 @@ def test_edge_mode_metadata():
         opts, build([129.0] * 4 + [130.0] * 4), view, proj, lights, eye))
     mid2 = np.abs(excl - same).sum(-1)[rows, W // 2 - 2:W // 2 + 2]
     assert mid2.max() < 0.02, "excluded entities still edged"
+
+
+def test_attr_bf16_close_and_ids_exact():
+    # bf16 attr-table mode: interpolated attrs within bf16 tolerance,
+    # integer-valued flat columns (entity ids < 256) EXACT
+    import jax.numpy as jnp
+
+    from clap_tpu.render import shade
+    from clap_tpu.render.raster import raster_scene
+
+    rng = np.random.default_rng(11)
+    V, T = 12, 6
+    verts = jnp.asarray(rng.uniform(-1, 1, (V, 3)), jnp.float32)
+    clip = jnp.concatenate(
+        [verts[:, :2], jnp.zeros((V, 1)), jnp.ones((V, 1))], axis=-1)
+    faces = jnp.asarray(rng.integers(0, V, (T, 3)), jnp.int32)
+    gb = raster_scene(clip, faces, 32, 32)
+    vattrs = jnp.asarray(rng.uniform(0, 1, (V, 8)), jnp.float32)
+    fattrs = jnp.asarray(
+        rng.integers(0, 200, (T, 1)).astype(np.float32))
+
+    a32, f32v = shade.interpolate_attrs(gb, faces, vattrs,
+                                        face_attrs=fattrs)
+    a16, f16v = shade.interpolate_attrs(gb, faces, vattrs,
+                                        face_attrs=fattrs,
+                                        table_dtype=jnp.bfloat16)
+    assert a16.dtype == a32.dtype          # upcast back to f32
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(a32),
+                               atol=1.5e-2)
+    np.testing.assert_array_equal(np.asarray(f16v), np.asarray(f32v))
