@@ -71,7 +71,8 @@ lights = lights._replace(
     color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
     is_dir=lights.is_dir.at[0].set(True),
     active=lights.active.at[0].set(True))
-opts = RenderOptions(width=res, height=res, shadow_size=256, film_grain=0.0)
+opts = RenderOptions(width=res, height=res, shadow_size=256, film_grain=0.0,
+                     attr_bf16=bool(int(os.environ.get("ATTR_BF16", "0"))))
 proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
 skip = ent.skip_culling
 
