@@ -168,3 +168,30 @@ def test_composed_step_and_render_batch():
     assert int(sts.frame[0]) == 2
     # the scene actually renders content (not all background)
     assert np.asarray(imgs).std() > 0.01
+
+
+def test_dynamic_batch_attr_bf16_close():
+    # bf16 attr-table mode through the FULL dynamic-batch frame: close
+    # to the f32 image (bf16 rounds normals/colors, ids stay exact so
+    # entity rotation lookup and edge keys don't shift)
+    rt = _tables()
+    B = 2
+    mxs, vis, eyes = _env_states(B, seed=5)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+    lights = _sun()
+    o32 = RenderOptions(width=96, height=96, shadow_size=64,
+                        film_grain=0.0, ssao=False)
+    o16 = RenderOptions(width=96, height=96, shadow_size=64,
+                        film_grain=0.0, ssao=False, attr_bf16=True)
+
+    geom_b, axes = assemble_scene_geometry_batch(rt, mxs, vis, planes, eyes)
+    i32 = jax.jit(lambda g, v, e: render_frame_dynamic_batch(
+        o32, g, axes, v, proj, lights, e, far=60.0))(geom_b, views, eyes)
+    i16 = jax.jit(lambda g, v, e: render_frame_dynamic_batch(
+        o16, g, axes, v, proj, lights, e, far=60.0))(geom_b, views, eyes)
+    diff = np.abs(np.asarray(i16) - np.asarray(i32))
+    assert diff.mean() < 3e-3, diff.mean()
+    assert np.quantile(diff, 0.999) < 0.1
