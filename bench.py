@@ -331,7 +331,8 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                                           render_frame_dynamic_batch)
     from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
                                              build_render_tables,
-                                             default_edge_ids)
+                                             default_edge_ids,
+                                             kernel_attrs_ok)
     from clap_tpu.render.view import make_subview
     from clap_tpu.scene.testbed import (build_demo_rig, build_testbed,
                                         replicate_state, testbed_models)
@@ -370,8 +371,14 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
         color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
         is_dir=lights.is_dir.at[0].set(True),
         active=lights.active.at[0].set(True))
+    # kernel_attrs: raster-kernel normal interpolation + per-entity
+    # one-hot flats — removes the per-pixel attr-table gather (the
+    # dominant HBM term; exact image parity, test_dynamic_batch).
+    # KERNEL_ATTRS=0 reverts to the gather path for A/B runs.
     opts = RenderOptions(width=res, height=res, shadow_size=256,
-                         film_grain=0.0)
+                         film_grain=0.0,
+                         kernel_attrs=kernel_attrs_ok(rt) and bool(
+                             int(os.environ.get("KERNEL_ATTRS", "1"))))
     proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
     skip = ent.skip_culling
 

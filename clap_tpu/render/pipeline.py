@@ -73,6 +73,15 @@ class RenderOptions:
                                             # dtype is the only lever on its
                                             # HBM bytes (2×); exact for ids
                                             # < 256, ~0.4% on normals/colors
+    kernel_attrs: bool = False              # interpolate normals in the
+                                            # raster kernel's d0/d1/s slots
+                                            # and take all other attributes
+                                            # from a per-entity flat table
+                                            # (geom.ent_flat) — NO per-pixel
+                                            # attr gather at all. Requires
+                                            # local-attrs mode geometry with
+                                            # flat-eligible materials (see
+                                            # RenderTables.flat_eligible)
 
 
 class SceneGeometry(NamedTuple):
@@ -112,6 +121,11 @@ class SceneGeometry(NamedTuple):
     # stream XLA walks (62k → 4.1k records on the composed testbed).
     shadow_faces: jnp.ndarray = None       # (Ts, 3)
     shadow_face_valid: jnp.ndarray = None  # (Ts,)
+    # kernel-attrs mode (opts.kernel_attrs): per-entity flat material
+    # table (E, 9) — base(3), rough, metal, emission(3), edge_id —
+    # consumed when every non-normal attribute is per-entity constant
+    # (RenderTables.flat_eligible); see model_pass.
+    ent_flat: jnp.ndarray = None           # (E, 9), shared
 
 
 class TextureSets(NamedTuple):
@@ -204,14 +218,69 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     return m.reshape(n_casc, s, s, 2)
 
 
-def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
-               lights: Lights, eye, shadow_moments=None, shadow_mvps=None,
-               cascade_dists=None, base_texture=None, textures=None):
-    """MRT model pass (pipeline-builder.c:329-364) as raster + deferred
-    shading. Returns (hdr lighting, emission, view normals, gbuffer,
-    view_pos)."""
+def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
+    """Kernel-side attribute interpolation (opts.kernel_attrs): the
+    raster kernel's generic d0/d1/s plane slots interpolate the MODEL-
+    LOCAL normal (records_to_coeffs extras layout — perspective-correct
+    after the per-pixel normalize) and the entity id rides PACKED into
+    the float tid column, so the per-pixel attr-table gather — the
+    dominant HBM term of the composed frame (~30 ms/frame-batch at 64
+    envs, the ~2k env-fps floor of gather-based deferred shading) —
+    disappears entirely. All non-normal attributes are per-entity flat
+    (geom.ent_flat) and come from ONE one-hot MXU lookup shared with
+    the entity rotation.
+
+    Eligibility is STATIC (raises otherwise): local-attrs geometry,
+    untextured/un-fBm'd, E <= ENT_PACK entities, 2T·ENT_PACK < 2^24
+    records (float tid exactness)."""
+    from .raster import ENT_PACK, clip_near_records, rasterize_attrs
+
     W, H = opts.width, opts.height
-    clip = clip_transform(geom.verts, cam_view, cam_proj)
+    if geom.ent_rot is None or geom.face_entity is None \
+            or geom.ent_flat is None:
+        raise ValueError("kernel_attrs needs local-attrs geometry with "
+                         "ent_flat (RenderTables.flat_eligible)")
+    n_ent = geom.ent_rot.shape[-3]
+    T = geom.faces.shape[0]
+    if n_ent > ENT_PACK or 2 * T * ENT_PACK >= 1 << 24:
+        raise ValueError(
+            f"kernel_attrs limits exceeded: E={n_ent} (<= {ENT_PACK}), "
+            f"T={T} (<= {(1 << 24) // (2 * ENT_PACK)})")
+    rec, ok, _csrc, _ = clip_near_records(
+        clip, geom.faces, W, H, geom.face_valid,
+        vextra=geom.normals, tid_pack=geom.face_entity)
+    binned = bin_triangles(rec, ok, W, H, cap=opts.raster_cap or None)
+    depth, pid, nraw = rasterize_attrs(rec, binned, W, H)
+    gb = GBuffer(depth=depth, tri_id=pid,
+                 bary=jnp.zeros(pid.shape + (2,), jnp.float32))
+    hit_px = pid >= 0
+    # background (-1) maps to the out-of-range id → no one-hot match
+    ent = jnp.where(hit_px, jnp.mod(pid, ENT_PACK), n_ent)
+    oh_px = (ent[..., None] == jnp.arange(n_ent)[None, None, :]
+             ).astype(jnp.float32)
+    tbl = jnp.concatenate(
+        [geom.ent_rot.reshape(n_ent, 9), geom.ent_flat], axis=-1)
+    px = jnp.einsum("hwe,ec->hwc", oh_px, tbl,
+                    precision=jax.lax.Precision.HIGHEST)
+    Rpx = px[..., :9].reshape(*ent.shape, 3, 3)
+    # nraw = iw_px · (perspective-correct model-local normal); rotation
+    # preserves scale, so normalize recovers the exact unit normal
+    nrm = jnp.einsum("...ij,...j->...i", Rpx, nraw)
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+    base = px[..., 9:12]
+    rough = px[..., 12]
+    metal = px[..., 13]
+    emission = px[..., 14:17]
+    eid_px = px[..., 17] if geom.edge_id is not None else None
+    return gb, nrm, base, rough, metal, emission, eid_px
+
+
+def _surface_gather(opts: RenderOptions, geom: SceneGeometry, clip,
+                    base_texture=None, textures=None):
+    """Deferred-shading surface attributes via the per-pixel attr-table
+    gather (the general path: per-vertex materials, textures, fBm)."""
+    W, H = opts.width, opts.height
     # near-plane clipping (GL hardware-clip parity): camera-crossing
     # triangles raster as clipped sub-tris instead of dropping
     from .raster import clip_near_records
@@ -287,19 +356,6 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
         Rpx = jnp.einsum(
             "hwe,ec->hwc", oh_px, geom.ent_rot.reshape(n_ent, 9),
             precision=jax.lax.Precision.HIGHEST).reshape(*fe.shape, 3, 3)
-    # world position from depth (inverse view-projection unproject)
-    hit2 = gb.tri_id >= 0
-    d_ndc = jnp.where(jnp.isfinite(gb.depth), gb.depth, 1.0)
-    ndc_x = (jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5) / W * 2.0 - 1.0
-    ndc_y = 1.0 - 2.0 * (jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5) / H
-    inv_vp = jnp.linalg.inv(cam_proj @ cam_view)
-    p4 = (inv_vp[None, None, :, 0] * jnp.broadcast_to(ndc_x, (H, W))[..., None]
-          + inv_vp[None, None, :, 1] * jnp.broadcast_to(ndc_y, (H, W))[..., None]
-          + inv_vp[None, None, :, 2] * d_ndc[..., None]
-          + inv_vp[None, None, :, 3])
-    wpos = jnp.where(hit2[..., None],
-                     p4[..., :3] / jnp.where(jnp.abs(p4[..., 3:4]) < 1e-12,
-                                             1.0, p4[..., 3:4]), 0.0)
     nrm = attrs[..., 0:3]
     if Rpx is not None:
         nrm = jnp.einsum("...ij,...j->...i", Rpx, nrm)
@@ -315,9 +371,9 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
             from .texture import sample_layered
 
             lid = attrs[..., off["tex_id"]].astype(jnp.int32) \
-                if "tex_id" in off else jnp.zeros(wpos.shape[:2], jnp.int32)
+                if "tex_id" in off else jnp.zeros(gb.tri_id.shape, jnp.int32)
             has_tex = (attrs[..., off["tex_id"]] >= -0.5) \
-                if "tex_id" in off else jnp.ones(wpos.shape[:2], bool)
+                if "tex_id" in off else jnp.ones(gb.tri_id.shape, bool)
             texel = sample_layered(textures.diffuse, lid, uv_px)
             base = jnp.where(has_tex[..., None], base * texel, base)
             if tbn:
@@ -357,6 +413,39 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
                           rough)
         metal = jnp.where(use, fp[..., 4] + (fp[..., 5] - fp[..., 4]) * f,
                           metal)
+
+    eid_px = attrs[..., off["edge"]] if "edge" in off else None
+    return gb, nrm, base, rough, metal, emission, eid_px
+
+
+def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
+               lights: Lights, eye, shadow_moments=None, shadow_mvps=None,
+               cascade_dists=None, base_texture=None, textures=None):
+    """MRT model pass (pipeline-builder.c:329-364) as raster + deferred
+    shading. Returns (hdr lighting, emission, view normals, gbuffer,
+    view_pos, edge_meta)."""
+    W, H = opts.width, opts.height
+    clip = clip_transform(geom.verts, cam_view, cam_proj)
+    if opts.kernel_attrs:
+        gb, nrm, base, rough, metal, emission, eid_px = \
+            _surface_kernel_attrs(opts, geom, clip)
+    else:
+        gb, nrm, base, rough, metal, emission, eid_px = \
+            _surface_gather(opts, geom, clip, base_texture, textures)
+
+    # world position from depth (inverse view-projection unproject)
+    hit2 = gb.tri_id >= 0
+    d_ndc = jnp.where(jnp.isfinite(gb.depth), gb.depth, 1.0)
+    ndc_x = (jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5) / W * 2.0 - 1.0
+    ndc_y = 1.0 - 2.0 * (jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5) / H
+    inv_vp = jnp.linalg.inv(cam_proj @ cam_view)
+    p4 = (inv_vp[None, None, :, 0] * jnp.broadcast_to(ndc_x, (H, W))[..., None]
+          + inv_vp[None, None, :, 1] * jnp.broadcast_to(ndc_y, (H, W))[..., None]
+          + inv_vp[None, None, :, 2] * d_ndc[..., None]
+          + inv_vp[None, None, :, 3])
+    wpos = jnp.where(hit2[..., None],
+                     p4[..., :3] / jnp.where(jnp.abs(p4[..., 3:4]) < 1e-12,
+                                             1.0, p4[..., 3:4]), 0.0)
 
     # view-space data
     vpos = mx.mat4_transform_point(cam_view, wpos)
@@ -403,10 +492,9 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     # differentiates this key instead of raw luma, so id boundaries
     # always edge and excluded entities never do.
     edge_meta = None
-    if "edge" in off:
-        eid = attrs[..., off["edge"]]
-        excl = eid >= 128.0
-        sid = jnp.mod(eid, 128.0)
+    if eid_px is not None:
+        excl = eid_px >= 128.0
+        sid = jnp.mod(eid_px, 128.0)
         luma = jnp.sum(vnrm * 0.5 + 0.5, -1) / 3.0
         lq = jnp.floor(jnp.clip(luma, 0.0, 1.0) * 7.0)
         if sf is not None:

@@ -96,6 +96,13 @@ def project_to_screen(clip: jnp.ndarray, width: int, height: int):
     return sx, sy, ndc[..., 2], iw
 
 
+ENT_PACK = 128   # tid-column entity packing stride (extras mode):
+                 # packed = sub_tri_id · 128 + entity. Float tri ids are
+                 # exact below 2^24, so the mode requires
+                 # n_records · 128 < 2^24 (T ≤ 65536 for the 2T clip
+                 # stream); callers fall back to the gather path beyond.
+
+
 def corner_records(c0, c1, c2, valid_mask=None, two_sided: bool = False,
                    cb=None):
     """Records from PER-CORNER [x, y, z, 1/w] rows (T, 4) — the no-gather
@@ -120,7 +127,8 @@ def corner_records(c0, c1, c2, valid_mask=None, two_sided: bool = False,
 
 
 def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
-                         two_sided: bool = False):
+                         two_sided: bool = False, vextra=None,
+                         tid_pack=None):
     """Build the packed (T, 12) per-triangle record the kernel consumes:
     three [x, y, z, 1/w] vertex groups (_XC/_YC/_ZC/_WC columns). One
     packed (V, 4) vertex table keeps this to 3 wide gathers. Also
@@ -129,17 +137,38 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
 
     two_sided: instead of culling back faces, swap their v1/v2 groups so
     the kernel's CCW test accepts them (shadow passes are two-sided
-    without doubling the triangle count)."""
-    vrec = jnp.stack([sx, sy, z, iw], axis=-1)            # (V, 4)
+    without doubling the triangle count).
+
+    vextra (V, 3), optional: per-vertex extra components (normals) — the
+    kernel-side attribute-interpolation mode (records_to_coeffs_extras).
+    Appended as record cols 13-21 in record-corner order; rides the same
+    single corner gather. Incompatible with two_sided (the back-face
+    swap permutation targets the cb layout).
+
+    tid_pack (T,), optional int: packs into the tid column as
+    tid·ENT_PACK + tid_pack (per-pixel entity id without a gather)."""
     tri_f = jnp.arange(faces.shape[0], dtype=jnp.float32)
+    if tid_pack is not None:
+        tri_f = tri_f * ENT_PACK + tid_pack.astype(jnp.float32)
     # v1/v2 swap: the screen y-flip turns GL/world CCW into image-space
     # CW; swapping restores positive kernel area for front faces (GL
     # front-face = CCW parity). ONE gather_rows over the corner order
     # [v0, v2, v1]: stays a fast-path gather when vrec is per-env under
     # vmap (three batched-operand gathers here cost 4.1 ms @ 16 envs)
     corner_idx = faces[:, jnp.array([0, 2, 1])].reshape(-1)   # (3T,)
-    corners = gather_rows(vrec, corner_idx).reshape(faces.shape[0], 12)
-    cols = [corners[:, i] for i in range(12)] + [tri_f]
+    if vextra is None:
+        vrec = jnp.stack([sx, sy, z, iw], axis=-1)        # (V, 4)
+        corners = gather_rows(vrec, corner_idx).reshape(faces.shape[0], 12)
+        cols = [corners[:, i] for i in range(12)] + [tri_f]
+        return _finish_records(cols, valid_mask, two_sided)
+    assert not two_sided, "extras mode is front-face only"
+    vrec = jnp.concatenate(
+        [jnp.stack([sx, sy, z, iw], axis=-1), vextra], axis=-1)  # (V, 7)
+    nc = vrec.shape[-1]
+    corners = gather_rows(vrec, corner_idx).reshape(faces.shape[0], 3 * nc)
+    cols = [corners[:, c * nc + i] for c in range(3) for i in range(4)] \
+        + [tri_f] \
+        + [corners[:, c * nc + 4 + i] for c in range(3) for i in range(3)]
     return _finish_records(cols, valid_mask, two_sided)
 
 
@@ -188,7 +217,7 @@ def _finish_records(cols, valid_mask, two_sided):
 
 def clip_near_records(clip_verts, faces, width: int, height: int,
                       valid_mask=None, two_sided: bool = False,
-                      w_eps: float = 1e-4):
+                      w_eps: float = 1e-4, vextra=None, tid_pack=None):
     """Near-plane clipping (the GL hardware-clip analogue the v1 raster
     skipped — crossing triangles used to drop, raster.py r1): clip each
     triangle against w = w_eps in CLIP space into ≤2 sub-triangles,
@@ -198,7 +227,19 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     sub-corner's barycentrics w.r.t. its ORIGINAL triangle — corner
     attributes are barycentric combinations, so the per-pixel stage
     needs no changes and stays perspective-correct (attributes are
-    linear over the triangle's plane)."""
+    linear over the triangle's plane).
+
+    vextra (V, 3), optional: per-vertex extra components (normals) for
+    the kernel-side interpolation mode. They lerp through the SAME clip
+    parameter t as positions — a clip-space lerp at t lands on the 3D
+    point at segment fraction t (projection is linear pre-divide), and
+    vertex attributes are linear along the 3D edge, so the lerped value
+    IS the attribute at the clip point. Emitted as record cols 13-21
+    (record-corner order) instead of the cb pairs — extras mode never
+    reads bary, so the cb fold is unnecessary. tid_pack (T,): packs
+    entity ids into the tid column (see assemble_tri_records)."""
+    assert not (two_sided and vextra is not None), \
+        "extras mode is front-face only"
     T = faces.shape[0]
     # COLUMNAR throughout: every intermediate is a (T,) lane-packed
     # array. The previous (T, 3, 4)/(T, 3, 2) formulation lane-padded
@@ -206,8 +247,11 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     # intermediate (~7 ms/frame of the 16-env composed trace).
     # ONE corner gather in corner-major order so per-corner columns are
     # contiguous slices: [all v0 | all v1 | all v2].
-    g = gather_rows(clip_verts, faces.T.reshape(-1))      # (3T, 4)
-    v = [[g[c * T:(c + 1) * T, i] for i in range(4)] for c in range(3)]
+    NC = 4 if vextra is None else 4 + vextra.shape[-1]
+    src = clip_verts if vextra is None else \
+        jnp.concatenate([clip_verts, vextra], axis=-1)
+    g = gather_rows(src, faces.T.reshape(-1))             # (3T, NC)
+    v = [[g[c * T:(c + 1) * T, i] for i in range(NC)] for c in range(3)]
     w = [v[c][3] for c in range(3)]
     inside = [wc > w_eps for wc in w]
     n_in = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
@@ -227,9 +271,9 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
         return jnp.where(s0, c0, jnp.where(s1, c1, c2))
 
     # rotated corners A=v[k], B=v[k+1], C=v[k+2] (mod 3), per component
-    A = [pick(v[0][i], v[1][i], v[2][i]) for i in range(4)]
-    B = [pick(v[1][i], v[2][i], v[0][i]) for i in range(4)]
-    C = [pick(v[2][i], v[0][i], v[1][i]) for i in range(4)]
+    A = [pick(v[0][i], v[1][i], v[2][i]) for i in range(NC)]
+    B = [pick(v[1][i], v[2][i], v[0][i]) for i in range(NC)]
+    C = [pick(v[2][i], v[0][i], v[1][i]) for i in range(NC)]
     # canonical corner barys v0=(1,0) v1=(0,1) v2=(0,0), rotated
     bA = [jnp.where(s0, 1.0, 0.0), jnp.where(s1, 1.0, 0.0)]
     bB = [jnp.where(s2, 1.0, 0.0), jnp.where(s0, 1.0, 0.0)]
@@ -239,7 +283,7 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     def isect(p, q, wp, wq, bp, bq):
         t = (w_eps - wp) / jnp.where(wq - wp == 0, 1.0, wq - wp)
         t = jnp.clip(t, 0.0, 1.0)
-        return ([p[i] + t * (q[i] - p[i]) for i in range(4)],
+        return ([p[i] + t * (q[i] - p[i]) for i in range(NC)],
                 [bp[i] + t * (bq[i] - bp[i]) for i in range(2)])
 
     iAB, bAB = isect(A, B, wA, wB, bA, bB)
@@ -250,9 +294,9 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     #   2 in (A outside) → (iAB, B, C)
     all_in = n_in == 3
     two = n_in == 2
-    tA0 = [jnp.where(two, iAB[i], A[i]) for i in range(4)]
-    tA1 = [jnp.where(one_in, iAB[i], B[i]) for i in range(4)]
-    tA2 = [jnp.where(one_in, iCA[i], C[i]) for i in range(4)]
+    tA0 = [jnp.where(two, iAB[i], A[i]) for i in range(NC)]
+    tA1 = [jnp.where(one_in, iAB[i], B[i]) for i in range(NC)]
+    tA2 = [jnp.where(one_in, iCA[i], C[i]) for i in range(NC)]
     bA0 = [jnp.where(two, bAB[i], bA[i]) for i in range(2)]
     bA1 = [jnp.where(one_in, bAB[i], bB[i]) for i in range(2)]
     bA2 = [jnp.where(one_in, bCA[i], bC[i]) for i in range(2)]
@@ -283,11 +327,23 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     p0 = proj_corner(tA0, tB0)
     p1 = proj_corner(tA1, tB1)
     p2 = proj_corner(tA2, tB2)
+    tid = jnp.arange(2 * T, dtype=jnp.float32)
+    if tid_pack is not None:
+        tid = tid * ENT_PACK \
+            + jnp.concatenate([tid_pack] * 2).astype(jnp.float32)
+    if vextra is not None:
+        # extras layout (22 cols): no cb pairs — extras mode never reads
+        # bary. Record-corner order (v0, v2, v1), 3 components each.
+        excols = [jnp.concatenate([sa[4 + i], sb[4 + i]])
+                  for sa, sb in ((tA0, tB0), (tA2, tB2), (tA1, tB1))
+                  for i in range(3)]
+        rec, ok2 = _finish_records(p0 + p2 + p1 + [tid] + excols, ok,
+                                   two_sided)
+        return rec, ok2, csrc, None
     cbcols = [jnp.concatenate([a, b])
               for a, b in zip(bA0 + bA1 + bA2, bB0 + bB1 + bB2)]
     # record corner order (v0, v2, v1) + cb pairs in the same order
-    cols = p0 + p2 + p1 \
-        + [jnp.arange(2 * T, dtype=jnp.float32)] \
+    cols = p0 + p2 + p1 + [tid] \
         + cbcols[0:2] + cbcols[4:6] + cbcols[2:4]
     rec, ok2 = _finish_records(cols, ok, two_sided)
     # packed cbary kept for API compat (tests; DCE'd in the jit path)
@@ -319,6 +375,18 @@ def records_to_coeffs(rec, cluster: int = None):
     face v0, v2, v1). Invalid records get c_k = -1 so every pixel fails
     the e_k ≥ 0 test.
 
+    EXTRAS layout (22 record cols, from vextra= in the record builders):
+    cols 13-21 are three per-corner extra components (normals) instead
+    of cb pairs. The q/s coefficient slots become perspective-correct
+    attribute-interpolation planes: q0_k = p_k·ex_k[0], q1_k =
+    p_k·ex_k[1], s_k = p_k·ex_k[2], so the kernel's d0/d1/s outputs are
+    Σ b_screen_k·iw_k·ex_k = iw_px · (perspective-correct interpolated
+    extra) — a positive per-pixel scalar times the true attribute, so
+    normalize() downstream recovers the EXACT perspective-correct unit
+    normal with no per-pixel divide and NO per-pixel attr gather (the
+    gather was ~30 ms/frame-batch at 64 envs — the ~2k env-fps floor of
+    gather-based deferred shading, ROUND_NOTES r3).
+
     Input records are the TRANSPOSED (C, T) stream; output is tri-major
     (T, 24) — the one layout change, feeding the per-tile cluster
     gather + kernel blocks directly."""
@@ -326,7 +394,11 @@ def records_to_coeffs(rec, cluster: int = None):
     x1, y1, z1, iw1 = rec[4], rec[5], rec[6], rec[7]
     x2, y2, z2, iw2 = rec[8], rec[9], rec[10], rec[11]
     tid = rec[12]
-    if rec.shape[0] > 13:
+    extras = rec.shape[0] == 22
+    if extras:
+        ex = [[rec[13 + 3 * k + i] for i in range(3)] for k in range(3)]
+        cb = None
+    elif rec.shape[0] > 13:
         cb = [(rec[13 + 2 * k], rec[14 + 2 * k]) for k in range(3)]
     else:
         one = jnp.ones_like(tid)
@@ -349,8 +421,14 @@ def records_to_coeffs(rec, cluster: int = None):
     zb = (b0 * z0 + b1 * z1 + b2 * z2) * inv_area
     zc = (c0 * z0 + c1 * z1 + c2 * z2) * inv_area
     p = [iw0 * inv_area, iw1 * inv_area, iw2 * inv_area]
-    q0 = [p[k] * cb[k][0] for k in range(3)]
-    q1 = [p[k] * cb[k][1] for k in range(3)]
+    if extras:
+        q0 = [p[k] * ex[k][0] for k in range(3)]
+        q1 = [p[k] * ex[k][1] for k in range(3)]
+        s_ = [p[k] * ex[k][2] for k in range(3)]
+    else:
+        q0 = [p[k] * cb[k][0] for k in range(3)]
+        q1 = [p[k] * cb[k][1] for k in range(3)]
+        s_ = p
     zero = jnp.zeros_like(a0)
     mone = jnp.full_like(a0, -1.0)
     # column 22: zmin (+inf for dead records) — the kernel's early-out
@@ -373,7 +451,7 @@ def records_to_coeffs(rec, cluster: int = None):
         (za, zero), (zb, zero), (zc, zero),
         (q0[0], zero), (q0[1], zero), (q0[2], zero),
         (q1[0], zero), (q1[1], zero), (q1[2], zero),
-        (p[0], zero), (p[1], zero), (p[2], zero),
+        (s_[0], zero), (s_[1], zero), (s_[2], zero),
         (tid, tid), (zmin, inf), (zero, zero))]
     return jnp.stack(cols, axis=-1)
 
@@ -856,18 +934,13 @@ def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
     s_ref[:] = so
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def rasterize(rec, binned, width: int, height: int,
-              tile_h: int = None, tile_w: int = None,
-              cluster: int = CLUSTER) -> GBuffer:
-    """Raster the binned clusters into a (H, W) G-buffer. H/W are
-    padded up to tile multiples internally and cropped on return.
-    tile_h/tile_w/cluster must match the bin_triangles call.
-
-    The per-tile record gather runs at CLUSTER granularity: one gathered
-    row carries cluster·13 floats, so both the gather row count and the
-    kernel's record-block lane padding improve 8× over per-triangle
-    lists."""
+def _raster_main(rec, binned, width: int, height: int,
+                 tile_h: int = None, tile_w: int = None,
+                 cluster: int = CLUSTER):
+    """Shared main-raster body: pad, coefficients, per-tile pre-gather,
+    kernel launch. Returns CROPPED (depth, tidf, d0, d1, s) planes —
+    the epilogues (`rasterize`: bary normalization; `rasterize_attrs`:
+    interpolated-attribute packaging) differ per record layout."""
     th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
     tile_list, counts, big_idx, big_count = binned
     ntx = pl.cdiv(width, tw)
@@ -921,21 +994,59 @@ def rasterize(rec, binned, width: int, height: int,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(counts2, trec, brec)
+    crop = lambda a: a[:height, :width]     # noqa: E731
+    return crop(depth), crop(tidf), crop(d0), crop(d1), crop(s)
 
-    depth = depth[:height, :width]
-    tri = tidf[:height, :width].astype(jnp.int32)   # float ids are exact
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def rasterize(rec, binned, width: int, height: int,
+              tile_h: int = None, tile_w: int = None,
+              cluster: int = CLUSTER) -> GBuffer:
+    """Raster the binned clusters into a (H, W) G-buffer. H/W are
+    padded up to tile multiples internally and cropped on return.
+    tile_h/tile_w/cluster must match the bin_triangles call.
+
+    The per-tile record gather runs at CLUSTER granularity: one gathered
+    row carries cluster·13 floats, so both the gather row count and the
+    kernel's record-block lane padding improve 8× over per-triangle
+    lists."""
+    depth, tidf, d0, d1, s = _raster_main(rec, binned, width, height,
+                                          tile_h, tile_w, cluster)
+    tri = tidf.astype(jnp.int32)                    # float ids are exact
     # perspective normalization deferred out of the kernel (one divide
     # per PIXEL instead of per pixel-triangle pair); the q/s coefficient
     # fold already yields FACE-order (b0, b1) — composed with the
     # original-triangle barycentrics when the stream was clipped
-    inv_s = jnp.where(s[:height, :width] == 0.0, 0.0,
-                      1.0 / jnp.where(s[:height, :width] == 0.0, 1.0,
-                                      s[:height, :width]))
+    inv_s = jnp.where(s == 0.0, 0.0,
+                      1.0 / jnp.where(s == 0.0, 1.0, s))
     hit = tri >= 0
-    b0 = jnp.where(hit, d0[:height, :width] * inv_s, 0.0)
-    b1 = jnp.where(hit, d1[:height, :width] * inv_s, 0.0)
+    b0 = jnp.where(hit, d0 * inv_s, 0.0)
+    b1 = jnp.where(hit, d1 * inv_s, 0.0)
     return GBuffer(depth=depth, tri_id=tri,
                    bary=jnp.stack([b0, b1], axis=-1))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def rasterize_attrs(rec, binned, width: int, height: int,
+                    tile_h: int = None, tile_w: int = None,
+                    cluster: int = CLUSTER):
+    """Kernel-side attribute-interpolation raster: for EXTRAS-layout
+    records (22 cols — vextra= in the record builders) the kernel's
+    generic d0/d1/s plane slots carry iw_px·(perspective-correct
+    interpolated extra) instead of barycentric producers (see
+    records_to_coeffs). Returns (depth (H, W), pid (H, W) i32 — the
+    PACKED tid column (tid·ENT_PACK + entity when tid_pack was given;
+    -1 background), attr (H, W, 3) — the raw interpolation numerators:
+    normalize() recovers the exact perspective-correct unit normal.
+
+    This replaces deferred shading's per-pixel attr-table gather for
+    scenes whose non-normal attributes are per-entity flat: the B·H·W
+    lane-padded gather rows were the dominant HBM term of the composed
+    frame (~2k env-fps ceiling at 256², ROUND_NOTES r3)."""
+    depth, tidf, d0, d1, s = _raster_main(rec, binned, width, height,
+                                          tile_h, tile_w, cluster)
+    pid = tidf.astype(jnp.int32)                    # float ids are exact
+    return depth, pid, jnp.stack([d0, d1, s], axis=-1)
 
 
 def raster_scene(clip_verts, faces, width: int, height: int,

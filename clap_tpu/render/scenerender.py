@@ -70,6 +70,25 @@ class RenderTables(NamedTuple):
     # pipeline walks).
     shadow_faces: jnp.ndarray = None        # (Ts, 3)
     shadow_face_entity: jnp.ndarray = None  # (Ts,) int32
+    # kernel-attrs mode (RenderOptions.kernel_attrs): per-ENTITY flat
+    # material table — base_color(3), rough(1), metal(1), emission(3),
+    # edge_id(1). Valid only when flat_eligible: every model's
+    # per-vertex material streams are constant and untextured/un-fBm'd,
+    # so the raster kernel can interpolate normals in its d0/d1/s slots
+    # and ALL other attributes come from one one-hot MXU lookup — no
+    # per-pixel attr-table gather (the dominant HBM term of the
+    # composed frame).
+    ent_flat: jnp.ndarray = None            # (E, 9)
+    flat_eligible: bool = False             # static (host) eligibility
+    # static/dynamic shadow split (build_render_tables
+    # entity_shadow_static=): STATIC casters (terrain, trees — no
+    # physics body, never toggled) live in this separate stream, baked
+    # ONCE into a bounds-fit light atlas (pipeline.bake_static_shadow);
+    # the per-frame/per-env CSM passes then raster only the DYNAMIC
+    # subset left in shadow_faces (testbed: 4.1k → ~0.2k records/env).
+    # Shadow factors multiply (exact when static and dynamic occluders
+    # don't overlap along the light ray).
+    static_shadow_faces: jnp.ndarray = None   # (Tss, 3), load pose
 
 
 def model_from_mesh(verts, normals, faces, base_color=(0.7, 0.7, 0.7),
@@ -154,18 +173,43 @@ def default_edge_ids(entity_active, body_is_char,
     return e
 
 
+def shadow_static_mask(entities) -> np.ndarray:
+    """Default static-shadow-caster mask from EntityParams: entities
+    with no physics body and no character capsule never move, so their
+    shadows can bake once (terrain chunks, trees). Callers whose scenes
+    toggle bodiless entities (visibility-switched platform groups,
+    level57) must clear those slots before passing the mask to
+    build_render_tables."""
+    return np.asarray(entities.active) \
+        & (np.asarray(entities.body) < 0) \
+        & ~np.asarray(entities.body_is_char)
+
+
 def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
                         entity_active: np.ndarray,
-                        entity_edge_id: np.ndarray = None) -> RenderTables:
+                        entity_edge_id: np.ndarray = None,
+                        entity_shadow_static: np.ndarray = None
+                        ) -> RenderTables:
     """Instance-expand models over active entity slots (host).
 
     entity_edge_id: optional (E,) f32 per-entity solid-id/exclude packing
     (see default_edge_ids) — expanded to a per-vertex stream so
-    assemble_scene_geometry can emit SceneGeometry.edge_id."""
+    assemble_scene_geometry can emit SceneGeometry.edge_id.
+
+    entity_shadow_static: optional (E,) bool — entities whose transform
+    AND visibility never change (see shadow_static_mask). Their
+    coarsest-LOD faces move to ``static_shadow_faces`` (baked once,
+    pipeline.bake_static_shadow); the per-env ``shadow_faces`` stream
+    keeps only dynamic casters."""
     vs, ns, bc, rm, em, ve = [], [], [], [], [], []
     uvs, tgs, tids, fbms, eids = [], [], [], [], []
     fs, fe, fl = [], [], []
-    aabbs = np.zeros((len(entity_model), 2, 3), np.float32)
+    E = len(entity_model)
+    aabbs = np.zeros((E, 2, 3), np.float32)
+    ent_flat = np.zeros((E, 9), np.float32)
+    flat_eligible = not any(
+        m.uv is not None or m.tex_id >= 0 or m.mat_fbm is not None
+        for m in models)
     voff = 0
     any_material = any(
         m.uv is not None or m.tex_id >= 0 or m.mat_fbm is not None
@@ -177,6 +221,17 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         V = len(m.verts)
         if V == 0:
             continue    # render-empty entity (e.g. gameplay-only slot)
+        # kernel-attrs eligibility: material streams constant per model
+        if (np.ptp(m.base_color, axis=0).max(initial=0.0) > 0
+                or np.ptp(m.rough_metal, axis=0).max(initial=0.0) > 0
+                or np.ptp(m.emission, axis=0).max(initial=0.0) > 0):
+            flat_eligible = False
+        else:
+            ent_flat[ei, 0:3] = m.base_color[0]
+            ent_flat[ei, 3:5] = m.rough_metal[0]
+            ent_flat[ei, 5:8] = m.emission[0]
+            if entity_edge_id is not None:
+                ent_flat[ei, 8] = float(entity_edge_id[ei])
         vs.append(m.verts)
         ns.append(m.normals)
         bc.append(m.base_color)
@@ -209,6 +264,12 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
     coarse = np.zeros(len(entity_model), np.int64)
     np.maximum.at(coarse, fe_np, fl_np)
     ssel = fl_np == coarse[fe_np]
+    sta_faces = None
+    if entity_shadow_static is not None:
+        sta = np.asarray(entity_shadow_static, bool)
+        sta_sel = ssel & sta[fe_np]
+        sta_faces = jnp.asarray(fs_np[sta_sel])
+        ssel = ssel & ~sta[fe_np]      # dynamic casters only
     return RenderTables(
         verts=cat(vs), normals=cat(ns), base_color=cat(bc),
         rough_metal=cat(rm), emission=cat(em),
@@ -222,7 +283,69 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         edge_id=cat(eids) if entity_edge_id is not None else None,
         shadow_faces=jnp.asarray(fs_np[ssel]),
         shadow_face_entity=jnp.asarray(fe_np[ssel].astype(np.int32)),
+        ent_flat=jnp.asarray(ent_flat),
+        flat_eligible=bool(flat_eligible),
+        static_shadow_faces=sta_faces,
     )
+
+
+def bake_static_shadow(rt: RenderTables, entity_mx0, light_dir,
+                       shadow_size: int = 1024, far: float = 200.0):
+    """Render the STATIC casters' shadow atlas ONCE (host/session
+    setup): a single bounds-fit ortho light view over the static
+    geometry at its load pose. Static geometry + a fixed directional
+    light = a constant shadow map, so the per-frame/per-env CSM passes
+    only raster the dynamic stream (rt.shadow_faces) and the model pass
+    MULTIPLIES the two shadow factors (render_frame static_shadow=).
+
+    The reference re-renders every caster into every cascade each frame
+    (pipeline-builder.c shadow passes); the split trades cascade
+    locality on static geometry for removing ~95% of per-env shadow
+    records — the bounds atlas is rendered at ``shadow_size`` (default
+    1024 ≥ 4× the composed bench's per-cascade 256) to compensate.
+
+    Returns (moments (1, S, S, 2), mvps (1, 4, 4), cascade_dists (1,))
+    — the render_frame ``static_shadow`` triple."""
+    from .pipeline import RenderOptions, SceneGeometry, shadow_pass_all
+    from .view import bounds_light_subview
+
+    if rt.static_shadow_faces is None or rt.static_shadow_faces.shape[0] == 0:
+        raise ValueError("no static shadow stream: build_render_tables "
+                         "needs entity_shadow_static")
+    packed = entity_mx0[:, :3, :].reshape(entity_mx0.shape[0], 12)
+    g = packed[rt.vert_entity]
+    m = g.reshape(-1, 3, 4)
+    wverts = jnp.einsum("vij,vj->vi", m[:, :, :3], rt.verts) + m[:, :, 3]
+    # bounds over the static casters' own vertices
+    used = np.zeros(int(rt.verts.shape[0]), bool)
+    used[np.asarray(rt.static_shadow_faces).reshape(-1)] = True
+    wsub = jnp.asarray(np.asarray(wverts)[used])
+    sv, cd = bounds_light_subview(wsub.min(0) - 1.0, wsub.max(0) + 1.0,
+                                  light_dir, far=far)
+    T = rt.static_shadow_faces
+    ones_t = jnp.ones((T.shape[0],), bool)
+    zeros_v = jnp.zeros_like(wverts)
+    geom = SceneGeometry(
+        verts=wverts, normals=zeros_v, faces=T, face_valid=ones_t,
+        base_color=zeros_v, rough_metal=zeros_v[:, :2], emission=zeros_v,
+        shadow_faces=T, shadow_face_valid=ones_t)
+    opts = RenderOptions(shadow_size=shadow_size)
+    moments = shadow_pass_all(opts, geom, sv.view, sv.proj)
+    mvps = jnp.einsum("cij,cjk->cik", sv.proj, sv.view)
+    return moments, mvps, cd
+
+
+def kernel_attrs_ok(rt: RenderTables) -> bool:
+    """Static eligibility for RenderOptions.kernel_attrs over these
+    tables: flat per-entity materials AND the float tid-packing limits
+    (2T·ENT_PACK < 2^24 exactness, E ≤ ENT_PACK). Callers gate the
+    option on this so bigger scenes fall back to the gather path
+    instead of raising."""
+    from .raster import ENT_PACK
+
+    return bool(rt.flat_eligible
+                and rt.entity_aabb.shape[0] <= ENT_PACK
+                and 2 * rt.faces.shape[0] * ENT_PACK < 1 << 24)
 
 
 def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
@@ -314,13 +437,14 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
         mat_fbm=rt.mat_fbm if rt.any_material else None,
         edge_id=rt.edge_id,
         face_entity=rt.face_entity, ent_rot=rot,
+        ent_flat=rt.ent_flat if rt.flat_eligible else None,
     )
     axes = SceneGeometry(
         verts=0, normals=None, faces=None, face_valid=0,
         base_color=None, rough_metal=None, emission=None,
         uv=None, tangent=None, tex_id=None, local_pos=None, mat_fbm=None,
         edge_id=None, face_entity=None, ent_rot=0,
-        shadow_faces=None, shadow_face_valid=0,
+        shadow_faces=None, shadow_face_valid=0, ent_flat=None,
     )
     return geom, axes
 

@@ -195,3 +195,71 @@ def test_dynamic_batch_attr_bf16_close():
     diff = np.abs(np.asarray(i16) - np.asarray(i32))
     assert diff.mean() < 3e-3, diff.mean()
     assert np.quantile(diff, 0.999) < 0.1
+
+def test_dynamic_batch_kernel_attrs_exact():
+    """kernel_attrs mode (raster-kernel normal interpolation + one-hot
+    per-entity flats, NO per-pixel attr gather) through the FULL
+    dynamic-batch frame: the interpolation math is identical
+    (perspective-correct numerators, normalize), so the image must
+    match the gather path to float tolerance — including edge-id
+    outlines from the per-entity flat table."""
+    rt = _tables()
+    assert rt.flat_eligible and rt.ent_flat is not None
+    # edge ids flowed into the flat table (col 8)
+    np.testing.assert_allclose(np.asarray(rt.ent_flat[:, 8]),
+                               np.array([0, 1, 2, 0, 0, 0], np.float32))
+    B = 2
+    mxs, vis, eyes = _env_states(B, seed=5)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+    lights = _sun()
+    o_g = RenderOptions(width=96, height=96, shadow_size=64,
+                        film_grain=0.0)
+    o_k = RenderOptions(width=96, height=96, shadow_size=64,
+                        film_grain=0.0, kernel_attrs=True)
+
+    geom_b, axes = assemble_scene_geometry_batch(rt, mxs, vis, planes, eyes)
+    assert geom_b.ent_flat is not None
+    i_g = jax.jit(lambda g, v, e: render_frame_dynamic_batch(
+        o_g, g, axes, v, proj, lights, e, far=60.0))(geom_b, views, eyes)
+    i_k = jax.jit(lambda g, v, e: render_frame_dynamic_batch(
+        o_k, g, axes, v, proj, lights, e, far=60.0))(geom_b, views, eyes)
+    diff = np.abs(np.asarray(i_k) - np.asarray(i_g))
+    assert diff.max() < 1e-4, diff.max()
+
+
+def test_kernel_attrs_eligibility_raises():
+    """Static eligibility misuse raises instead of silently shading
+    wrong: missing ent_flat, and per-vertex-varying materials mark the
+    tables ineligible at build time."""
+    import pytest
+
+    from clap_tpu.render.scenerender import ModelData
+
+    rt = _tables()
+    B = 1
+    mxs, vis, eyes = _env_states(B)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+    geom_b, axes = assemble_scene_geometry_batch(rt, mxs, vis, planes, eyes)
+    geom_no = geom_b._replace(ent_flat=None)
+    opts = RenderOptions(width=32, height=32, shadow_size=32,
+                         kernel_attrs=True)
+    with pytest.raises(ValueError):
+        render_frame_dynamic_batch(opts, geom_no, axes, views, proj,
+                                   _sun(), eyes, far=60.0)
+
+    # per-vertex color variation → flat_eligible False at build time
+    from clap_tpu.scene.primitives import cube
+
+    v, n, uv, f = cube(1.0)
+    m = model_from_mesh(v, n, f, with_lods=False)
+    bc = np.asarray(m.base_color).copy()
+    bc[0] = [1.0, 0.0, 0.0]
+    m = m._replace(base_color=bc)
+    rt2 = build_render_tables([m], np.array([0]), np.array([True]))
+    assert not rt2.flat_eligible

@@ -295,3 +295,90 @@ def test_refined_binning_matches_and_shrinks():
     assert n_on <= n_off
     # random thin tris over a 2×8 grid: rejection must actually bite
     assert n_on < n_off, (n_on, n_off)
+
+
+def test_kernel_attrs_extras_parity():
+    """EXTRAS-mode records (kernel-side attribute interpolation): the
+    kernel's d0/d1/s plane slots carry iw·normal — normalize() must
+    recover the SAME perspective-correct normal the per-pixel attr
+    gather produces, the packed tid column must decode to (sub-tri,
+    entity), and coverage/depth must match the bary path exactly.
+    Exercises both record builders (assemble_tri_records and
+    clip_near_records with camera-crossing triangles)."""
+    from clap_tpu.render.raster import (ENT_PACK, assemble_tri_records,
+                                        clip_near_records, rasterize_attrs)
+    from clap_tpu.render.shade import interpolate_attrs
+
+    rng = np.random.default_rng(1)
+    W = H = 64
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    V = 48
+    verts = rng.uniform(-3, 3, (V, 3)).astype(np.float32)
+    # straddle the near plane: crossing triangles exercise the clip lerp
+    verts[:, 2] = rng.uniform(-8, 1.0, V).astype(np.float32)
+    nrm = rng.normal(size=(V, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    faces = rng.integers(0, V, (30, 3)).astype(np.int32)
+    ents = rng.integers(0, 7, (30,)).astype(np.int32)
+    clip = jnp.concatenate([jnp.asarray(verts), jnp.ones((V, 1))], -1) \
+        @ proj.T
+
+    # reference: bary raster + per-pixel attr gather
+    rec, ok, csrc, cb = clip_near_records(clip, jnp.asarray(faces), W, H)
+    gb = rasterize(rec, bin_triangles(rec, ok, W, H), W, H)
+    attrs = interpolate_attrs(gb, jnp.asarray(faces), jnp.asarray(nrm),
+                              csrc, cb)
+    n_ref = attrs / jnp.maximum(
+        jnp.linalg.norm(attrs, axis=-1, keepdims=True), 1e-6)
+
+    # extras mode through the clip builder
+    rec2, ok2, _, cb2 = clip_near_records(
+        clip, jnp.asarray(faces), W, H,
+        vextra=jnp.asarray(nrm), tid_pack=jnp.asarray(ents))
+    assert cb2 is None and rec2.shape[0] == 22
+    depth2, pid, attr = rasterize_attrs(
+        rec2, bin_triangles(rec2, ok2, W, H), W, H)
+    hit = np.asarray(pid >= 0)
+    hit_ref = np.asarray(gb.tri_id >= 0)
+    np.testing.assert_array_equal(hit, hit_ref)
+    assert hit.sum() > 500  # scene actually covers pixels
+    np.testing.assert_allclose(np.where(hit, np.asarray(depth2), 0.0),
+                               np.where(hit_ref, np.asarray(gb.depth), 0.0),
+                               atol=1e-5)
+    # packed tid decodes: entity = pid % ENT_PACK, sub-tri = pid // PACK
+    ent_px = np.where(hit, np.asarray(jnp.mod(pid, ENT_PACK)), -1)
+    sub_px = np.where(hit, np.asarray(pid // ENT_PACK), -1)
+    tid_ref = np.asarray(gb.tri_id)
+    ent_exp = np.where(hit_ref, ents[np.maximum(tid_ref, 0) % len(faces)],
+                       -1)
+    np.testing.assert_array_equal(ent_px, ent_exp)
+    np.testing.assert_array_equal(sub_px, np.where(hit_ref, tid_ref, -1))
+    # perspective-correct normal parity
+    n2 = attr / jnp.maximum(jnp.linalg.norm(attr, axis=-1, keepdims=True),
+                            1e-6)
+    derr = np.abs(np.where(hit[..., None], np.asarray(n2 - n_ref), 0.0))
+    assert derr.max() < 1e-4, derr.max()
+
+    # extras mode through the non-clip builder (safely-in-front subset)
+    sx, sy, z, iw = project_to_screen(clip, W, H)
+    fok = jnp.asarray(verts[:, 2] < -0.2)[faces].all(axis=1)
+    rec3, ok3 = assemble_tri_records(
+        sx, sy, z, iw, jnp.asarray(faces), fok,
+        vextra=jnp.asarray(nrm), tid_pack=jnp.asarray(ents))
+    assert rec3.shape[0] == 22
+    _, pid3, a3 = rasterize_attrs(
+        rec3, bin_triangles(rec3, ok3, W, H), W, H)
+    rec4, ok4 = assemble_tri_records(sx, sy, z, iw, jnp.asarray(faces), fok)
+    gb4 = rasterize(rec4, bin_triangles(rec4, ok4, W, H), W, H)
+    at4 = interpolate_attrs(gb4, jnp.asarray(faces), jnp.asarray(nrm))
+    n4 = at4 / jnp.maximum(jnp.linalg.norm(at4, axis=-1, keepdims=True),
+                           1e-6)
+    h3 = np.asarray(pid3 >= 0)
+    np.testing.assert_array_equal(h3, np.asarray(gb4.tri_id >= 0))
+    n3 = a3 / jnp.maximum(jnp.linalg.norm(a3, axis=-1, keepdims=True), 1e-6)
+    err = np.abs(np.where(h3[..., None], np.asarray(n3 - n4), 0.0))
+    assert err.max() < 1e-4, err.max()
+    np.testing.assert_array_equal(
+        np.where(h3, np.asarray(jnp.mod(pid3, ENT_PACK)), -1),
+        np.where(np.asarray(gb4.tri_id >= 0),
+                 ents[np.maximum(np.asarray(gb4.tri_id), 0)], -1))

@@ -37,7 +37,7 @@ from clap_tpu.render.pipeline import (RenderOptions,
                                       render_frame_dynamic_batch)
 from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
                                          build_render_tables,
-                                         default_edge_ids)
+                                         default_edge_ids, kernel_attrs_ok)
 from clap_tpu.render.view import make_subview
 from clap_tpu.scene.testbed import (build_demo_rig, build_testbed,
                                     testbed_models)
@@ -72,7 +72,10 @@ lights = lights._replace(
     is_dir=lights.is_dir.at[0].set(True),
     active=lights.active.at[0].set(True))
 opts = RenderOptions(width=res, height=res, shadow_size=256, film_grain=0.0,
-                     attr_bf16=bool(int(os.environ.get("ATTR_BF16", "0"))))
+                     attr_bf16=bool(int(os.environ.get("ATTR_BF16", "0"))),
+                     kernel_attrs=kernel_attrs_ok(rt) and bool(
+                         int(os.environ.get("KERNEL_ATTRS", "1"))))
+print("kernel_attrs:", opts.kernel_attrs, flush=True)
 proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
 skip = ent.skip_culling
 
