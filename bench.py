@@ -330,9 +330,11 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     from clap_tpu.render.pipeline import (RenderOptions,
                                           render_frame_dynamic_batch)
     from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
+                                             bake_static_shadow,
                                              build_render_tables,
                                              default_edge_ids,
-                                             kernel_attrs_ok)
+                                             kernel_attrs_ok,
+                                             shadow_static_mask)
     from clap_tpu.render.view import make_subview
     from clap_tpu.scene.testbed import (build_demo_rig, build_testbed,
                                         replicate_state, testbed_models)
@@ -362,8 +364,15 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     ent = tb.cfg.entities
     edge = default_edge_ids(np.asarray(ent.active),
                             np.asarray(ent.body_is_char))
-    rt = build_render_tables(models, np.asarray(ent.model_id),
-                             np.asarray(ent.active), entity_edge_id=edge)
+    # static/dynamic shadow split: terrain/trees bake ONCE into a
+    # bounds-fit 1024 atlas; per-env CSM rasters only the dynamic
+    # casters (chars + phys cubes). STATIC_SHADOW=0 reverts.
+    static_on = bool(int(os.environ.get("STATIC_SHADOW", "1")))
+    rt = build_render_tables(
+        models, np.asarray(ent.model_id), np.asarray(ent.active),
+        entity_edge_id=edge,
+        entity_shadow_static=shadow_static_mask(ent) if static_on
+        else None)
     lights = lights_empty(1)
     d = jnp.array([-0.4, -0.8, -0.4])
     lights = lights._replace(
@@ -371,6 +380,12 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
         color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
         is_dir=lights.is_dir.at[0].set(True),
         active=lights.active.at[0].set(True))
+    static_shadow = None
+    if static_on and rt.static_shadow_faces is not None \
+            and rt.static_shadow_faces.shape[0] > 0:
+        static_shadow = bake_static_shadow(rt, tb.state0.mx,
+                                           lights.direction[0],
+                                           shadow_size=1024, far=200.0)
     # kernel_attrs: raster-kernel normal interpolation + per-entity
     # one-hot flats — removes the per-pixel attr-table gather (the
     # dominant HBM term; exact image parity, test_dynamic_batch).
@@ -397,7 +412,8 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
         geom, axes = assemble_scene_geometry_batch(
             rt, sts.mx, sts.visible, planes, cam.pos, skip_culling=skip)
         return render_frame_dynamic_batch(opts, geom, axes, views, proj,
-                                          lights, cam.pos, far=200.0)
+                                          lights, cam.pos, far=200.0,
+                                          static_shadow=static_shadow)
 
     @jax.jit
     def step_and_render(gss, ins):

@@ -420,10 +420,16 @@ def _surface_gather(opts: RenderOptions, geom: SceneGeometry, clip,
 
 def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
                lights: Lights, eye, shadow_moments=None, shadow_mvps=None,
-               cascade_dists=None, base_texture=None, textures=None):
+               cascade_dists=None, base_texture=None, textures=None,
+               static_shadow=None):
     """MRT model pass (pipeline-builder.c:329-364) as raster + deferred
     shading. Returns (hdr lighting, emission, view normals, gbuffer,
-    view_pos, edge_meta)."""
+    view_pos, edge_meta).
+
+    static_shadow: optional (moments, mvps, dists) baked static-caster
+    atlas (scenerender.bake_static_shadow) — its factor multiplies the
+    per-frame CSM factor, which then only needs the dynamic-caster
+    stream."""
     W, H = opts.width, opts.height
     clip = clip_transform(geom.verts, cam_view, cam_proj)
     if opts.kernel_attrs:
@@ -453,23 +459,37 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     view_depth = -vpos[..., 2]
 
     sf = None
+    q_pos = q_vd = None
+    if shadow_moments is not None or static_shadow is not None:
+        # shadow factors at QUARTER res: VSM is already a filtered
+        # estimator, so the factor field is smooth — 1/16th the
+        # projection + atlas-fetch cost, bilinear upsample back
+        q_pos = post.downsample_pool(wpos, 4)
+        q_vd = post.downsample_pool(view_depth, 4)
+
+    def _up(sf_q):
+        sf_h = post.upsample2(sf_q[..., None],
+                              sf_q.shape[0] * 2, sf_q.shape[1] * 2)
+        return post.upsample2(sf_h, H, W)[..., 0]
+
     if shadow_moments is not None:
         if opts.shadow_vsm:
-            # shadow factor at QUARTER res: VSM is already a filtered
-            # estimator, so the factor field is smooth — 1/16th the
-            # projection + atlas-fetch cost, bilinear upsample back
-            sf_q = shade.vsm_shadow(shadow_moments, shadow_mvps,
-                                    cascade_dists,
-                                    post.downsample_pool(wpos, 4),
-                                    post.downsample_pool(view_depth, 4))
-            sf_h = post.upsample2(sf_q[..., None],
-                                  sf_q.shape[0] * 2, sf_q.shape[1] * 2)
-            sf = post.upsample2(sf_h, H, W)[..., 0]
+            sf = _up(shade.vsm_shadow(shadow_moments, shadow_mvps,
+                                      cascade_dists, q_pos, q_vd))
         else:
             # PCF 5×5 on the depth channel (shadow.glsl non-VSM path)
             sf = shade.pcf_shadow(shadow_moments[..., 0], shadow_mvps,
                                   cascade_dists, wpos, view_depth, nrm,
                                   lights.direction[0])
+    if static_shadow is not None:
+        # static-caster bounds atlas (scenerender.bake_static_shadow):
+        # factors MULTIPLY — exact unless a static and a dynamic
+        # occluder overlap along the same light ray (then shadow is
+        # darkest-of-two either way)
+        sm_s, mvp_s, cd_s = static_shadow
+        sf_s = _up(shade.vsm_shadow(sm_s, mvp_s, cd_s, q_pos, q_vd))
+        sf = sf_s if sf is None else sf * sf_s
+    if sf is not None:
         # grazing fade (shadow.glsl:202): mix(sf, 1, (1-NdotL)^1.3)
         l0 = -lights.direction[0]
         ndl = jnp.clip(jnp.sum(nrm * l0[None, None], -1), 0.0, 1.0)
@@ -538,7 +558,8 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                  cam_proj, lights: Lights, eye, far: float = 200.0,
                  ssao_kernel_arr=None, grain_noise=None, lut_volume=None,
                  base_texture=None, shadow_moments=None, shadow_mvps=None,
-                 cascade_dists=None, particles=None, textures=None):
+                 cascade_dists=None, particles=None, textures=None,
+                 static_shadow=None):
     """The full canonical frame (pipeline_build chain). Returns the
     final LDR (or PQ) image (H, W, 3).
 
@@ -557,7 +578,7 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     hdr, emit, vnrm, gb, vpos, edge_meta = model_pass(
         opts, geom, cam_view, cam_proj, lights, eye,
         shadow_moments, shadow_mvps, cascade_dists, base_texture,
-        textures,
+        textures, static_shadow=static_shadow,
     )
 
     if particles is not None:

@@ -110,9 +110,13 @@ def cascade_subviews(cam_view, cam_proj, light_dir, near, far,
                 + cam_proj @ jnp.array([0.0, 0.0, 0.0, 1.0])
             return (p[2] / p[3] + 1.0) * 0.5
 
-        corners = frustum_corners_world(cam_view, cam_proj,
-                                        ndc_t(jnp.float32(d0) + 1e-4 if i else 0.0),
-                                        ndc_t(d1))
+        # cascade 0 starts AT the near plane: t=0 directly — ndc_t(0)
+        # projects the camera origin (w = 0 → ±inf), which NaN'd the
+        # whole cascade-0 fit and silently killed every near-field CSM
+        # shadow (pixels selecting cascade 0 fail vsm_shadow's w guard
+        # and return lit)
+        t0 = jnp.float32(0.0) if i == 0 else ndc_t(jnp.float32(d0) + 1e-4)
+        corners = frustum_corners_world(cam_view, cam_proj, t0, ndc_t(d1))
         center = corners.mean(axis=0)
         eye = center - ldir * 1.0
         lview = mx.mat4_look_at_safe(eye, center, up)

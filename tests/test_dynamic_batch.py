@@ -263,3 +263,80 @@ def test_kernel_attrs_eligibility_raises():
     m = m._replace(base_color=bc)
     rt2 = build_render_tables([m], np.array([0]), np.array([True]))
     assert not rt2.flat_eligible
+
+
+def test_static_shadow_split():
+    """Static/dynamic shadow-caster split: ground bakes ONCE into a
+    bounds-fit atlas, only the cubes stay in the per-env CSM stream;
+    factors multiply. The split image must stay close to the full
+    per-env CSM image (different estimator footprints — tolerance, not
+    exactness), the dynamic stream must actually shrink, and the baked
+    atlas must contain real occluder depths."""
+    from clap_tpu.render.scenerender import (bake_static_shadow,
+                                             build_render_tables)
+    from clap_tpu.scene.primitives import cube
+
+    v, n, uv, f = cube(1.0)
+    flat_v = np.array([[-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8]],
+                      np.float32)
+    flat_n = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    flat_f = np.array([[0, 2, 1], [0, 3, 2]], np.uint32)
+    models = [
+        model_from_mesh(flat_v, flat_n, flat_f, with_lods=False),
+        model_from_mesh(v, n, f, base_color=(0.8, 0.4, 0.3),
+                        with_lods=False),
+    ]
+    model_id = np.array([0, 1, 1], np.int32)
+    active = np.ones(3, bool)
+    static_mask = np.array([True, False, False])
+    rt_full = build_render_tables(models, model_id, active)
+    rt_split = build_render_tables(models, model_id, active,
+                                   entity_shadow_static=static_mask)
+    assert rt_split.static_shadow_faces.shape[0] == 2        # the ground
+    assert rt_split.shadow_faces.shape[0] \
+        == rt_full.shadow_faces.shape[0] - 2                 # cubes only
+
+    B = 2
+    E = 3
+    mxs = np.tile(np.eye(4, dtype=np.float32), (B, E, 1, 1))
+    mxs[:, 1, :3, 3] = [1.5, 2.0, 0.0]     # cube floating above ground
+    mxs[:, 2, :3, 3] = [-2.0, 0.5, 1.0]
+    mxs = jnp.asarray(mxs)
+    vis = jnp.ones((B, E), bool)
+    eyes = jnp.asarray(np.tile([5.0, 6.0, 8.0], (B, 1)), jnp.float32)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v_: make_subview(v_, proj).planes)(views)
+    lights = _sun()
+    opts = RenderOptions(width=96, height=96, shadow_size=96,
+                         film_grain=0.0, ssao=False)
+
+    mx0 = mxs[0]
+    sm, mvp, cd = bake_static_shadow(rt_split, mx0, lights.direction[0],
+                                     shadow_size=128, far=60.0)
+    # the atlas saw the ground: occluder depths < the 1.0 far clear
+    assert float(jnp.min(sm[..., 0])) < 0.999
+
+    g_full, axes = assemble_scene_geometry_batch(
+        rt_full, mxs, vis, planes, eyes)
+    g_split, _ = assemble_scene_geometry_batch(
+        rt_split, mxs, vis, planes, eyes)
+    img_full = jax.jit(lambda g, v_, e: render_frame_dynamic_batch(
+        opts, g, axes, v_, proj, lights, e, far=60.0))(g_full, views, eyes)
+    img_split = jax.jit(lambda g, v_, e: render_frame_dynamic_batch(
+        opts, g, axes, v_, proj, lights, e, far=60.0,
+        static_shadow=(sm, mvp, cd)))(g_split, views, eyes)
+    diff = np.abs(np.asarray(img_split) - np.asarray(img_full))
+    assert diff.mean() < 0.02, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.25
+
+    # the floating cube still casts: its shadow darkens the ground in
+    # the split image vs a no-shadow-stream render of the same scene
+    g_nosh = g_split._replace(
+        shadow_face_valid=jnp.zeros_like(g_split.shadow_face_valid))
+    img_nosh = jax.jit(lambda g, v_, e: render_frame_dynamic_batch(
+        opts, g, axes, v_, proj, lights, e, far=60.0,
+        static_shadow=(sm, mvp, cd)))(g_nosh, views, eyes)
+    assert float(np.abs(np.asarray(img_nosh) - np.asarray(img_split))
+                 .max()) > 0.05

@@ -36,8 +36,10 @@ from clap_tpu.render.lights import lights_empty
 from clap_tpu.render.pipeline import (RenderOptions,
                                       render_frame_dynamic_batch)
 from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
+                                         bake_static_shadow,
                                          build_render_tables,
-                                         default_edge_ids, kernel_attrs_ok)
+                                         default_edge_ids, kernel_attrs_ok,
+                                         shadow_static_mask)
 from clap_tpu.render.view import make_subview
 from clap_tpu.scene.testbed import (build_demo_rig, build_testbed,
                                     testbed_models)
@@ -62,8 +64,11 @@ gs1 = GameSessionState(engine=tb.state0, game=game_state_init(1, n_chars),
 models = testbed_models(tb)
 ent = tb.cfg.entities
 edge = default_edge_ids(np.asarray(ent.active), np.asarray(ent.body_is_char))
-rt = build_render_tables(models, np.asarray(ent.model_id),
-                         np.asarray(ent.active), entity_edge_id=edge)
+static_on = bool(int(os.environ.get("STATIC_SHADOW", "1")))
+rt = build_render_tables(
+    models, np.asarray(ent.model_id), np.asarray(ent.active),
+    entity_edge_id=edge,
+    entity_shadow_static=shadow_static_mask(ent) if static_on else None)
 lights = lights_empty(1)
 d = jnp.array([-0.4, -0.8, -0.4])
 lights = lights._replace(
@@ -75,7 +80,14 @@ opts = RenderOptions(width=res, height=res, shadow_size=256, film_grain=0.0,
                      attr_bf16=bool(int(os.environ.get("ATTR_BF16", "0"))),
                      kernel_attrs=kernel_attrs_ok(rt) and bool(
                          int(os.environ.get("KERNEL_ATTRS", "1"))))
-print("kernel_attrs:", opts.kernel_attrs, flush=True)
+static_shadow = None
+if static_on and rt.static_shadow_faces is not None \
+        and rt.static_shadow_faces.shape[0] > 0:
+    static_shadow = bake_static_shadow(rt, tb.state0.mx,
+                                       lights.direction[0],
+                                       shadow_size=1024, far=200.0)
+print("kernel_attrs:", opts.kernel_attrs,
+      "static_shadow:", static_shadow is not None, flush=True)
 proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
 skip = ent.skip_culling
 
@@ -102,7 +114,8 @@ def f_full(gss, ins):
     geom, axes = assemble_scene_geometry_batch(
         rt, sts.mx, sts.visible, planes, sts.camera.pos, skip_culling=skip)
     imgs = render_frame_dynamic_batch(opts, geom, axes, views, proj,
-                                      lights, sts.camera.pos, far=200.0)
+                                      lights, sts.camera.pos, far=200.0,
+                                      static_shadow=static_shadow)
     return gss, jnp.mean(imgs, axis=(1, 2, 3))
 
 
