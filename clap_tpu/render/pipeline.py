@@ -233,7 +233,7 @@ def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
     Eligibility is STATIC (raises otherwise): local-attrs geometry,
     untextured/un-fBm'd, E <= ENT_PACK entities, 2T·ENT_PACK < 2^24
     records (float tid exactness)."""
-    from .raster import ENT_PACK, clip_near_records, rasterize_attrs
+    from .raster import clip_near_records, ent_pack_stride, rasterize_attrs
 
     W, H = opts.width, opts.height
     if geom.ent_rot is None or geom.face_entity is None \
@@ -242,20 +242,22 @@ def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
                          "ent_flat (RenderTables.flat_eligible)")
     n_ent = geom.ent_rot.shape[-3]
     T = geom.faces.shape[0]
-    if n_ent > ENT_PACK or 2 * T * ENT_PACK >= 1 << 24:
+    stride = ent_pack_stride(n_ent)     # adaptive: few entities → small
+    if 2 * T * stride >= 1 << 24:       # stride → higher triangle cap
         raise ValueError(
-            f"kernel_attrs limits exceeded: E={n_ent} (<= {ENT_PACK}), "
-            f"T={T} (<= {(1 << 24) // (2 * ENT_PACK)})")
+            f"kernel_attrs limit exceeded: T={T} with E={n_ent} "
+            f"(stride {stride}) needs 2·T·stride < 2^24")
     rec, ok, _csrc, _ = clip_near_records(
         clip, geom.faces, W, H, geom.face_valid,
-        vextra=geom.normals, tid_pack=geom.face_entity)
+        vextra=geom.normals, tid_pack=geom.face_entity,
+        pack_stride=stride)
     binned = bin_triangles(rec, ok, W, H, cap=opts.raster_cap or None)
     depth, pid, nraw = rasterize_attrs(rec, binned, W, H)
     gb = GBuffer(depth=depth, tri_id=pid,
                  bary=jnp.zeros(pid.shape + (2,), jnp.float32))
     hit_px = pid >= 0
     # background (-1) maps to the out-of-range id → no one-hot match
-    ent = jnp.where(hit_px, jnp.mod(pid, ENT_PACK), n_ent)
+    ent = jnp.where(hit_px, jnp.mod(pid, stride), n_ent)
     oh_px = (ent[..., None] == jnp.arange(n_ent)[None, None, :]
              ).astype(jnp.float32)
     tbl = jnp.concatenate(
@@ -568,7 +570,14 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     None → per-view CSM fit + shadow passes, like the reference."""
     W, H = opts.width, opts.height
 
-    if shadow_moments is None and lights.active.shape[0] > 0:
+    # fully static scene under the shadow split: the dynamic caster
+    # stream is statically empty — skip the per-view CSM fit entirely
+    # (the record pipeline can't run on a 0-length stream, and the
+    # baked static atlas already carries every shadow)
+    casters = geom.shadow_faces if geom.shadow_faces is not None \
+        else geom.faces
+    if shadow_moments is None and casters.shape[0] > 0 \
+            and lights.active.shape[0] > 0:
         ldir = lights.direction[0]
         casc, cascade_dists = cascade_subviews(cam_view, cam_proj, ldir,
                                                0.1, far)

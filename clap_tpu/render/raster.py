@@ -96,11 +96,20 @@ def project_to_screen(clip: jnp.ndarray, width: int, height: int):
     return sx, sy, ndc[..., 2], iw
 
 
-ENT_PACK = 128   # tid-column entity packing stride (extras mode):
-                 # packed = sub_tri_id · 128 + entity. Float tri ids are
-                 # exact below 2^24, so the mode requires
-                 # n_records · 128 < 2^24 (T ≤ 65536 for the 2T clip
-                 # stream); callers fall back to the gather path beyond.
+ENT_PACK = 128   # default tid-column entity packing stride (extras
+                 # mode): packed = sub_tri_id · stride + entity. Float
+                 # tri ids are exact below 2^24, so the mode requires
+                 # n_records · stride < 2^24 (T ≤ 65536 for the 2T clip
+                 # stream at stride 128). Callers with few entities pass
+                 # a smaller power-of-two stride (ent_pack_stride) to
+                 # raise the triangle cap proportionally; beyond the cap
+                 # they fall back to the gather path.
+
+
+def ent_pack_stride(n_ent: int) -> int:
+    """Smallest power-of-two packing stride covering n_ent entity ids
+    (≥ 2 so background -1 never collides with a packed id's low bits)."""
+    return max(2, 1 << (int(n_ent) - 1).bit_length())
 
 
 def corner_records(c0, c1, c2, valid_mask=None, two_sided: bool = False,
@@ -128,7 +137,7 @@ def corner_records(c0, c1, c2, valid_mask=None, two_sided: bool = False,
 
 def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
                          two_sided: bool = False, vextra=None,
-                         tid_pack=None):
+                         tid_pack=None, pack_stride: int = ENT_PACK):
     """Build the packed (T, 12) per-triangle record the kernel consumes:
     three [x, y, z, 1/w] vertex groups (_XC/_YC/_ZC/_WC columns). One
     packed (V, 4) vertex table keeps this to 3 wide gathers. Also
@@ -149,7 +158,7 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     tid·ENT_PACK + tid_pack (per-pixel entity id without a gather)."""
     tri_f = jnp.arange(faces.shape[0], dtype=jnp.float32)
     if tid_pack is not None:
-        tri_f = tri_f * ENT_PACK + tid_pack.astype(jnp.float32)
+        tri_f = tri_f * pack_stride + tid_pack.astype(jnp.float32)
     # v1/v2 swap: the screen y-flip turns GL/world CCW into image-space
     # CW; swapping restores positive kernel area for front faces (GL
     # front-face = CCW parity). ONE gather_rows over the corner order
@@ -217,7 +226,8 @@ def _finish_records(cols, valid_mask, two_sided):
 
 def clip_near_records(clip_verts, faces, width: int, height: int,
                       valid_mask=None, two_sided: bool = False,
-                      w_eps: float = 1e-4, vextra=None, tid_pack=None):
+                      w_eps: float = 1e-4, vextra=None, tid_pack=None,
+                      pack_stride: int = ENT_PACK):
     """Near-plane clipping (the GL hardware-clip analogue the v1 raster
     skipped — crossing triangles used to drop, raster.py r1): clip each
     triangle against w = w_eps in CLIP space into ≤2 sub-triangles,
@@ -329,7 +339,7 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     p2 = proj_corner(tA2, tB2)
     tid = jnp.arange(2 * T, dtype=jnp.float32)
     if tid_pack is not None:
-        tid = tid * ENT_PACK \
+        tid = tid * pack_stride \
             + jnp.concatenate([tid_pack] * 2).astype(jnp.float32)
     if vextra is not None:
         # extras layout (22 cols): no cb pairs — extras mode never reads

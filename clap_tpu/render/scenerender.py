@@ -337,15 +337,15 @@ def bake_static_shadow(rt: RenderTables, entity_mx0, light_dir,
 
 def kernel_attrs_ok(rt: RenderTables) -> bool:
     """Static eligibility for RenderOptions.kernel_attrs over these
-    tables: flat per-entity materials AND the float tid-packing limits
-    (2T·ENT_PACK < 2^24 exactness, E ≤ ENT_PACK). Callers gate the
-    option on this so bigger scenes fall back to the gather path
-    instead of raising."""
-    from .raster import ENT_PACK
+    tables: flat per-entity materials AND the float tid-packing limit
+    (2T·stride < 2^24 exactness, stride = the adaptive power-of-two
+    covering E). Callers gate the option on this so bigger scenes fall
+    back to the gather path instead of raising."""
+    from .raster import ent_pack_stride
 
+    stride = ent_pack_stride(rt.entity_aabb.shape[0])
     return bool(rt.flat_eligible
-                and rt.entity_aabb.shape[0] <= ENT_PACK
-                and 2 * rt.faces.shape[0] * ENT_PACK < 1 << 24)
+                and 2 * rt.faces.shape[0] * stride < 1 << 24)
 
 
 def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,

@@ -340,3 +340,52 @@ def test_static_shadow_split():
         static_shadow=(sm, mvp, cd)))(g_nosh, views, eyes)
     assert float(np.abs(np.asarray(img_nosh) - np.asarray(img_split))
                  .max()) > 0.05
+
+
+def test_static_shadow_all_static_scene():
+    """Fully static scene under the split: the dynamic caster stream is
+    empty, render_frame must skip the CSM fit (a 0-length record stream
+    can't bin) and shade entirely from the baked static atlas — the
+    floating cube's baked shadow must darken the ground."""
+    from clap_tpu.render.scenerender import (bake_static_shadow,
+                                             build_render_tables)
+    from clap_tpu.scene.primitives import cube
+
+    v, n, uv, f = cube(1.2)
+    flat_v = np.array([[-8, 0, -8], [8, 0, -8], [8, 0, 8], [-8, 0, 8]],
+                      np.float32)
+    flat_n = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    flat_f = np.array([[0, 2, 1], [0, 3, 2]], np.uint32)
+    models = [
+        model_from_mesh(flat_v, flat_n, flat_f, with_lods=False),
+        model_from_mesh(v, n, f, base_color=(0.8, 0.4, 0.3),
+                        with_lods=False),
+    ]
+    rt = build_render_tables(models, np.array([0, 1]), np.ones(2, bool),
+                             entity_shadow_static=np.ones(2, bool))
+    assert rt.shadow_faces.shape[0] == 0    # everything static
+
+    B = 1
+    mxs = np.tile(np.eye(4, dtype=np.float32), (B, 2, 1, 1))
+    mxs[:, 1, :3, 3] = [0.5, 2.0, 0.0]
+    mxs = jnp.asarray(mxs)
+    vis = jnp.ones((B, 2), bool)
+    eyes = jnp.asarray([[5.0, 6.0, 8.0]], jnp.float32)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v_: make_subview(v_, proj).planes)(views)
+    lights = _sun()
+    opts = RenderOptions(width=96, height=96, shadow_size=96,
+                         film_grain=0.0, ssao=False)
+    sm, mvp, cd = bake_static_shadow(rt, mxs[0], lights.direction[0],
+                                     shadow_size=128, far=60.0)
+    geom, axes = assemble_scene_geometry_batch(rt, mxs, vis, planes, eyes)
+    img = render_frame_dynamic_batch(opts, geom, axes, views, proj,
+                                     lights, eyes, far=60.0,
+                                     static_shadow=(sm, mvp, cd))
+    img_no = render_frame_dynamic_batch(opts, geom, axes, views, proj,
+                                        lights, eyes, far=60.0)
+    assert np.isfinite(np.asarray(img)).all()
+    # the baked shadow darkens the ground vs the no-atlas render
+    assert float(np.abs(np.asarray(img) - np.asarray(img_no)).max()) > 0.05
