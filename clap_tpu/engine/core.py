@@ -148,11 +148,17 @@ class Engine:
         ``textures`` (TextureSets), 3D-LUT grading volume, film-grain
         blue noise, and — when the session carries a ParticleState and
         ``particle_world`` (the GameWorld's ParticleParams) is given —
-        the live particle systems render each frame (particle.c:122-125)."""
+        the live particle systems render each frame (particle.c:122-125).
+
+        When ``render_tables`` carries a static shadow stream
+        (build_render_tables entity_shadow_static=), the static
+        casters' atlas is baked ONCE here (the engine state's load pose)
+        and every frame's CSM only rasters the dynamic casters."""
         from .. import mathx as mx
         from ..render.camera import camera_view_proj
         from ..render.pipeline import RenderOptions, render_frame
-        from ..render.scenerender import assemble_scene_geometry
+        from ..render.scenerender import (assemble_scene_geometry,
+                                          bake_static_shadow)
         from ..render.view import make_subview
 
         if opts is None:
@@ -161,6 +167,13 @@ class Engine:
                                  film_grain=0.0 if grain_noise is None
                                  else 0.03)
         aspect = opts.width / opts.height
+        static_shadow = None
+        if getattr(render_tables, "static_shadow_faces", None) is not None \
+                and render_tables.static_shadow_faces.shape[0] > 0 \
+                and lights.active.shape[0] > 0:
+            static_shadow = bake_static_shadow(
+                render_tables, self.state.mx, lights.direction[0],
+                shadow_size=max(opts.shadow_size, 1024))
         has_particles = (particle_world is not None
                          and self.session is not None
                          and self.session.particles is not None)
@@ -191,7 +204,8 @@ class Engine:
             return render_frame(opts, geom, view, proj, lights, cam.pos,
                                 textures=textures, lut_volume=lut_volume,
                                 grain_noise=grain_noise,
-                                particles=part_arg)
+                                particles=part_arg,
+                                static_shadow=static_shadow)
 
         self._render = jax.jit(render)
         self._render_particles = has_particles

@@ -113,7 +113,8 @@ def main():
         from clap_tpu.render.pipeline import RenderOptions, TextureSets
         from clap_tpu.render.scenerender import (build_render_tables,
                                                  default_edge_ids,
-                                                 model_from_mesh)
+                                                 model_from_mesh,
+                                                 shadow_static_mask)
 
         t = tb.terrain
         # procedural texture set (the assets ship textures via glTF —
@@ -143,9 +144,12 @@ def main():
         ent = tb.cfg.entities
         edge = default_edge_ids(np.asarray(ent.active),
                                 np.asarray(ent.body_is_char))
+        # terrain/trees bake their shadows once (static split);
+        # per-frame CSM rasters only characters + dynamic cubes
         rt = build_render_tables(models, np.asarray(ent.model_id),
                                  np.asarray(ent.active),
-                                 entity_edge_id=edge)
+                                 entity_edge_id=edge,
+                                 entity_shadow_static=shadow_static_mask(ent))
         lights = lights_empty(1)
         d = jnp.array([-0.4, -0.8, -0.4])
         lights = lights._replace(
