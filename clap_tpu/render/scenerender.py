@@ -173,16 +173,21 @@ def default_edge_ids(entity_active, body_is_char,
     return e
 
 
-def shadow_static_mask(entities) -> np.ndarray:
+def shadow_static_mask(entities, platform_group=None) -> np.ndarray:
     """Default static-shadow-caster mask from EntityParams: entities
     with no physics body and no character capsule never move, so their
-    shadows can bake once (terrain chunks, trees). Callers whose scenes
-    toggle bodiless entities (visibility-switched platform groups,
-    level57) must clear those slots before passing the mask to
-    build_render_tables."""
-    return np.asarray(entities.active) \
+    shadows can bake once (terrain chunks, trees).
+
+    platform_group: optional (E,) int32 from GameConfig — entities in a
+    switch-driven platform group (id >= 0) toggle visibility at play
+    time, so they stay DYNAMIC casters. Scenes with other bodiless
+    toggling entities must clear those slots themselves."""
+    m = np.asarray(entities.active) \
         & (np.asarray(entities.body) < 0) \
         & ~np.asarray(entities.body_is_char)
+    if platform_group is not None:
+        m = m & ~(np.asarray(platform_group) >= 0)
+    return m
 
 
 def build_render_tables(models: list[ModelData], entity_model: np.ndarray,

@@ -389,3 +389,25 @@ def test_static_shadow_all_static_scene():
     assert np.isfinite(np.asarray(img)).all()
     # the baked shadow darkens the ground vs the no-atlas render
     assert float(np.abs(np.asarray(img) - np.asarray(img_no)).max()) > 0.05
+
+
+def test_shadow_static_mask_platform_exclusion():
+    """Switch-driven platform groups toggle visibility at play time —
+    shadow_static_mask must keep them in the DYNAMIC caster stream even
+    though they have no physics body."""
+    from clap_tpu.engine.state import EntityParams
+    from clap_tpu.render.scenerender import shadow_static_mask
+
+    E = 5
+    ent = EntityParams(
+        active=jnp.array([1, 1, 1, 1, 0], bool),
+        model_id=jnp.zeros(E, jnp.int32),
+        body=jnp.array([-1, 0, -1, -1, -1], jnp.int32),
+        body_is_char=jnp.array([0, 0, 1, 0, 0], bool),
+        yoffset=jnp.zeros(E), parent=jnp.full(E, -1, jnp.int32),
+        skip_culling=jnp.zeros(E, bool))
+    pg = jnp.array([-1, -1, -1, 0, -1], jnp.int32)  # entity 3 = platform
+    m = shadow_static_mask(ent)
+    np.testing.assert_array_equal(m, [True, False, False, True, False])
+    m2 = shadow_static_mask(ent, platform_group=pg)
+    np.testing.assert_array_equal(m2, [True, False, False, False, False])
