@@ -247,6 +247,112 @@ def bench_full_frame(width=1280, height=720, nr_v=96, n_cubes=0,
             "max_per_tile": bs["max_per_tile"]}
 
 
+def bench_full_frame_production(width=1280, height=720, nr_v=240,
+                                n_cubes=256):
+    """Dense 720p frame through the PRODUCTION content path: the same
+    ~117k-tri scene as full_frame_720p_dense, but built as RenderTables
+    entities (static terrain + a dynamic cube-field entity) and
+    rendered with the engine's architectural levers ON:
+
+    - kernel_attrs: raster-kernel normal interpolation, no per-pixel
+      attr gather (E=2 → packing stride 2 → T cap 4M);
+    - static/dynamic shadow split: terrain's 115k tris bake ONCE into a
+      2048 bounds atlas; the per-frame CSM rasters only the ~3k cube
+      tris.
+
+    The hand-built-geometry dense bench stays alongside as the
+    no-levers comparison point."""
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.lights import lights_empty
+    from clap_tpu.render.pipeline import (RenderOptions,
+                                          render_frame_dynamic_batch)
+    from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
+                                             bake_static_shadow,
+                                             build_render_tables,
+                                             kernel_attrs_ok,
+                                             model_from_mesh)
+    from clap_tpu.render.view import make_subview
+    from clap_tpu.scene.primitives import cube
+    from clap_tpu.scene.terrain import terrain_init_square_landscape
+
+    t = terrain_init_square_landscape(3, -32.0, 0.0, -32.0, 64.0, nr_v)
+    cv, cn, _cuv, cf = cube(1.6)
+    rng = np.random.default_rng(9)
+    gx = rng.uniform(-30.0, 30.0, n_cubes)
+    gz = rng.uniform(-30.0, 30.0, n_cubes)
+    vs, ns, fs = [], [], []
+    base = 0
+    hg = t.heights
+    nv = hg.shape[0]
+    for i in range(n_cubes):
+        xi = int((gx[i] + 32.0) / 64.0 * (nv - 1))
+        zi = int((gz[i] + 32.0) / 64.0 * (nv - 1))
+        h = float(hg[min(xi, nv - 1), min(zi, nv - 1)])
+        vs.append(cv + np.array([gx[i], h + 0.8, gz[i]], np.float32))
+        ns.append(cn)
+        fs.append(np.asarray(cf) + base)
+        base += cv.shape[0]
+    models = [
+        model_from_mesh(t.vx, t.norm, t.idx.reshape(-1, 3),
+                        base_color=(0.45, 0.45, 0.45), with_lods=False),
+        model_from_mesh(np.concatenate(vs), np.concatenate(ns),
+                        np.concatenate(fs), base_color=(0.6, 0.5, 0.4),
+                        with_lods=False),
+    ]
+    rt = build_render_tables(
+        models, np.array([0, 1]), np.ones(2, bool),
+        entity_shadow_static=np.array([True, False]))
+    lights = lights_empty(1)
+    d = jnp.array([-0.4, -0.8, -0.4])
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True))
+    t_bake = time.perf_counter()
+    static_shadow = jax.tree.map(_sync, bake_static_shadow(
+        rt, jnp.tile(jnp.eye(4), (2, 1, 1)).astype(jnp.float32),
+        lights.direction[0], shadow_size=2048))
+    bake_ms = (time.perf_counter() - t_bake) * 1e3
+    ka = kernel_attrs_ok(rt)
+    opts = RenderOptions(width=width, height=height, shadow_size=512,
+                         film_grain=0.0, raster_cap=4096,
+                         kernel_attrs=ka)
+    eye = jnp.array([[0.0, 18.0, 28.0]])
+    proj = mx.mat4_perspective(jnp.pi / 3, width / height, 0.1, 200.0)
+
+    def frame(mxs, eyes):
+        views = jax.vmap(lambda e: mx.mat4_look_at(
+            e, jnp.array([0.0, 2.0, 0.0]),
+            jnp.array([0.0, 1.0, 0.0])))(eyes)
+        planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+        geom, axes = assemble_scene_geometry_batch(
+            rt, mxs, jnp.ones((1, 2), bool), planes, eyes,
+            skip_culling=jnp.array([True, False]))
+        return render_frame_dynamic_batch(opts, geom, axes, views, proj,
+                                          lights, eyes,
+                                          static_shadow=static_shadow)
+
+    fj = jax.jit(frame)
+    mxs = jnp.tile(jnp.eye(4), (1, 2, 1, 1)).astype(jnp.float32)
+    img0 = _sync(fj(mxs, eye))
+    img1 = _sync(fj(mxs, eye + jnp.array([[0.5, 0.0, 0.0]])))
+    depends = bool(jnp.any(jnp.abs(img0 - img1) > 1e-6))
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        img = fj(mxs, eye)
+    _sync(img)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "full_frame_720p_production_ms", "value": dt * 1e3,
+            "fps": 1.0 / dt, "tris": int(rt.faces.shape[0]),
+            "kernel_attrs": bool(ka), "bake_ms": bake_ms,
+            "dyn_shadow_tris": int(rt.shadow_faces.shape[0]),
+            "input_dependent": depends}
+
+
 def bench_batched_render(n_envs: int = 64, res: int = 256):
     """North-star rendering half: N envs × 256² frames (shared scene,
     per-env cameras) — one vmapped frame program."""
@@ -527,6 +633,14 @@ def main():
             name="full_frame_720p_dense_ms")
     except Exception as e:  # pragma: no cover
         sub["full_frame_dense"] = {"error": str(e)[:200]}
+
+    try:
+        # dense 720p through the production path (RenderTables +
+        # kernel_attrs + static-shadow bake) — the levers-on companion
+        # to full_frame_dense
+        sub["full_frame_production"] = bench_full_frame_production()
+    except Exception as e:  # pragma: no cover
+        sub["full_frame_production"] = {"error": str(e)[:200]}
 
     try:
         sub["batched_render"] = bench_batched_render()

@@ -60,6 +60,14 @@ class RenderTables(NamedTuple):
     face_entity: jnp.ndarray  # (Ti,) int32
     face_lod: jnp.ndarray     # (Ti,) int32
     entity_aabb: jnp.ndarray  # (E, 2, 3) model-local AABB per entity
+    ent_max_lod: jnp.ndarray = None  # (E,) int32 coarsest AVAILABLE LOD
+                                     # per entity — distance LOD clamps
+                                     # here, or single-LOD models
+                                     # (with_lods=False) would render
+                                     # NOTHING beyond LOD_DISTANCES[0]
+                                     # (the face mask matches lod ==
+                                     # face_lod exactly; model.c clamps
+                                     # to the model's own LOD count)
     edge_id: jnp.ndarray = None  # (Vi,) f32 solid id 0-15 + 128·exclude
                                  # (RT2 alpha packing, model.frag:109-125)
     # STATIC shadow-caster subset: the coarsest LOD of every entity.
@@ -285,6 +293,7 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         face_entity=cat(fe, np.int32).astype(jnp.int32),
         face_lod=cat(fl, np.int32).astype(jnp.int32),
         entity_aabb=jnp.asarray(aabbs),
+        ent_max_lod=jnp.asarray(coarse.astype(np.int32)),
         edge_id=cat(eids) if entity_edge_id is not None else None,
         shadow_faces=jnp.asarray(fs_np[ssel]),
         shadow_face_entity=jnp.asarray(fe_np[ssel].astype(np.int32)),
@@ -405,6 +414,8 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
     lod = jnp.sum(dist[..., None] > jnp.asarray(LOD_DISTANCES)[None, None, :],
                   axis=-1).astype(jnp.int32)
     lod = jnp.minimum(lod, LOD_MAX - 1)
+    if rt.ent_max_lod is not None:   # clamp to each entity's own chain
+        lod = jnp.minimum(lod, rt.ent_max_lod[None, :])
     ent_ok = entity_visible & in_frustum                  # (B, E)
 
     # face validity: entity-ok AND lod match, as ONE one-hot matmul over
@@ -488,6 +499,8 @@ def assemble_scene_geometry(rt: RenderTables, entity_mx, entity_visible,
     dist = jnp.linalg.norm(wc - cam_pos[None], axis=-1)
     lod = jnp.searchsorted(jnp.asarray(LOD_DISTANCES), dist).astype(jnp.int32)
     lod = jnp.minimum(lod, LOD_MAX - 1)
+    if rt.ent_max_lod is not None:   # clamp to each entity's own chain
+        lod = jnp.minimum(lod, rt.ent_max_lod)
 
     ent_ok = entity_visible & in_frustum
     fv = ent_ok[rt.face_entity] & (rt.face_lod == lod[rt.face_entity])

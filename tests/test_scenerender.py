@@ -184,3 +184,39 @@ def test_chunked_terrain_culls_and_lods():
     fv = np.asarray(g.face_valid)
     # side view: behind-camera chunks culled + far chunks LOD'd
     assert fv.sum() < 0.5 * lod0.sum(), (fv.sum(), lod0.sum())
+
+
+def test_single_lod_model_visible_at_distance():
+    """A with_lods=False model has only LOD 0; distance-LOD selection
+    must clamp to the entity's own chain or the model renders NOTHING
+    beyond LOD_DISTANCES[0] (model.c clamps to the model's LOD count).
+    Regression: monolithic terrain vanished past 30 units."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clap_tpu.render.scenerender import (assemble_scene_geometry,
+                                             assemble_scene_geometry_batch,
+                                             build_render_tables,
+                                             model_from_mesh)
+    from clap_tpu.render.view import make_subview
+    from clap_tpu import mathx as mx
+    from clap_tpu.scene.primitives import cube
+
+    v, n, uv, f = cube(2.0)
+    m = model_from_mesh(v, n, f, with_lods=False)
+    rt = build_render_tables([m], np.array([0]), np.ones(1, bool))
+    assert int(rt.ent_max_lod[0]) == 0
+
+    eye = jnp.array([0.0, 5.0, 100.0])     # 100 units away → raw lod 2
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 300.0)
+    planes = make_subview(view, proj).planes
+    mx1 = jnp.eye(4)[None]
+    g1 = assemble_scene_geometry(rt, mx1[0][None].reshape(1, 4, 4),
+                                 jnp.ones(1, bool), planes, eye)
+    assert bool(g1.face_valid.any()), "single-env: model culled by LOD"
+
+    gb, _ = assemble_scene_geometry_batch(
+        rt, mx1[None], jnp.ones((1, 1), bool), planes[None], eye[None])
+    assert bool(gb.face_valid.any()), "batched: model culled by LOD"
