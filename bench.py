@@ -360,24 +360,39 @@ def bench_batched_render(n_envs: int = 64, res: int = 256):
 
     from clap_tpu import mathx as mx
     from clap_tpu.render.lights import lights_empty
-    from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
-                                          render_frame)
+    from clap_tpu.render.pipeline import RenderOptions
+    from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
+                                             build_render_tables,
+                                             kernel_attrs_ok,
+                                             model_from_mesh)
+    from clap_tpu.render.view import make_subview
     from clap_tpu.scene.terrain import terrain_init_square_landscape
 
-    from clap_tpu.render.raster import cluster_faces
-
     t = terrain_init_square_landscape(11, -16.0, 0.0, -16.0, 32.0, 48)
-    V = t.vx.shape[0]
-    geom = SceneGeometry(
-        verts=jnp.asarray(t.vx), normals=jnp.asarray(t.norm),
-        faces=jnp.asarray(cluster_faces(t.vx, t.idx.reshape(-1, 3))[0]),
-        face_valid=jnp.ones((t.idx.size // 3,), bool),
-        base_color=jnp.full((V, 3), 0.45),
-        rough_metal=jnp.tile(jnp.array([[0.8, 0.0]]), (V, 1)),
-        emission=jnp.zeros((V, 3)),
-    )
+    # production content path (RenderTables → assembly → kernel_attrs):
+    # the shared terrain is one entity; KERNEL_ATTRS=0 reverts to the
+    # hand-geometry gather path for A/B
+    rt = build_render_tables(
+        [model_from_mesh(t.vx, t.norm, t.idx.reshape(-1, 3),
+                         with_lods=False)],
+        np.array([0]), np.ones(1, bool))
+    ka = kernel_attrs_ok(rt) and bool(
+        int(os.environ.get("KERNEL_ATTRS", "1")))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 100.0)
+    eye0 = jnp.array([[12.0, 9.0, 0.0]])
+    view0 = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eye0)
+    planes0 = jax.vmap(lambda v: make_subview(v, proj).planes)(view0)
+    geom_b, _axes = assemble_scene_geometry_batch(
+        rt, jnp.tile(jnp.eye(4), (1, 1, 1, 1)).astype(jnp.float32),
+        jnp.ones((1, 1), bool), planes0, eye0,
+        skip_culling=jnp.array([True]))
+    # squeeze the env axis (per-env leaves only, per the axes tree):
+    # one SHARED static scene for all views
+    geom = jax.tree.map(lambda x, a: x[0] if a == 0 else x,
+                        geom_b, _axes, is_leaf=lambda x: x is None)
     opts = RenderOptions(width=res, height=res, shadow_size=256,
-                         film_grain=0.0, ssao=False)
+                         film_grain=0.0, ssao=False, kernel_attrs=ka)
     lights = lights_empty(1)
     d = jnp.array([-0.4, -0.8, -0.4])
     lights = lights._replace(
@@ -399,7 +414,11 @@ def bench_batched_render(n_envs: int = 64, res: int = 256):
     # shared_shadow=False)
     frame = jax.jit(lambda vw, e: render_frame_batch(
         opts, geom, vw, proj, lights, e, far=100.0))
-    _sync(frame(views, eyes))
+    img = _sync(frame(views, eyes))
+    # content sanity: the assembly above culled against ONE reference
+    # view (the terrain entity skips culling so every view sees it); a
+    # blank batch would mean the squeeze or validity wiring broke
+    img_std = float(jnp.std(img))
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
@@ -407,7 +426,8 @@ def bench_batched_render(n_envs: int = 64, res: int = 256):
     _sync(img)
     dt = (time.perf_counter() - t0) / reps
     return {"metric": f"batched_render_{n_envs}x{res}_ms", "value": dt * 1e3,
-            "frames_per_s": n_envs / dt}
+            "frames_per_s": n_envs / dt, "kernel_attrs": bool(ka),
+            "img_std": img_std}
 
 
 def bench_step_and_render(n_envs: int = 64, res: int = 256,
