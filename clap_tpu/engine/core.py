@@ -184,7 +184,7 @@ class Engine:
                        & (jnp.arange(P)[None, :] < pp.count[:, None]))
             pactive = pactive.reshape(-1)
 
-        def render(st, particles):
+        def render(st, particles, lut_vol):
             cam = st.camera
             q = mx.qmul(
                 mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
@@ -202,11 +202,15 @@ class Engine:
                             jnp.float32(particle_size), pactive,
                             particle_color)
             return render_frame(opts, geom, view, proj, lights, cam.pos,
-                                textures=textures, lut_volume=lut_volume,
+                                textures=textures, lut_volume=lut_vol,
                                 grain_noise=grain_noise,
                                 particles=part_arg,
                                 static_shadow=static_shadow)
 
+        # LUT volume is a traced ARGUMENT (not a closure capture) so
+        # lut_autoswitch_set can cycle presets without re-jitting: every
+        # preset bakes to the same (S, S, S, 3) shape → one compile
+        self._lut_volume = lut_volume
         self._render = jax.jit(render)
         self._render_particles = has_particles
         self._frame_dir = out_dir
@@ -224,6 +228,37 @@ class Engine:
 
         self.display = DisplayServer(host, port, max_fps=max_fps)
         return self.display
+
+    def lut_autoswitch_set(self, period_s: float, volumes=None):
+        """Cycle the grading LUT every ``period_s`` seconds through the
+        preset list (scene_lut_autoswitch, scene.c:93-129 + lut_next):
+        a re-arming frame timer swaps self._lut_volume, which the jitted
+        render consumes as a traced argument (no recompile).
+
+        period_s <= 0 cancels (the reference's timer simply doesn't
+        re-arm when lut_autoswitch is cleared). Pass ``volumes`` to
+        cycle a custom list; default bakes all 14 LUT_PRESETS."""
+        if period_s <= 0:
+            self._lut_cycle = None
+            return
+        if volumes is None:
+            from ..render.lut import LUT_PRESETS, bake_lut
+
+            volumes = [bake_lut(p) for p in LUT_PRESETS]
+        self._lut_cycle = list(volumes)
+        self._lut_idx = 0
+        if getattr(self, "_lut_volume", None) is None and self._lut_cycle:
+            self._lut_volume = self._lut_cycle[0]
+
+        def tick(eng):
+            cycle = getattr(eng, "_lut_cycle", None)
+            if not cycle:
+                return                      # cancelled: don't re-arm
+            eng._lut_idx = (eng._lut_idx + 1) % len(cycle)
+            eng._lut_volume = cycle[eng._lut_idx]
+            eng.timer_set(period_s, tick)
+
+        self.timer_set(period_s, tick)
 
     # --- timers (clap.c:339-439: sorted one-shot list) ---
     def timer_set(self, delay_s: float, fn: Callable):
@@ -276,7 +311,8 @@ class Engine:
         if self._render is not None and self.cfg.graphics:
             parts = (self.session.particles
                      if getattr(self, "_render_particles", False) else None)
-            self.last_frame = self._render(self.state, parts)
+            self.last_frame = self._render(self.state, parts,
+                                           self._lut_volume)
             if self._frame_dir:
                 import numpy as np
 

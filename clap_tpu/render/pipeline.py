@@ -135,6 +135,10 @@ class TextureSets(NamedTuple):
     diffuse: jnp.ndarray          # (L, S, S, 3)
     normal: jnp.ndarray = None    # (L, S, S, 3) tangent-space, [0,1]
     emission: jnp.ndarray = None  # (L, S, S, 3)
+    # terrain atlas mode (terrain.frag:39-46): layers flagged here treat
+    # diffuse as a 2×2 atlas — grass in the lower-left quadrant, rock at
+    # +0.5 — blended per pixel by slope: fac = max(N·up, 0)^4
+    slope_blend: jnp.ndarray = None   # (L,) bool
 
 
 def clip_transform(verts, view, proj):
@@ -377,6 +381,18 @@ def _surface_gather(opts: RenderOptions, geom: SceneGeometry, clip,
             has_tex = (attrs[..., off["tex_id"]] >= -0.5) \
                 if "tex_id" in off else jnp.ones(gb.tri_id.shape, bool)
             texel = sample_layered(textures.diffuse, lid, uv_px)
+            if textures.slope_blend is not None:
+                # slope-based grass/rock atlas blend (terrain.frag:39-46)
+                # using the GEOMETRIC normal (the reference terrain path
+                # has no normal map; nrm is pre-mapping here)
+                uv_q = jnp.mod(uv_px, 0.5)
+                grass = sample_layered(textures.diffuse, lid, uv_q)
+                rock = sample_layered(textures.diffuse, lid, uv_q + 0.5)
+                fac = jnp.clip(nrm[..., 1], 0.0, 1.0)[..., None] ** 4
+                sb = textures.slope_blend[
+                    jnp.clip(lid, 0, textures.slope_blend.shape[0] - 1)]
+                texel = jnp.where(sb[..., None],
+                                  grass * fac + rock * (1.0 - fac), texel)
             base = jnp.where(has_tex[..., None], base * texel, base)
             if tbn:
                 # TBN normal mapping (model.vert:54-67 + lighting.glsl:174)

@@ -126,12 +126,27 @@ def main():
         bark = np.zeros((32, 32, 3), np.float32)
         bark[:] = (0.45, 0.33, 0.2)
         bark[:, ::4] = (0.3, 0.2, 0.12)
-        textures = TextureSets(diffuse=jnp.asarray(
-            np.stack([checker, bark])))
+        # layer 2: terrain 2×2 atlas — grass quadrant at [0,.5)², rock
+        # at +0.5 — blended by slope in the shader (terrain.frag:39-46)
+        rng = np.random.default_rng(7)
+        atlas = np.zeros((32, 32, 3), np.float32)
+        gnoise = rng.uniform(0.85, 1.15, (16, 16, 1)).astype(np.float32)
+        atlas[:16, :16] = np.array([0.30, 0.52, 0.22]) * gnoise
+        rnoise = rng.uniform(0.8, 1.2, (16, 16, 1)).astype(np.float32)
+        atlas[16:, 16:] = np.array([0.45, 0.43, 0.40]) * rnoise
+        # fill the two unused quadrants with each tile's tone so the
+        # wrap-bilinear fetch at quadrant edges doesn't bleed black
+        # gridlines into the tiled terrain
+        atlas[:16, 16:] = atlas[:16, :16]
+        atlas[16:, :16] = atlas[16:, 16:]
+        textures = TextureSets(
+            diffuse=jnp.asarray(np.stack([checker, bark, atlas])),
+            slope_blend=jnp.array([False, False, True]))
 
         models = [
             model_from_mesh(t.vx, t.norm, t.idx.reshape(-1, 3),
-                            base_color=(0.35, 0.5, 0.3), with_lods=False),
+                            base_color=(1.0, 1.0, 1.0), with_lods=False,
+                            uv=t.uv, tex_id=2),
             model_from_mesh(*_cube_model(0.6, 2.0),
                             base_color=(0.8, 0.5, 0.4),
                             uv=_cube_uv(), tex_id=0),

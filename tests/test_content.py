@@ -203,6 +203,31 @@ def test_engine_frame_particles():
     assert not np.allclose(f_part, f_none, atol=1e-3)
 
 
+def test_lut_autoswitch():
+    """scene_lut_autoswitch parity (scene.c:93-129): a re-arming frame
+    timer cycles the grading LUT; the jitted render consumes the volume
+    as a traced argument, so switching presets never re-traces."""
+    scene, rt, ts = _setup()
+    lut_a = jnp.broadcast_to(
+        jnp.linspace(0.0, 1.0, 8)[:, None, None, None], (8, 8, 8, 3))
+    lut_b = 1.0 - lut_a                      # inverted grade
+    eng = _engine_with_graphics(scene, rt, ts, opts=RenderOptions(
+        width=96, height=64, shadow_size=64, film_grain=0.0,
+        lighting_lut=True))
+    eng.lut_autoswitch_set(1e-9, volumes=[lut_a, lut_b])
+    eng.frame()                              # timer fires → lut_b
+    f1 = np.asarray(eng.last_frame)
+    assert eng._lut_idx == 1
+    eng.frame()                              # cycles back → lut_a
+    f2 = np.asarray(eng.last_frame)
+    assert eng._lut_idx == 0
+    assert not np.allclose(f1, f2, atol=1e-3)   # grade visibly changed
+    # cancel: pending tick no-ops, volume stays put
+    eng.lut_autoswitch_set(0)
+    eng.frame()
+    assert eng._lut_idx == 0
+
+
 def _tables_for_testbed(scene_cfg):
     """Minimal render tables for the testbed scene config (procedural
     models, like demo/testbed.py)."""

@@ -433,3 +433,69 @@ def test_attr_bf16_close_and_ids_exact():
     np.testing.assert_allclose(np.asarray(a16), np.asarray(a32),
                                atol=1.5e-2)
     np.testing.assert_array_equal(np.asarray(f16v), np.asarray(f32v))
+
+
+def test_terrain_slope_blend():
+    """Slope-based grass/rock atlas blend (terrain.frag:39-46): a flat
+    up-facing quad samples the grass quadrant (fac=(N·up)^4 → 1), a
+    vertical wall samples rock (fac → 0)."""
+    import numpy as np
+
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.lights import lights_empty
+    from clap_tpu.render.pipeline import (RenderOptions, SceneGeometry,
+                                          TextureSets, render_frame)
+
+    W = H = 64
+    # quad 0: horizontal (y=0, normal +y); quad 1: vertical (normal +z)
+    verts = np.array([
+        [-2.0, 0.0, -2.0], [2.0, 0.0, -2.0], [-2.0, 0.0, 2.0],
+        [2.0, 0.0, 2.0],
+        [-2.0, 0.0, -2.5], [2.0, 0.0, -2.5], [-2.0, 3.0, -2.5],
+        [2.0, 3.0, -2.5]], np.float32)
+    normals = np.array([[0, 1, 0]] * 4 + [[0, 0, 1]] * 4, np.float32)
+    uv = np.array([[0, 0], [2, 0], [0, 2], [2, 2]] * 2, np.float32)
+    faces_flat = np.array([[0, 2, 1], [1, 2, 3]], np.int32)
+    faces_wall = np.array([[4, 5, 6], [5, 7, 6]], np.int32)
+
+    S = 16
+    atlas = np.zeros((S, S, 3), np.float32)
+    atlas[:S // 2, :S // 2] = (0.0, 1.0, 0.0)   # grass quadrant: green
+    atlas[S // 2:, S // 2:] = (1.0, 0.0, 0.0)   # rock quadrant: red
+    tex = TextureSets(diffuse=jnp.asarray(atlas[None]),
+                      slope_blend=jnp.array([True]))
+
+    def render(faces):
+        geom = SceneGeometry(
+            verts=jnp.asarray(verts), normals=jnp.asarray(normals),
+            faces=jnp.asarray(faces), face_valid=jnp.ones((2,), bool),
+            base_color=jnp.ones((8, 3)),
+            rough_metal=jnp.tile(jnp.array([[0.8, 0.0]]), (8, 1)),
+            emission=jnp.zeros((8, 3)), uv=jnp.asarray(uv),
+            tex_id=jnp.zeros((8,), jnp.float32))
+        opts = RenderOptions(width=W, height=H, shadow_size=64,
+                             ssao=False, film_grain=0.0, edge_aa=False)
+        lights = lights_empty(1)
+        d = jnp.array([0.0, -0.7, -0.7])
+        lights = lights._replace(
+            direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+            color=lights.color.at[0].set(jnp.ones(3)),
+            is_dir=lights.is_dir.at[0].set(True),
+            active=lights.active.at[0].set(True))
+        eye = jnp.array([0.0, 2.5, 4.0])
+        view = mx.mat4_look_at(eye, jnp.array([0.0, 0.5, 0.0]),
+                               jnp.array([0.0, 1.0, 0.0]))
+        proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+        return np.asarray(render_frame(opts, geom, view, proj, lights,
+                                       eye, textures=tex))
+
+    f_flat = render(faces_flat)
+    f_wall = render(faces_wall)
+    # the up-facing quad is green-dominant (grass), the wall red (rock);
+    # look only at covered pixels (where r and g diverge) — the clear
+    # color is gray and dominates whole-image sums
+    m_flat = np.abs(f_flat[..., 1] - f_flat[..., 0]) > 0.05
+    m_wall = np.abs(f_wall[..., 1] - f_wall[..., 0]) > 0.05
+    assert m_flat.sum() > 50 and m_wall.sum() > 50
+    assert (f_flat[..., 1][m_flat] > f_flat[..., 0][m_flat]).mean() > 0.9
+    assert (f_wall[..., 0][m_wall] > f_wall[..., 1][m_wall]).mean() > 0.9
