@@ -186,9 +186,13 @@ def bench_full_frame(width=1280, height=720, nr_v=96, n_cubes=0,
         vx = np.concatenate(vs).astype(np.float32)
         nrm_np = np.concatenate(ns).astype(np.float32)
         idx = np.concatenate(fs).astype(np.int32)
+    from clap_tpu.render.raster import (expand_corners_major,
+                                        expand_corners_record)
+
     verts = jnp.asarray(vx)
     normals = jnp.asarray(nrm_np)
-    faces = jnp.asarray(cluster_faces(vx, idx)[0])
+    f_np = np.asarray(cluster_faces(vx, idx)[0])
+    faces = jnp.asarray(f_np)
     V = verts.shape[0]
     geom = SceneGeometry(
         verts=verts, normals=normals, faces=faces,
@@ -196,6 +200,10 @@ def bench_full_frame(width=1280, height=720, nr_v=96, n_cubes=0,
         base_color=jnp.full((V, 3), 0.45),
         rough_metal=jnp.tile(jnp.array([[0.8, 0.0]]), (V, 1)),
         emission=jnp.zeros((V, 3)),
+        # static world geometry → corner-expanded record streams (the
+        # per-frame corner gather becomes a 3T-row transform)
+        corner_verts=jnp.asarray(expand_corners_major(vx, f_np)),
+        shadow_corner_verts=jnp.asarray(expand_corners_record(vx, f_np)),
     )
     opts = RenderOptions(width=width, height=height, shadow_size=512,
                          film_grain=0.0, raster_cap=raster_cap)

@@ -126,6 +126,17 @@ class SceneGeometry(NamedTuple):
     # consumed when every non-normal attribute is per-entity constant
     # (RenderTables.flat_eligible); see model_pass.
     ent_flat: jnp.ndarray = None           # (E, 9), shared
+    # corner-expanded streams (STATIC world geometry only): vertices
+    # pre-permuted into per-corner order so the per-frame record build
+    # transforms 3T rows instead of gathering them (~7-10 ns/row — the
+    # corner gather was 8.7 ms of the 44 ms dense-720p device trace).
+    # corner_verts/_normals: corner-MAJOR over ``faces``
+    # (raster.expand_corners_major, clip_near_records layout);
+    # shadow_corner_verts: RECORD order over the shadow stream
+    # (raster.expand_corners_record, assemble_tri_records layout).
+    corner_verts: jnp.ndarray = None         # (3T, 3)
+    corner_normals: jnp.ndarray = None       # (3T, 3)
+    shadow_corner_verts: jnp.ndarray = None  # (3Ts, 3)
 
 
 class TextureSets(NamedTuple):
@@ -154,15 +165,17 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
     from .raster import rasterize_depth
 
     s = opts.shadow_size
-    clip = clip_transform(geom.verts, light_view, light_proj)
-    sx, sy, z, iw = project_to_screen(clip, s, s)
     # shadow casting is two-sided: back faces flip instead of culling
     if geom.shadow_faces is not None:
         sfaces, sfv = geom.shadow_faces, geom.shadow_face_valid
     else:
         sfaces, sfv = geom.faces, geom.face_valid
+    pre = geom.shadow_corner_verts is not None
+    src = geom.shadow_corner_verts if pre else geom.verts
+    clip = clip_transform(src, light_view, light_proj)
+    sx, sy, z, iw = project_to_screen(clip, s, s)
     rec, ok = assemble_tri_records(sx, sy, z, iw, sfaces,
-                                   sfv, two_sided=True)
+                                   sfv, two_sided=True, pre_expanded=pre)
     binned = bin_triangles(rec, ok, s, s)
     depth = rasterize_depth(rec, binned, s, s)
     d = jnp.where(jnp.isfinite(depth), depth * 0.5 + 0.5, 1.0)
@@ -188,14 +201,26 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
         faces0, valid0 = geom.shadow_faces, geom.shadow_face_valid
     else:
         faces0, valid0 = geom.faces, geom.face_valid
+    pre = geom.shadow_corner_verts is not None
     pad = (-faces0.shape[0]) % CLUSTER
     if pad:
         faces0 = jnp.concatenate(
             [faces0, jnp.zeros((pad, 3), faces0.dtype)])
         valid0 = jnp.concatenate([valid0, jnp.zeros((pad,), bool)])
+    if pre:
+        # corner stream (record order) instead of vertex table: the
+        # per-cascade transform runs on 3T rows and the record build
+        # needs no gather (pad rows are zeros → w=0 → records invalid,
+        # and valid0's pad-False masks them anyway)
+        src = geom.shadow_corner_verts
+        if pad:
+            src = jnp.concatenate(
+                [src, jnp.zeros((3 * pad, 3), src.dtype)])
+    else:
+        src = geom.verts
     sxs, sys_, zs, iws = [], [], [], []
     for c in range(n_casc):
-        clip = clip_transform(geom.verts, casc_views[c], casc_projs[c])
+        clip = clip_transform(src, casc_views[c], casc_projs[c])
         sx, sy, z, iw = project_to_screen(clip, s, s)
         sxs.append(sx)
         sys_.append(sy + c * s)       # atlas band offset
@@ -206,10 +231,11 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     z = jnp.concatenate(zs)
     iw = jnp.concatenate(iws)
     V = geom.verts.shape[0]
-    faces = jnp.concatenate([faces0 + c * V for c in range(n_casc)])
+    faces = None if pre else \
+        jnp.concatenate([faces0 + c * V for c in range(n_casc)])
     valid = jnp.concatenate([valid0] * n_casc)
     rec, ok = assemble_tri_records(sx, sy, z, iw, faces, valid,
-                                   two_sided=True)
+                                   two_sided=True, pre_expanded=pre)
     th, tw = tile_dims(s, n_casc * s)
     T = faces0.shape[0]
     band = jnp.repeat(jnp.arange(n_casc, dtype=jnp.int32), T)
@@ -251,10 +277,17 @@ def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
         raise ValueError(
             f"kernel_attrs limit exceeded: T={T} with E={n_ent} "
             f"(stride {stride}) needs 2·T·stride < 2^24")
+    pre = geom.corner_verts is not None
+    vex = geom.normals
+    if pre:
+        if geom.corner_normals is None:
+            raise ValueError("corner_verts without corner_normals: "
+                             "kernel_attrs interpolates normals")
+        vex = geom.corner_normals
     rec, ok, _csrc, _ = clip_near_records(
         clip, geom.faces, W, H, geom.face_valid,
-        vextra=geom.normals, tid_pack=geom.face_entity,
-        pack_stride=stride)
+        vextra=vex, tid_pack=geom.face_entity,
+        pack_stride=stride, pre_expanded=pre)
     binned = bin_triangles(rec, ok, W, H, cap=opts.raster_cap or None)
     depth, pid, nraw = rasterize_attrs(rec, binned, W, H)
     gb = GBuffer(depth=depth, tri_id=pid,
@@ -291,8 +324,9 @@ def _surface_gather(opts: RenderOptions, geom: SceneGeometry, clip,
     # triangles raster as clipped sub-tris instead of dropping
     from .raster import clip_near_records
 
-    rec, ok, csrc, cbary = clip_near_records(clip, geom.faces, W, H,
-                                             geom.face_valid)
+    rec, ok, csrc, cbary = clip_near_records(
+        clip, geom.faces, W, H, geom.face_valid,
+        pre_expanded=geom.corner_verts is not None)
     binned = bin_triangles(rec, ok, W, H,
                            cap=opts.raster_cap or None)
     gb = rasterize(rec, binned, W, H)
@@ -449,7 +483,11 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     per-frame CSM factor, which then only needs the dynamic-caster
     stream."""
     W, H = opts.width, opts.height
-    clip = clip_transform(geom.verts, cam_view, cam_proj)
+    # corner-expanded static stream: transform 3T corner rows directly
+    # (clip_near_records then skips its per-frame corner gather)
+    clip = clip_transform(
+        geom.corner_verts if geom.corner_verts is not None else geom.verts,
+        cam_view, cam_proj)
     if opts.kernel_attrs:
         gb, nrm, base, rough, metal, emission, eid_px = \
             _surface_kernel_attrs(opts, geom, clip)

@@ -135,9 +135,30 @@ def corner_records(c0, c1, c2, valid_mask=None, two_sided: bool = False,
     return _finish_records(cols, valid_mask, two_sided)
 
 
+def expand_corners_record(table, faces):
+    """Host/static corner expansion in RECORD order — rows
+    [t·3+0, t·3+1, t·3+2] = (v0, v2, v1) of face t — the order
+    assemble_tri_records gathers. Expanding the SOURCE table once
+    (static geometry) turns the per-frame 3T-row corner gather
+    (~7-10 ns/row, 8.7 ms on the dense 720p trace) into a reshape."""
+    import numpy as np
+    f = np.asarray(faces)
+    return table[f[:, [0, 2, 1]].reshape(-1)]
+
+
+def expand_corners_major(table, faces):
+    """Corner-MAJOR expansion — [all v0 | all v1 | all v2] — the order
+    clip_near_records gathers (its per-corner columns are contiguous
+    slices of this layout)."""
+    import numpy as np
+    f = np.asarray(faces)
+    return table[f.T.reshape(-1)]
+
+
 def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
                          two_sided: bool = False, vextra=None,
-                         tid_pack=None, pack_stride: int = ENT_PACK):
+                         tid_pack=None, pack_stride: int = ENT_PACK,
+                         pre_expanded: bool = False):
     """Build the packed (T, 12) per-triangle record the kernel consumes:
     three [x, y, z, 1/w] vertex groups (_XC/_YC/_ZC/_WC columns). One
     packed (V, 4) vertex table keeps this to 3 wide gathers. Also
@@ -155,8 +176,15 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     swap permutation targets the cb layout).
 
     tid_pack (T,), optional int: packs into the tid column as
-    tid·ENT_PACK + tid_pack (per-pixel entity id without a gather)."""
-    tri_f = jnp.arange(faces.shape[0], dtype=jnp.float32)
+    tid·ENT_PACK + tid_pack (per-pixel entity id without a gather).
+
+    pre_expanded: sx/sy/z/iw (and vextra) are ALREADY corner streams of
+    length 3T in record order (expand_corners_record) — the per-frame
+    corner gather is skipped entirely (static geometry expands its
+    source tables once; the per-frame cost becomes transforming 3T rows
+    instead of V, pure vector math)."""
+    n_tris = faces.shape[0] if not pre_expanded else sx.shape[0] // 3
+    tri_f = jnp.arange(n_tris, dtype=jnp.float32)
     if tid_pack is not None:
         tri_f = tri_f * pack_stride + tid_pack.astype(jnp.float32)
     # v1/v2 swap: the screen y-flip turns GL/world CCW into image-space
@@ -164,17 +192,20 @@ def assemble_tri_records(sx, sy, z, iw, faces, valid_mask=None,
     # front-face = CCW parity). ONE gather_rows over the corner order
     # [v0, v2, v1]: stays a fast-path gather when vrec is per-env under
     # vmap (three batched-operand gathers here cost 4.1 ms @ 16 envs)
-    corner_idx = faces[:, jnp.array([0, 2, 1])].reshape(-1)   # (3T,)
+    if not pre_expanded:
+        corner_idx = faces[:, jnp.array([0, 2, 1])].reshape(-1)   # (3T,)
     if vextra is None:
-        vrec = jnp.stack([sx, sy, z, iw], axis=-1)        # (V, 4)
-        corners = gather_rows(vrec, corner_idx).reshape(faces.shape[0], 12)
+        vrec = jnp.stack([sx, sy, z, iw], axis=-1)        # (V|3T, 4)
+        corners = vrec.reshape(n_tris, 12) if pre_expanded else \
+            gather_rows(vrec, corner_idx).reshape(n_tris, 12)
         cols = [corners[:, i] for i in range(12)] + [tri_f]
         return _finish_records(cols, valid_mask, two_sided)
     assert not two_sided, "extras mode is front-face only"
     vrec = jnp.concatenate(
         [jnp.stack([sx, sy, z, iw], axis=-1), vextra], axis=-1)  # (V, 7)
     nc = vrec.shape[-1]
-    corners = gather_rows(vrec, corner_idx).reshape(faces.shape[0], 3 * nc)
+    corners = vrec.reshape(n_tris, 3 * nc) if pre_expanded else \
+        gather_rows(vrec, corner_idx).reshape(n_tris, 3 * nc)
     cols = [corners[:, c * nc + i] for c in range(3) for i in range(4)] \
         + [tri_f] \
         + [corners[:, c * nc + 4 + i] for c in range(3) for i in range(3)]
@@ -227,7 +258,8 @@ def _finish_records(cols, valid_mask, two_sided):
 def clip_near_records(clip_verts, faces, width: int, height: int,
                       valid_mask=None, two_sided: bool = False,
                       w_eps: float = 1e-4, vextra=None, tid_pack=None,
-                      pack_stride: int = ENT_PACK):
+                      pack_stride: int = ENT_PACK,
+                      pre_expanded: bool = False):
     """Near-plane clipping (the GL hardware-clip analogue the v1 raster
     skipped — crossing triangles used to drop, raster.py r1): clip each
     triangle against w = w_eps in CLIP space into ≤2 sub-triangles,
@@ -247,10 +279,14 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     IS the attribute at the clip point. Emitted as record cols 13-21
     (record-corner order) instead of the cb pairs — extras mode never
     reads bary, so the cb fold is unnecessary. tid_pack (T,): packs
-    entity ids into the tid column (see assemble_tri_records)."""
+    entity ids into the tid column (see assemble_tri_records).
+
+    pre_expanded: clip_verts (and vextra) are ALREADY corner-major
+    streams of length 3T (expand_corners_major) — skips the per-frame
+    corner gather (see assemble_tri_records)."""
     assert not (two_sided and vextra is not None), \
         "extras mode is front-face only"
-    T = faces.shape[0]
+    T = faces.shape[0] if not pre_expanded else clip_verts.shape[0] // 3
     # COLUMNAR throughout: every intermediate is a (T,) lane-packed
     # array. The previous (T, 3, 4)/(T, 3, 2) formulation lane-padded
     # (3, 4) → (8, 128) — a 32× HBM blow-up on every materialized
@@ -260,7 +296,8 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     NC = 4 if vextra is None else 4 + vextra.shape[-1]
     src = clip_verts if vextra is None else \
         jnp.concatenate([clip_verts, vextra], axis=-1)
-    g = gather_rows(src, faces.T.reshape(-1))             # (3T, NC)
+    g = src if pre_expanded else \
+        gather_rows(src, faces.T.reshape(-1))             # (3T, NC)
     v = [[g[c * T:(c + 1) * T, i] for i in range(NC)] for c in range(3)]
     w = [v[c][3] for c in range(3)]
     inside = [wc > w_eps for wc in w]
