@@ -110,6 +110,7 @@ class Engine:
         self.fuzz_key = jax.random.PRNGKey(0)
         n_chars = scene_cfg.char_params.body.shape[0]
         self.session = None
+        self._game_world = game_world
         if game_world is not None:
             from .game import game_step
 
@@ -215,6 +216,21 @@ class Engine:
         self._render_particles = has_particles
         self._frame_dir = out_dir
         self.cfg.graphics = True       # config now reflects behavior
+        # with a visible frame the camera must not clip through terrain:
+        # re-jit the step with the occlusion shrink ON (camera_update
+        # camera.c:93-117 runs every reference frame; headless sims skip
+        # the raycasts, which is why it's not on in __init__)
+        if self._game_world is not None:
+            from .game import game_step
+
+            gw = self._game_world
+            self._step_session = jax.jit(
+                lambda s, i: game_step(gw, s, i, camera_occlusion=True))
+        else:
+            scene_cfg = self.scene_cfg
+            self._step = jax.jit(
+                lambda s, i: engine_step(scene_cfg, s, i,
+                                         camera_occlusion=True))
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 

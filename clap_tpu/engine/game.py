@@ -41,6 +41,14 @@ class GameWorld(NamedTuple):
     attach_joint: jnp.ndarray | None = None      # (E,) int32 joint id, -1 none
     attach_offset: jnp.ndarray | None = None     # (E, 3) local offset
     entity_char: jnp.ndarray | None = None       # (E,) char rig slot, -1 none
+    # armature semantics (model.h:30-38 joint_type / scene.c:1474-1492
+    # "armature" block): the camera aims at the rig's JOINT_HEAD
+    head_joint: jnp.ndarray | None = None        # (C,) int32 joint, -1 none
+    char_entity: jnp.ndarray | None = None       # (C,) int32 entity per char
+    char_height: jnp.ndarray | None = None       # (C,) f32 AABB height
+    # near-plane-corner occlusion shrink every frame (camera.c:93-117);
+    # Engine enables it with graphics — headless sims skip the raycasts
+    camera_occlusion: bool = False
 
 
 class GameSessionState(NamedTuple):
@@ -55,13 +63,39 @@ class GameSessionState(NamedTuple):
 
 def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
               dt=jnp.float32(1.0 / 60.0),
-              next_character=None) -> GameSessionState:
+              next_character=None,
+              camera_occlusion: bool | None = None) -> GameSessionState:
     """One full frame of simulation + gameplay."""
     # camera + rules follow the roster-controlled slot (scene->control,
     # scene_control_next scene.c:23-55); previous frame's control is
     # correct — the switch lands during input handling, before move.
     ctrl = gs.game.control if gs.game is not None else None
-    st = engine_step(gw.scene, gs.engine, inputs, dt, control=ctrl)
+
+    # head-joint camera target (camera_target camera.c:174-206): the
+    # rig's JOINT_HEAD world position + 0.2·height, from the PREVIOUS
+    # frame's joint matrices (the reference animates before the camera
+    # within one frame; here the head rides one frame behind — ~1 cm of
+    # bob lag at 60 Hz, invisible)
+    head_target = None
+    if (gw.head_joint is not None and gw.char_entity is not None
+            and gs.joint_mats is not None):
+        bind = jnp.linalg.inv(gw.anim_sk.invbind)        # (J, 4, 4) const
+        hj = jnp.maximum(gw.head_joint, 0)               # (C,)
+        # joint global = skinning · bind; head world = entity mx · global
+        glob_h = jnp.einsum("cik,ckl->cil",
+                            gs.joint_mats[jnp.arange(hj.shape[0]), hj],
+                            bind[hj])                     # (C, 4, 4)
+        emx = gs.engine.mx[gw.char_entity]                # (C, 4, 4)
+        hpos = jnp.einsum("cij,cj->ci", emx,
+                          glob_h[:, :, 3])[:, :3]         # (C, 3)
+        if gw.char_height is not None:
+            hpos = hpos.at[:, 1].add(0.2 * gw.char_height)
+        head_target = (hpos, gw.head_joint >= 0)
+
+    occl = (gw.camera_occlusion if camera_occlusion is None
+            else camera_occlusion)
+    st = engine_step(gw.scene, gs.engine, inputs, dt, control=ctrl,
+                     head_target=head_target, camera_occlusion=occl)
 
     game = gs.game
     if gw.game is not None and game is not None:

@@ -168,15 +168,37 @@ def _scene_update(cfg: SceneConfig, st: EngineState):
 
 
 def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs,
-                   control=None):
+                   control=None, head_target=None,
+                   camera_occlusion: bool = False):
     """Orbit camera (camera.c:208-246): pitch-clamped quat orbit around
-    the controlled character's target point. Occlusion shrink uses the
-    physics raycast (camera.c:93-117) — wired in the render layer.
+    the controlled character's target point.
 
     ``control`` (int32 scalar, optional) retargets the orbit onto the
     roster-controlled character slot when the player switches characters
     (scene_control_next scene.c:23-55 re-points scene->control and the
-    camera follows); None keeps the static slot-0 target."""
+    camera follows); None keeps the static slot-0 target.
+
+    ``head_target``: optional ((C, 3) pos, (C,) valid) — per-character
+    head-joint world positions. A valid head retargets the orbit onto
+    the head (camera_target camera.c:174-206: the skinned rig's
+    JOINT_HEAD frames the face instead of the chest).
+
+    ``camera_occlusion=True`` runs the near-plane-corner raycast shrink
+    (camera_position_is_good camera.c:93-117, retry loop 232-236): the
+    boom shortens so terrain/walls never cut between camera and
+    character. The camera state keeps the DESIRED distance (input-
+    controlled); only the derived eye position shrinks — exactly the
+    reference's dist-vs-next_distance search, re-run every frame."""
+    occl = None
+    if camera_occlusion:
+        from ..render.camera import camera_update as occl
+    def head_override(target, follow):
+        if head_target is None:
+            return target
+        hpos, hvalid = head_target
+        c = jnp.clip(follow, 0, hpos.shape[0] - 1)
+        return jnp.where(hvalid[c], hpos[c], target)
+
     if st.cameras is not None and cfg.camera_char is not None:
         # multi-camera bank (≤4 slots, scene.h:39-40): every slot tracks
         # its target every frame (scene_cameras_calc scene.c:1050-1055);
@@ -193,15 +215,21 @@ def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs,
         b = cfg.char_params.body[jnp.clip(
             follow, 0, cfg.char_params.body.shape[0] - 1)]
         targets = st.phys.pos[b]                        # (NC, 3)
+        targets = jax.vmap(head_override)(targets, follow)
 
-        def orbit(p, y, d, t):
-            q = mx.qmul(
-                mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), y),
-                mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), p),
-            )
-            return mx.transform_orbit(q, t, d)
+        if occl is not None:
+            eyes = jax.vmap(
+                lambda t, p, y, d: occl(cfg.world, t, p, y, d)[0]
+            )(targets, pitch, yaw, dist)
+        else:
+            def orbit(p, y, d, t):
+                q = mx.qmul(
+                    mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), y),
+                    mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), p),
+                )
+                return mx.transform_orbit(q, t, d)
 
-        eyes = jax.vmap(orbit)(pitch, yaw, dist, targets)
+            eyes = jax.vmap(orbit)(pitch, yaw, dist, targets)
         cams2 = CameraState(pitch=pitch, yaw=yaw, dist=dist, pos=eyes)
         active = jax.tree.map(lambda x: x[0], cams2)
         return st._replace(camera=active, cameras=cams2)
@@ -213,29 +241,39 @@ def _camera_update(cfg: SceneConfig, st: EngineState, inputs: Inputs,
 
     # target: controlled character at ~3/4 height (camera.c:174-206)
     if control is None:
+        follow = jnp.int32(0)
         b0 = cfg.char_params.body[0] if cfg.char_params.body.shape[0] else 0
     else:
+        follow = control
         b0 = cfg.char_params.body[control] \
             if cfg.char_params.body.shape[0] else 0
-    target = st.phys.pos[b0]
+    target = head_override(st.phys.pos[b0], follow)
 
-    q = mx.qmul(
-        mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw),
-        mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), pitch),
-    )
-    eye = mx.transform_orbit(q, target, dist)
+    if occl is not None:
+        eye, q, _deff = occl(cfg.world, target, pitch, yaw, dist)
+    else:
+        q = mx.qmul(
+            mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw),
+            mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), pitch),
+        )
+        eye = mx.transform_orbit(q, target, dist)
     return st._replace(camera=CameraState(pitch=pitch, yaw=yaw, dist=dist, pos=eye))
 
 
 def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
                 dt=jnp.float32(1.0 / 60.0), max_substeps: int = 2,
-                control=None) -> EngineState:
+                control=None, head_target=None,
+                camera_occlusion: bool = False) -> EngineState:
     """One headless frame. Pure; jit/vmap over envs.
 
     max_substeps=2 is exact for 60 Hz frames (dt/FIXED_DT = 2); pass up
     to world.MAX_SUBSTEPS (5, the reference cap) for variable frame
     rates. ``control`` optionally retargets the camera onto the
-    roster-controlled character (see _camera_update)."""
+    roster-controlled character; ``head_target``/``camera_occlusion``
+    feed the camera (see _camera_update — occlusion raycasts cost ~4×3
+    heightfield marches/env, so headless sims leave it off; Engine turns
+    it on with graphics, the context where a clipping boom is visible).
+    """
     # static-trimesh validity follows entity VISIBILITY: an invisible
     # entity's collision is gone (the reference parks hidden platforms
     # +100 up AND strips VISIBLE, main.c:96-138 — collision follows the
@@ -267,5 +305,6 @@ def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
                                       max_substeps))
     st = _limbo(cfg, st)
     st = _scene_update(cfg, st)
-    st = _camera_update(cfg, st, inputs, control)
+    st = _camera_update(cfg, st, inputs, control, head_target,
+                        camera_occlusion)
     return st._replace(time=st.time + dt, frame=st.frame + 1)

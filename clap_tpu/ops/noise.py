@@ -102,6 +102,129 @@ def noise_grad3d(size: int = 32, octaves: int = 4, lacunarity: float = 2.0,
     return out
 
 
+# ---------------------------------------------------------------------------
+# device-side analytic noise (the TPU replacement for sampling the baked
+# volume): per-pixel 3D-texture fetches would be H·W trilinear gathers —
+# the attr-gather cost class the renderer just eliminated. The same
+# periodic-fBm gradient field the RGBA8 bake stores is pure hash+lerp
+# VPU math, so consumers (fog, material noise) evaluate it analytically.
+# ---------------------------------------------------------------------------
+
+def _hash31_jnp(x, y, z, seed):
+    """hash31 (noise.h:9-17) on device, exact uint32 wraparound."""
+    x = x.astype(jnp.uint32)
+    y = y.astype(jnp.uint32)
+    z = z.astype(jnp.uint32)
+    h = (x * jnp.uint32(374761393) + y * jnp.uint32(668265263)
+         + z * jnp.uint32(362437)
+         + jnp.uint32(seed) * jnp.uint32(2246822519))
+    h = (h ^ (h >> jnp.uint32(13))) * jnp.uint32(1274126177)
+    h = h ^ (h >> jnp.uint32(16))
+    return h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+
+
+def _value_noise3d_jnp(x, y, z, period, seed):
+    """value_noise3d_periodic (noise.c:172-204) on device."""
+    xi0 = jnp.floor(x).astype(jnp.int32)
+    yi0 = jnp.floor(y).astype(jnp.int32)
+    zi0 = jnp.floor(z).astype(jnp.int32)
+    xf, yf, zf = x - xi0, y - yi0, z - zi0
+
+    def wrap(i):
+        return jnp.mod(jnp.mod(i, period) + period, period)
+
+    c = {}
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                c[(dx, dy, dz)] = _hash31_jnp(
+                    wrap(xi0 + dx), wrap(yi0 + dy), wrap(zi0 + dz), seed)
+    ux, uy, uz = _smooth(xf), _smooth(yf), _smooth(zf)
+    x00 = c[(0, 0, 0)] * (1 - ux) + c[(1, 0, 0)] * ux
+    x10 = c[(0, 1, 0)] * (1 - ux) + c[(1, 1, 0)] * ux
+    x01 = c[(0, 0, 1)] * (1 - ux) + c[(1, 0, 1)] * ux
+    x11 = c[(0, 1, 1)] * (1 - ux) + c[(1, 1, 1)] * ux
+    y0 = x00 * (1 - uy) + x10 * uy
+    y1 = x01 * (1 - uy) + x11 * uy
+    return y0 * (1 - uz) + y1 * uz
+
+
+def _fbm3_jnp(x, y, z, octaves, lacunarity, gain, period, seed):
+    """fbm3_periodic (noise.c:206-221) on device (static octave count)."""
+    a, v = 0.5, jnp.zeros_like(x)
+    fx, fy, fz = x, y, z
+    p = period
+    for i in range(octaves):
+        v = v + _value_noise3d_jnp(fx, fy, fz, p, seed + i) * a
+        fx, fy, fz = fx * lacunarity, fy * lacunarity, fz * lacunarity
+        p = int(round(p * lacunarity))
+        a *= gain
+    return v
+
+
+def noise3d_field(pos, freq, octaves: int = 4, lacunarity: float = 2.0,
+                  gain: float = 0.5, period: int = 8, seed: int = 1337,
+                  size: int = 32):
+    """sample_noise3d (noise.glsl:74-77) without the texture: the SAME
+    normalized periodic-fBm gradient the bake stores, evaluated exactly
+    at ``pos·freq`` (texture REPEAT wrap = the noise's periodicity).
+    Returns (..., 3) in [-1, 1] — signed unit gradient vectors.
+
+    pos: (..., 3); freq: the shader's frequency (texture coords per
+    world unit). eps matches the bake's voxel step so the central
+    difference agrees with noise_grad3d's discretization."""
+    q = pos * (freq * period)                        # noise-space coords
+    eps = period / size
+
+    def f(dx, dy, dz):
+        return _fbm3_jnp(q[..., 0] + dx, q[..., 1] + dy, q[..., 2] + dz,
+                         octaves, lacunarity, gain, period, seed)
+
+    gx = (f(eps, 0, 0) - f(-eps, 0, 0)) * (0.5 / eps)
+    gy = (f(0, eps, 0) - f(0, -eps, 0)) * (0.5 / eps)
+    gz = (f(0, 0, eps) - f(0, 0, -eps)) * (0.5 / eps)
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    return g / jnp.maximum(
+        jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-15)
+
+
+def noise_glsl(p):
+    """The shader's hash-based value noise (noise.glsl:5-38): the cheap
+    per-pixel jitter fed into noise3d coords (combine.frag:45,
+    noise.glsl:144). p: (..., 3) → (...)."""
+    def hsh(q):
+        q = q * 0.3183099 + jnp.array([0.1, 0.2, 0.3])
+        q = (q - jnp.floor(q)) * 17.0
+        v = q[..., 0] * q[..., 1] * q[..., 2] \
+            * (q[..., 0] + q[..., 1] + q[..., 2])
+        return v - jnp.floor(v)
+
+    i = jnp.floor(p)
+    f = p - i
+    u = f * f * (3.0 - 2.0 * f)
+    c = {}
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                c[(dx, dy, dz)] = hsh(i + jnp.array([dx, dy, dz],
+                                                    p.dtype))
+    x0 = (c[(0, 0, 0)] * (1 - u[..., 0]) + c[(1, 0, 0)] * u[..., 0])
+    x1 = (c[(0, 1, 0)] * (1 - u[..., 0]) + c[(1, 1, 0)] * u[..., 0])
+    x2 = (c[(0, 0, 1)] * (1 - u[..., 0]) + c[(1, 0, 1)] * u[..., 0])
+    x3 = (c[(0, 1, 1)] * (1 - u[..., 0]) + c[(1, 1, 1)] * u[..., 0])
+    y0 = x0 * (1 - u[..., 1]) + x1 * u[..., 1]
+    y1 = x2 * (1 - u[..., 1]) + x3 * u[..., 1]
+    return y0 * (1 - u[..., 2]) + y1 * u[..., 2]
+
+
+def fog_cloud(pos, amp, freq, **noise_kw):
+    """fog_cloud (noise.glsl:142-147): scalar fog density from the
+    gradient field's x component, clamped to [0, 1]."""
+    p = pos + noise_glsl(pos[..., [2, 0, 1]])[..., None]
+    d = noise3d_field(p, freq, **noise_kw)[..., 0]
+    return jnp.clip(d * amp, 0.0, 1.0)
+
+
 def blue_noise2d(size: int = 64, key=None) -> jnp.ndarray:
     """(size, size, 3) float blue-noise (noise.c:96-148): random
     luma-weighted noise per channel, spectrally shaped by an r/r_max

@@ -157,8 +157,33 @@ def capsule_segment(pos, half_len, quat=None):
 # contact generation
 # ---------------------------------------------------------------------------
 
+def _body_patches(world: StaticWorld, params: BodyParams, pos):
+    """Per-body heightfield corner patches, extracted ONCE PER FRAME.
+
+    The patch one-hot matmuls are the single most expensive op group in
+    the headless step (the (B·N, p, n) row-selection intermediates);
+    extracting at frame-entry positions and reusing across substeps
+    halves that cost. Validity: a p=4 patch holds ≥1 grid cell of slack
+    around the sample footprint (±r), and bodies move ≤ v·dt ≈ cm per
+    frame — far less than a 0.5 m cell; clamped samples degrade exactly
+    like the documented patch-edge behavior in hf_patch."""
+    from .heightfield import CONTACT_PATCH, hf_patch
+
+    try:
+        import numpy as _np
+
+        two_ended = bool(_np.any(
+            _np.asarray(params.half_len)
+            * ~_np.asarray(params.kinematic) > 0))
+    except Exception:
+        two_ended = True
+    p = 8 if two_ended else CONTACT_PATCH
+    return jax.vmap(
+        lambda c: hf_patch(world.hf, c[0], c[2], p))(pos)
+
+
 def _static_contacts(world: StaticWorld, params: BodyParams, pos,
-                     quat=None):
+                     quat=None, patches=None):
     """All static-world contact slots per body (K = samples + tris).
 
     Returns (depth, normal, point) of shape (N, K[, 3]). No deepest-K
@@ -182,7 +207,7 @@ def _static_contacts(world: StaticWorld, params: BodyParams, pos,
     except Exception:
         two_ended = True
 
-    def per_body(p, r, hl, q):
+    def per_body(p, r, hl, q, patch):
         p0, p1 = capsule_segment(p, hl, q)
         # cardinal heightfield samples only: dedupe keeps one contact per
         # plane anyway, and diagonal planes only matter for fast lateral
@@ -190,7 +215,7 @@ def _static_contacts(world: StaticWorld, params: BodyParams, pos,
         # within CONTACT_MARGIN) stay so resting bodies keep a
         # persistent contact; c.depth is already -inf for masked slots.
         c = capsule_world_contacts(world, p0, p1, r, n_samples=5,
-                                   two_ended=two_ended)
+                                   patch=patch, two_ended=two_ended)
         d, n = c.depth, c.normal
         dots = jnp.einsum("ic,jc->ij", n, n)
         same = dots > 0.995
@@ -203,46 +228,70 @@ def _static_contacts(world: StaticWorld, params: BodyParams, pos,
     if quat is None:
         quat = jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]),
                                 (pos.shape[0], 4))
-    return jax.vmap(per_body)(pos, params.radius, params.half_len, quat)
+    if patches is None:
+        patches = _body_patches(world, params, pos)
+    return jax.vmap(per_body)(pos, params.radius, params.half_len, quat,
+                              patches)
+
+
+def _pair_indices(n: int):
+    """Static i<j pair list: (I, J) int arrays of length P = n(n−1)/2.
+
+    The (N, N) all-pairs matrix computes every contact twice and pays
+    for the i==j diagonal; the unordered pair list is the TPU-native
+    form — 2.25× fewer elements through the whole pair solve, with body
+    selection/scatter as exact one-hot MXU matmuls (trace-time constant
+    matrices)."""
+    import numpy as _np
+
+    iu = _np.triu_indices(n, k=1)
+    return iu[0].astype(_np.int32), iu[1].astype(_np.int32)
 
 
 def _pair_contacts(params: BodyParams, pos, quat=None):
-    """All-pairs capsule-capsule contacts between bodies.
+    """Capsule-capsule contacts for the static i<j pair list.
 
-    Returns (depth, normal, point) arrays of shape (N, N[, 3]): contact
-    of body i with body j; normal points from j toward i; point is the
-    world-space contact point (mid-surface of the overlap), which the
-    solver needs for contact torques (ODE's dContactGeom.pos)."""
+    Returns (depth, normal, point) of shape (P[, 3]): normal points from
+    body J toward body I; point is the world-space contact point
+    (mid-surface of the overlap), which the solver needs for contact
+    torques (ODE's dContactGeom.pos)."""
     n = pos.shape[0]
+    I, J = _pair_indices(n)
     p0, p1 = capsule_segment(pos, params.half_len, quat)
+    # traced per-body endpoints → per-pair rows via ONE one-hot matmul
+    # (constant-index gathers of vmapped operands are batched gathers)
+    feat = jnp.concatenate([p0, p1], axis=-1)                # (N, 6)
+    oh_i = (I[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
+    oh_j = (J[:, None] == jnp.arange(n)[None, :]).astype(jnp.float32)
+    fi = jax.lax.dot(oh_i, feat, precision=jax.lax.Precision.HIGHEST)
+    fj = jax.lax.dot(oh_j, feat, precision=jax.lax.Precision.HIGHEST)
+    # params are trace-time constants: plain indexing folds at compile
+    rI = params.radius[I]
+    rJ = params.radius[J]
+    ok = params.active[I] & params.active[J]
 
-    def pair(i, j):
-        ci, cj = closest_pt_segment_segment(p0[i], p1[i], p0[j], p1[j])
+    def pair(fi, fj, ri, rj, ok):
+        ci, cj = closest_pt_segment_segment(fi[:3], fi[3:], fj[:3], fj[3:])
         diff = ci - cj
         dist = jnp.linalg.norm(diff)
         normal = diff / jnp.maximum(dist, 1e-9)
         # degenerate (same axis): push up
         normal = jnp.where(dist > 1e-9, normal, jnp.array([0.0, 1.0, 0.0]))
-        depth = params.radius[i] + params.radius[j] - dist
+        depth = ri + rj - dist
         # surface point of i toward j / of j toward i — midpoint
-        point = 0.5 * ((ci - normal * params.radius[i])
-                       + (cj + normal * params.radius[j]))
-        ok = params.active[i] & params.active[j] & (i != j)
+        point = 0.5 * ((ci - normal * ri) + (cj + normal * rj))
         return jnp.where(ok, depth, -jnp.inf), normal, point
 
-    ii = jnp.arange(n)
-    depth, normal, point = jax.vmap(
-        lambda i: jax.vmap(lambda j: pair(i, j))(ii)
-    )(ii)
-    return depth, normal, point
+    return jax.vmap(pair)(fi, fj, rI, rJ, ok)
 
 
-def _mix_pair(params: BodyParams):
-    """Pairwise surface params (physics.c:291-330): bounce=max,
-    bounce_vel=avg, mu=geometric mean."""
-    bounce = jnp.maximum(params.bounce[:, None], params.bounce[None, :])
-    bounce_vel = 0.5 * (params.bounce_vel[:, None] + params.bounce_vel[None, :])
-    mu = jnp.sqrt(params.mu[:, None] * params.mu[None, :])
+def _mix_pair(params: BodyParams, I, J):
+    """Per-pair surface params (physics.c:291-330): bounce=max,
+    bounce_vel=avg, mu=geometric mean. params are trace-time constants,
+    so the indexing folds at compile."""
+    bounce = jnp.maximum(params.bounce[I], params.bounce[J])
+    bounce_vel = 0.5 * (params.bounce_vel[I] + params.bounce_vel[J])
+    mu = jnp.sqrt(params.mu[I] * params.mu[J])
     return bounce, bounce_vel, mu
 
 
@@ -251,7 +300,7 @@ def _mix_pair(params: BodyParams):
 # ---------------------------------------------------------------------------
 
 def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
-             dt) -> PhysState:
+             dt, patches=None) -> PhysState:
     """__phys_step (physics.c:746-771): collide → push-out → solve.
 
     Full 6-DOF rigid bodies: static contacts apply impulses at the
@@ -286,11 +335,6 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
         def invI_apply(x):
             return x * inv_i[:, None]
 
-        def invI_rows(x):    # x (N, M, 3): apply body i's I⁻¹ per row
-            return x * inv_i[:, None, None]
-
-        def invI_cols(x):    # x (N, M, 3): apply body j's I⁻¹ per column
-            return x * inv_i[None, :, None]
     else:
         R = mx.mat3_from_quat(quat)                          # (N, 3, 3)
         inv_I = jnp.einsum("nab,nb,ncb->nac", R, inv_d, R)   # R diag Rᵀ
@@ -298,23 +342,43 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
         def invI_apply(x):
             return jnp.einsum("nab,nb->na", inv_I, x)
 
-        def invI_rows(x):
-            return jnp.einsum("nab,nmb->nma", inv_I, x)
-
-        def invI_cols(x):
-            return jnp.einsum("mab,nmb->nma", inv_I, x)
 
     # --- contacts
-    sd, sn, sp = _static_contacts(world, params, pos, quat)  # (N,K),(N,K,3)
-    pd, pn, ppt = _pair_contacts(params, pos, quat)          # (N,N),(N,N,3)
+    sd, sn, sp = _static_contacts(world, params, pos, quat,
+                                  patches)                   # (N,K),(N,K,3)
+    pd, pn, ppt = _pair_contacts(params, pos, quat)          # (P,),(P,3)
+
+    # pair-list selection/scatter machinery: body→pair rows and
+    # pair→body sums are exact one-hot MXU matmuls over trace-time
+    # constant matrices (constant-index gathers of per-env operands
+    # would be batched gathers, ~10 ns/row)
+    n_b = pos.shape[0]
+    I, J = _pair_indices(n_b)
+    hot = pd > 0
+    ar_b = jnp.arange(n_b)
+    oh_ij = jnp.concatenate([
+        (I[:, None] == ar_b[None, :]), (J[:, None] == ar_b[None, :]),
+    ], axis=0).astype(jnp.float32)                           # (2P, N)
+    sc_i = oh_ij[:I.shape[0]].T                              # (N, P)
+    sc_j = oh_ij[I.shape[0]:].T
+
+    def sel_ij(x):
+        """(N, F) per-body → ((P, F) rows at I, (P, F) rows at J)."""
+        r = jax.lax.dot(oh_ij, x, precision=jax.lax.Precision.HIGHEST)
+        return r[:I.shape[0]], r[I.shape[0]:]
+
+    def scat(xi, xj):
+        """Signed pair→body sums: Σ_{p: I=b} xi − Σ_{p: J=b} xj."""
+        return (jax.lax.dot(sc_i, xi, precision=jax.lax.Precision.HIGHEST)
+                - jax.lax.dot(sc_j, xj,
+                              precision=jax.lax.Precision.HIGHEST))
 
     # --- penetration push-out (physics.c:755-766), dynamic bodies only
     push_static = jnp.sum(
         jnp.where(sd[..., None] > 0, sd[..., None] * sn, 0.0), axis=1
     )
-    push_pairs = jnp.sum(
-        jnp.where(pd[..., None] > 0, pd[..., None] * pn, 0.0), axis=1
-    )
+    imp = jnp.where(hot[:, None], pd[:, None] * pn, 0.0)
+    push_pairs = scat(imp, imp)
     pos = pos + jnp.where(solve_mask[:, None], push_static + push_pairs, 0.0)
 
     # wake bodies touched by an enabled body OR by a kinematic character
@@ -322,7 +386,11 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     # including character-space collisions — a character walking into a
     # sleeping box must wake it, physics.c:399-471)
     waker = solve_mask | (params.kinematic & params.active)
-    touched = jnp.any((pd > 0) & waker[None, :], axis=1)
+    wk_i, wk_j = sel_ij(waker.astype(jnp.float32)[:, None])
+    t_i = (hot & (wk_j[:, 0] > 0)).astype(jnp.float32)[:, None]
+    t_j = (hot & (wk_i[:, 0] > 0)).astype(jnp.float32)[:, None]
+    touched = (jax.lax.dot(sc_i, t_i)[:, 0]
+               + jax.lax.dot(sc_j, t_j)[:, 0]) > 0
     disabled = state.disabled & ~touched
     solve_mask = params.active & ~params.kinematic & ~disabled
 
@@ -335,7 +403,7 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
     bounce_s = params.bounce
     bv_s = params.bounce_vel
     mu_s = params.mu
-    b_pair, bv_pair, mu_pair = _mix_pair(params)
+    b_pair, bv_pair, mu_pair = _mix_pair(params, I, J)
 
     # contact offsets r (from the center of mass = geom center) and
     # restitution targets from pre-solve point velocities
@@ -351,34 +419,64 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
 
     # pair contact-point offsets + full effective mass K (both bodies'
     # linear AND angular terms — ODE's contact joint has the complete
-    # Jacobian, physics.c:291-330 builds it for every near_callback pair)
-    pr_i = ppt - pos[:, None, :]                             # (N, N, 3)
-    pr_j = ppt - pos[None, :, :]                             # (N, N, 3)
-    j_moves = (~params.kinematic & params.active)[None, :, None]
+    # Jacobian, physics.c:291-330 builds it for every near_callback
+    # pair). λ is computed ONCE per unordered pair and applied to both
+    # bodies with opposite signs — exactly what the old symmetric
+    # (N, N) matrix computed twice.
+    i_moves = (~params.kinematic & params.active)[I]     # (P,) consts
+    j_moves = (~params.kinematic & params.active)[J]
+    # traced per-body pull (post-push-out pos, inverse masses/inertias):
+    # one fused one-hot matmul for both pair sides
+    if iso:
+        bfeat = jnp.concatenate(
+            [pos, vel, angvel, inv_mass[:, None], inv_i[:, None]], -1)
+        bI, bJ = sel_ij(bfeat)                               # (P, 11)
+        imI, imJ = bI[:, 9], bJ[:, 9]
+
+        def iiI_apply(x):
+            return x * bI[:, 10:11]
+
+        def iiJ_apply(x):
+            return x * bJ[:, 10:11]
+    else:
+        bfeat = jnp.concatenate(
+            [pos, vel, angvel, inv_mass[:, None],
+             inv_I.reshape(n_b, 9)], -1)
+        bI, bJ = sel_ij(bfeat)                               # (P, 19)
+        imI, imJ = bI[:, 9], bJ[:, 9]
+        iI = bI[:, 10:19].reshape(-1, 3, 3)
+        iJ = bJ[:, 10:19].reshape(-1, 3, 3)
+
+        def iiI_apply(x):
+            return jnp.einsum("pab,pb->pa", iI, x)
+
+        def iiJ_apply(x):
+            return jnp.einsum("pab,pb->pa", iJ, x)
+
+    pr_i = ppt - bI[:, :3]                                   # (P, 3)
+    pr_j = ppt - bJ[:, :3]
 
     # pair restitution targets from RELATIVE pre-solve point velocities
     # (ODE's contact restitution acts on the relative normal speed;
-    # using only body i's speed halved the rebound in symmetric
-    # collisions; angular terms make spinning hits rebound correctly)
-    vpt_i_pre = vel[:, None, :] + jnp.cross(
-        jnp.broadcast_to(angvel[:, None, :], pr_i.shape), pr_i)
-    vpt_j_pre = vel[None, :, :] + jnp.cross(
-        jnp.broadcast_to(angvel[None, :, :], pr_j.shape), pr_j)
-    vrel_pre = vpt_i_pre - jnp.where(j_moves, vpt_j_pre, 0.0)
-    vn_pre_p = jnp.einsum("nmc,nmc->nm", pn, vrel_pre)
+    # angular terms make spinning hits rebound correctly). A kinematic
+    # side contributes zero velocity (characters shove via
+    # _apply_char_push, not the solver).
+    vpt_i_pre = bI[:, 3:6] + jnp.cross(bI[:, 6:9], pr_i)
+    vpt_j_pre = bJ[:, 3:6] + jnp.cross(bJ[:, 6:9], pr_j)
+    vrel_pre = jnp.where(i_moves[:, None], vpt_i_pre, 0.0) \
+        - jnp.where(j_moves[:, None], vpt_j_pre, 0.0)
+    vn_pre_p = jnp.einsum("pc,pc->p", pn, vrel_pre)
     target_p = jnp.where(
         (b_pair > 0) & (vn_pre_p < -bv_pair), -b_pair * vn_pre_p, 0.0
     )
-    contact_p = pd > 0
 
     rxn_i = jnp.cross(pr_i, pn)
     rxn_j = jnp.cross(pr_j, pn)
-    ii_rxn_i = invI_rows(rxn_i)
-    ii_rxn_j = jnp.where(j_moves, invI_cols(rxn_j), 0.0)
-    K_pair = (inv_mass[:, None] + jnp.where(j_moves[..., 0],
-                                            inv_mass[None, :], 0.0)
-              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxn_i, pr_i), pn)
-              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxn_j, pr_j), pn))
+    ii_rxn_i = iiI_apply(rxn_i)     # inverse masses/inertias are zeroed
+    ii_rxn_j = iiJ_apply(rxn_j)     # for kinematic/disabled bodies, so
+    K_pair = (imI + imJ            # K self-gates per side
+              + jnp.einsum("pc,pc->p", jnp.cross(ii_rxn_i, pr_i), pn)
+              + jnp.einsum("pc,pc->p", jnp.cross(ii_rxn_j, pr_j), pn))
 
     # slot-major copies: the unrolled solver slices one slot per pass,
     # and [k]-major slices are contiguous (strided [:, k] slices off the
@@ -424,43 +522,44 @@ def _substep(world: StaticWorld, params: BodyParams, state: PhysState,
         return (v, w), None
 
     def pair_pass(v, w):
-        """One Jacobi pass over pair contacts with the full contact
+        """One Jacobi pass over the pair list with the full contact
         Jacobian: λ-impulses at the contact point (linear + angular,
         split by the complete effective mass K_pair) plus Coulomb
         friction ≤ μ·λ — stacked capsules get contact torques and rub
         (near_callback builds exactly these contact joints,
-        physics.c:291-330). The (N, N) matrix is symmetric, so each row
-        applies only to body i; body j's share arrives via row j."""
-        act = contact_p & solve_mask[:, None]
-        vpt_i = v[:, None, :] + jnp.cross(
-            jnp.broadcast_to(w[:, None, :], pr_i.shape), pr_i)
-        vpt_j = v[None, :, :] + jnp.cross(
-            jnp.broadcast_to(w[None, :, :], pr_j.shape), pr_j)
-        vrel = vpt_i - jnp.where(j_moves, vpt_j, 0.0)
-        vn_p = jnp.einsum("nmc,nmc->nm", pn, vrel)
-        lam = jnp.where(act, jnp.maximum(target_p - vn_p, 0.0)
+        physics.c:291-330). One λ per unordered pair, scattered to both
+        bodies with opposite signs via the constant one-hot matrices."""
+        X = jnp.concatenate([v, w], axis=-1)                 # (N, 6)
+        XI, XJ = sel_ij(X)                                   # (P, 6)
+        vpt_i = XI[:, :3] + jnp.cross(XI[:, 3:6], pr_i)
+        vpt_j = XJ[:, :3] + jnp.cross(XJ[:, 3:6], pr_j)
+        vrel = jnp.where(i_moves[:, None], vpt_i, 0.0) \
+            - jnp.where(j_moves[:, None], vpt_j, 0.0)
+        vn_p = jnp.einsum("pc,pc->p", pn, vrel)
+        lam = jnp.where(hot, jnp.maximum(target_p - vn_p, 0.0)
                         / jnp.maximum(K_pair, 1e-9), 0.0)
-        dv = jnp.sum(lam[..., None] * pn, axis=1) * inv_mass[:, None]
-        dw = jnp.sum(lam[..., None] * ii_rxn_i, axis=1)
 
         # friction: tangential relative point velocity, cone-bounded by
         # this pass's normal λ (mu mixed √(mu_i·mu_j), physics.c:291-330)
-        vt = vrel - vn_p[..., None] * pn
+        vt = vrel - vn_p[:, None] * pn
         vt_len = jnp.linalg.norm(vt, axis=-1)
-        t_dir = vt / jnp.maximum(vt_len, 1e-9)[..., None]
+        t_dir = vt / jnp.maximum(vt_len, 1e-9)[:, None]
         rxt_i = jnp.cross(pr_i, t_dir)
         rxt_j = jnp.cross(pr_j, t_dir)
-        ii_rxt_i = invI_rows(rxt_i)
-        ii_rxt_j = jnp.where(j_moves, invI_cols(rxt_j), 0.0)
-        Kt = (inv_mass[:, None]
-              + jnp.where(j_moves[..., 0], inv_mass[None, :], 0.0)
-              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxt_i, pr_i), t_dir)
-              + jnp.einsum("nmc,nmc->nm", jnp.cross(ii_rxt_j, pr_j), t_dir))
-        lam_t = jnp.where(act & (vt_len > 1e-9),
+        ii_rxt_i = iiI_apply(rxt_i)
+        ii_rxt_j = iiJ_apply(rxt_j)
+        Kt = (imI + imJ
+              + jnp.einsum("pc,pc->p", jnp.cross(ii_rxt_i, pr_i), t_dir)
+              + jnp.einsum("pc,pc->p", jnp.cross(ii_rxt_j, pr_j), t_dir))
+        lam_t = jnp.where(hot & (vt_len > 1e-9),
                           jnp.minimum(vt_len / jnp.maximum(Kt, 1e-9),
                                       mu_pair * lam), 0.0)
-        dv = dv - jnp.sum(lam_t[..., None] * t_dir, axis=1) * inv_mass[:, None]
-        dw = dw - jnp.sum(lam_t[..., None] * ii_rxt_i, axis=1)
+
+        plin = lam[:, None] * pn - lam_t[:, None] * t_dir    # on i; −on j
+        dwi = lam[:, None] * ii_rxn_i - lam_t[:, None] * ii_rxt_i
+        dwj = lam[:, None] * ii_rxn_j - lam_t[:, None] * ii_rxt_j
+        dv = scat(plin, plin) * inv_mass[:, None]
+        dw = scat(dwi, dwj)
         return (v + jnp.where(solve_mask[:, None], dv, 0.0),
                 w + jnp.where(solve_mask[:, None], dw, 0.0))
 
@@ -506,11 +605,14 @@ def phys_step(world: StaticWorld, params: BodyParams, state: PhysState,
     with a known frame rate pass 2 and compile half the narrowphase.
     """
     acc = state.time_acc + dt
+    # heightfield patches once per FRAME (see _body_patches: substep
+    # drift is cm against ≥1 cell of patch slack)
+    patches = _body_patches(world, params, state.pos)
 
     def body(i, carry):
         st, acc = carry
         do = acc >= FIXED_DT
-        st2 = _substep(world, params, st, FIXED_DT)
+        st2 = _substep(world, params, st, FIXED_DT, patches)
         st = jax.tree.map(lambda a, b: jnp.where(do, b, a), st, st2)
         return st, jnp.where(do, acc - FIXED_DT, acc)
 

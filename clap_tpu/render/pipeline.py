@@ -55,6 +55,15 @@ class RenderOptions:
     fog_near: float = 80.0
     fog_far: float = 160.0
     fog_color: tuple = (0.58, 0.68, 0.78)
+    fog_noise: bool = False                 # 3D-noise-modulated fog color
+                                            # in combine (combine.frag:35-48)
+                                            # — the noise field is evaluated
+                                            # analytically (ops/noise.py),
+                                            # not gathered from a volume
+    material_fog: bool = False              # use_3d_fog surface fog blend
+                                            # (lighting.glsl:209-213)
+    fog_3d_amp: float = 1.0                 # fog_cloud amplitude
+    fog_3d_scale: float = 0.05              # fog_cloud frequency
     film_grain: float = 0.03
     tonemap_aces: bool = True
     shadow_outline_threshold: float = 0.5   # shadow-boundary outline flip
@@ -554,8 +563,16 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     tile_mask = light_grid(lights, cam_view, cam_proj, W, H)
     mat = shade.Material(base_color=base, roughness=rough, metallic=metal,
                          emission=emission)
+    fog_density = None
+    if opts.material_fog:
+        # use_3d_fog (lighting.glsl:209-213): per-pixel density from the
+        # fBm gradient field at the WORLD position, evaluated
+        # analytically (no 3D-texture gathers — ops/noise.py)
+        from ..ops.noise import fog_cloud
+
+        fog_density = fog_cloud(wpos, opts.fog_3d_amp, opts.fog_3d_scale)
     hdr = shade.shade_pixels(wpos, nrm, eye, mat, lights, tile_mask,
-                             shadow_factor=sf)
+                             shadow_factor=sf, fog_density=fog_density)
     hit = (gb.tri_id >= 0)[..., None]
     hdr = jnp.where(hit, hdr, jnp.array(opts.fog_color)[None, None])
     emit = post.bloom_threshold(emission, opts.bloom_threshold,
@@ -716,8 +733,18 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                 post.downsample2(post.downsample2(emit)))), H, W)
         color = color + bloom * (opts.bloom_intensity
                                  * (1.0 - fog_f))[..., None]
-    fc = jnp.array(opts.fog_color, color.dtype)
-    color = color * (1.0 - fog_f[..., None]) + fc[None, None] * fog_f[..., None]
+    fc = jnp.array(opts.fog_color, color.dtype)[None, None]
+    if opts.fog_noise:
+        # radial_fog_color (combine.frag:43-48): the fog tint darkens by
+        # the squared magnitude of a jittered noise3d sample at the VIEW
+        # position — analytic field, no volume gathers
+        from ..ops.noise import noise3d_field, noise_glsl
+
+        nv = noise3d_field(vpos + noise_glsl(vpos)[..., None],
+                           0.05) * 0.05
+        nfac = jnp.minimum(jnp.sum(nv * nv, -1), 3.0) / 3.0
+        fc = fc * (1.0 - nfac[..., None])
+    color = color * (1.0 - fog_f[..., None]) + fc * fog_f[..., None]
     color = post.contrast(color, opts.contrast)
     if opts.lighting_lut and lut_volume is not None:
         from .lut import apply_lut

@@ -161,13 +161,18 @@ def spot_factor(l, light_dir, cutoff):
 
 def shade_pixels(world_pos, normal, view_pos, mat: Material, lights: Lights,
                  tile_mask, shadow_factor=None, ambient=0.1,
-                 shadow_tint=None):
+                 shadow_tint=None, fog_density=None):
     """Accumulate all lights for an image (H, W) (model.frag main loop,
     lighting.glsl:141-207).
 
     tile_mask: (nty, ntx, L) from light_grid; light 0 is the shadow
     caster (lighting.glsl:184-190): its diffuse is tinted and specular
-    zeroed where shadowed."""
+    zeroed where shadowed.
+
+    fog_density: optional (H, W) material-fog density (use_3d_fog,
+    lighting.glsl:209-213): lit color blends toward the ambient fog
+    color and specular attenuates by (1 − density) — the surface-local
+    dusty/steamy look, not a depth-integrated fog."""
     H, W = world_pos.shape[:2]
     v = view_pos[None, None, :] - world_pos
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
@@ -178,7 +183,8 @@ def shade_pixels(world_pos, normal, view_pos, mat: Material, lights: Lights,
     pix_mask = up[:H, :W]
 
     L = lights.pos.shape[0]
-    total = jnp.zeros_like(mat.base_color)
+    total_d = jnp.zeros_like(mat.base_color)
+    total_s = jnp.zeros_like(mat.base_color)
     if shadow_factor is None:
         shadow_factor = jnp.ones((H, W))
     if shadow_tint is None:
@@ -195,20 +201,28 @@ def shade_pixels(world_pos, normal, view_pos, mat: Material, lights: Lights,
                         attenuation(lights.attenuation[li], dist))
         att = att * spot_factor(l, lights.direction[li][None, None],
                                 lights.cutoff[li])
-        contrib = (diff + spec) * (lights.color[li][None, None] * att[..., None])
+        ca = lights.color[li][None, None] * att[..., None]
+        d_li, s_li = diff * ca, spec * ca
         if li == 0:
             # shadow caster: mix diffuse toward tinted, kill spec in shadow
-            lit = diff * lights.color[li][None, None] * att[..., None]
-            shadowed = lit * shadow_tint[None, None]
             sf = shadow_factor[..., None]
-            contrib = lit * sf + shadowed * (1 - sf) \
-                + spec * lights.color[li][None, None] * att[..., None] * sf
-        total = total + jnp.where(pix_mask[..., li : li + 1], contrib, 0.0)
+            d_li = d_li * sf + d_li * shadow_tint[None, None] * (1 - sf)
+            s_li = s_li * sf
+        m = pix_mask[..., li: li + 1]
+        total_d = total_d + jnp.where(m, d_li, 0.0)
+        total_s = total_s + jnp.where(m, s_li, 0.0)
 
     amb_tint = 1.0 * shadow_factor[..., None] \
         + shadow_tint[None, None] * (1 - shadow_factor[..., None])
-    total = total + ambient * mat.base_color * amb_tint
-    return total
+    total_d = total_d + ambient * mat.base_color * amb_tint
+    if fog_density is not None:
+        # use_3d_fog (lighting.glsl:209-213): diffuse → ambient fog
+        # color, specular × (1 − density)
+        fd = fog_density[..., None]
+        amb_col = jnp.full((3,), ambient, total_d.dtype)
+        total_d = total_d * (1.0 - fd) + amb_col[None, None] * fd
+        total_s = total_s * (1.0 - fd)
+    return total_d + total_s
 
 
 # ---------------------------------------------------------------------------

@@ -338,6 +338,26 @@ def build_rig(doc: GltfDocument, skin_idx: int = 0):
     return sk, lib, names, remap
 
 
+def resolve_armature(doc: GltfDocument, armature: dict, remap,
+                     skin_idx: int = 0) -> dict:
+    """Resolve a scene.json "armature" block ({semantic: joint NAME})
+    to BUILD_RIG joint indices (scene.c:1474-1492: joint names come
+    from the glTF exporter; semantics — head/foot_left/… model.h:30-38
+    — are what gameplay/camera code keys on). ``remap`` is build_rig's
+    old→new joint reorder. Unknown names resolve to -1."""
+    skin = doc.skins[skin_idx]
+    name_to_old = {}
+    for j, n in enumerate(skin.joint_nodes):
+        nm = doc.nodes[n].get("name") if n < len(doc.nodes) else None
+        if nm:
+            name_to_old.setdefault(nm, j)
+    out = {}
+    for sem, jname in (armature or {}).items():
+        old = name_to_old.get(jname, -1)
+        out[sem] = int(remap[old]) if old >= 0 else -1
+    return out
+
+
 def find_collision_mesh(doc: GltfDocument):
     """The reference's named-"collision"-mesh convention
     (scene.c:1392-1421). Returns (render_mesh, collision_mesh|None)."""

@@ -44,6 +44,9 @@ class LoadedModel:
     physics: dict = field(default_factory=dict)
     images: list = field(default_factory=list)       # raw PNG bytes
     tex_source: list = field(default_factory=list)   # texture→image idx
+    joint_types: dict = field(default_factory=dict)  # semantic → joint idx
+                                                     # (model.h:30-38, from
+                                                     # the "armature" block)
 
 
 @dataclass
@@ -57,6 +60,35 @@ class LoadedScene:
     entity_names: list = field(default_factory=list)
     game: object = None            # GameConfig when the scene declares
                                    # switch/platform gameplay blocks
+    char_entities: list = field(default_factory=list)  # entity per char
+    char_models: list = field(default_factory=list)    # model per char
+    char_heights: list = field(default_factory=list)   # AABB y per char
+
+    def char_armature(self):
+        """Per-character semantic-joint arrays for GameWorld: resolves
+        each character's model "armature" block to (C,) joint indices
+        (the model3d_get_joint consumers: camera head target
+        camera.c:174-206, footstep SFX hooks). Returns a dict with
+        head_joint / foot_left / foot_right / char_entity / char_height
+        as device arrays (-1 = the model exposes no such joint)."""
+        C = max(len(self.char_entities), 1)
+
+        def sem(which):
+            vals = [self.models[m].joint_types.get(which, -1)
+                    for m in self.char_models] or [-1]
+            return jnp.asarray(vals + [-1] * (C - len(vals)), jnp.int32)
+
+        return {
+            "head_joint": sem("head"),
+            "foot_left": sem("foot_left"),
+            "foot_right": sem("foot_right"),
+            "char_entity": jnp.asarray(
+                (self.char_entities or [0]) +
+                [0] * (C - max(len(self.char_entities), 1)), jnp.int32),
+            "char_height": jnp.asarray(
+                (self.char_heights or [2.0]) +
+                [2.0] * (C - max(len(self.char_heights), 1)), jnp.float32),
+        }
 
 
 def _mat4_from_trs(pos, rot, scale):
@@ -83,6 +115,7 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
     for mentry in doc.get("model", []):
         mesh = coll = rig = None
         materials, images, tex_source = [], [], []
+        joint_types = {}
         if asset_loader is not None and mentry.get("gltf"):
             gdoc = load_gltf(asset_loader(mentry["gltf"]))
             mesh, coll = find_collision_mesh(gdoc)
@@ -91,11 +124,32 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
             tex_source = gdoc.textures
             if gdoc.skins:
                 rig = build_rig(gdoc)
+                # "armature": {"head": "<joint name>", ...} resolves
+                # exporter joint names to semantic slots the camera/
+                # attachment/SFX code keys on (scene.c:1474-1492,
+                # model.h:30-38 JOINT_HEAD..JOINT_HAND_RIGHT)
+                from .gltf import resolve_armature
+
+                joint_types = resolve_armature(
+                    gdoc, mentry.get("armature", {}), rig[3])
+                # "animations": {"motion": "<gltf clip name>", ...}
+                # renames exporter clip names to the engine's
+                # state-machine names (scene.c:1662-1684: idle/motion/
+                # jump/fall drive character_set_state's pushes)
+                renames = mentry.get("animations", {})
+                if renames:
+                    sk_r, lib_r, names_r, remap_r = rig
+                    names_r = list(names_r)
+                    for new_name, gltf_name in renames.items():
+                        if gltf_name in names_r:
+                            names_r[names_r.index(gltf_name)] = new_name
+                    rig = (sk_r, lib_r, names_r, remap_r)
         lm = LoadedModel(
             name=mentry.get("name", mentry.get("gltf", "model")),
             mesh=mesh, collision=coll, rig=rig, materials=materials,
             physics=mentry.get("physics", {}),
             images=images, tex_source=tex_source,
+            joint_types=joint_types,
         )
         mi = len(models)
         models.append(lm)
@@ -143,6 +197,9 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
     char_speeds = []
     char_jf = []
     char_ju = []
+    char_entities = []     # entity slot per char (for head-joint riding)
+    char_models = []       # model idx per char (armature semantics)
+    char_heights = []      # AABB height per char (camera_target ¾/0.2·h)
     entity_names = []
     name_to_idx = {}
     body_slot = 0
@@ -242,6 +299,9 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
                     char_speeds.append(aabb_y * float(e.get("speed", 1.2)))
                     char_jf.append(float(e.get("jump_forward", 1.2)))
                     char_ju.append(float(e.get("jump_upward", 5.0)))
+                    char_entities.append(ei)
+                    char_models.append(mi)
+                    char_heights.append(float(aabb_y))
                 body_slot += 1
 
     bodies = finalize_inertia(bodies)
@@ -357,7 +417,9 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
 
     return LoadedScene(name=doc.get("name", "scene"), cfg=cfg, state0=st,
                        lights=lights, models=models, doc=doc,
-                       entity_names=entity_names, game=game)
+                       entity_names=entity_names, game=game,
+                       char_entities=char_entities, char_models=char_models,
+                       char_heights=char_heights)
 
 
 def save_scene(scene: LoadedScene) -> str:
