@@ -234,6 +234,48 @@ class Engine:
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
+    def attach_sound(self, engine=None, footstep_left=None,
+                     footstep_right=None, frame_rate: float = 60.0):
+        """Wire the SoundEngine into the frame loop (the sfx_container
+        hookup scene.c:1432-1433 + sfx_play in the frame callbacks):
+        each frame, the session's sfx_events (footsteps fired by the
+        animation system's frame hooks) trigger voices, and one frame's
+        worth of audio is mixed into self.audio_buffer.
+
+        footstep_left/right: sound ids in ``engine`` (defaults: two
+        synthesized thumps). Requires a game session whose GameWorld
+        wires AnimSfx."""
+        from ..utils.sound import SoundEngine, synth_tone
+
+        if engine is None:
+            engine = SoundEngine()
+        if footstep_left is None:
+            footstep_left = engine.add_sound(
+                synth_tone(95.0, 0.09) * 0.8)
+        if footstep_right is None:
+            footstep_right = engine.add_sound(
+                synth_tone(110.0, 0.09) * 0.8)
+        self.sound = engine
+        self._footstep_ids = (footstep_left, footstep_right)
+        self._audio_frame = int(round(engine.rate / frame_rate))
+        self.audio_buffer = []
+        self.voice_log = []    # (frame, foot, char) — test/debug hook
+        self.cfg.sound = True
+        return engine
+
+    def _sound_frame(self):
+        import numpy as np
+
+        ev = getattr(self.session, "sfx_events", None)
+        if ev is not None:
+            ev = np.asarray(ev)
+            for c in range(ev.shape[0]):
+                for foot in range(2):
+                    if ev[c, foot]:
+                        self.sound.play(self._footstep_ids[foot])
+                        self.voice_log.append((self.frame_no, foot, c))
+        self.audio_buffer.append(self.sound.mix(self._audio_frame))
+
     def attach_display(self, host: str = "127.0.0.1", port: int = 8080,
                        max_fps: float = 30.0):
         """Live browser display (display-www.c + input-www.c analogue):
@@ -323,6 +365,11 @@ class Engine:
         else:
             self.state = self._step(self.state, inputs)
         self.profiler.step("sim")
+
+        if getattr(self, "sound", None) is not None \
+                and self.session is not None:
+            self._sound_frame()
+        self.profiler.step("sound")
 
         if self._render is not None and self.cfg.graphics:
             parts = (self.session.particles

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..anim.system import AnimConfig, AnimInstance, anim_step
+from ..anim.system import AnimConfig, AnimInstance, AnimSfx, anim_step
 from ..ops.particles import ParticleParams, ParticleState, particles_update
 from .gamelogic import GameConfig, GameState, game_update
 from .state import EngineState, SceneConfig
@@ -49,6 +49,11 @@ class GameWorld(NamedTuple):
     # near-plane-corner occlusion shrink every frame (camera.c:93-117);
     # Engine enables it with graphics — headless sims skip the raycasts
     camera_occlusion: bool = False
+    # per-clip frame-SFX table (animation_sfx scene.c:1295-1303); when
+    # set, game_step emits per-char footstep events in
+    # GameSessionState.sfx_events (init anim with anim_instances_init(n,
+    # with_sfx=True) and sfx_events with zeros so the treedef is stable)
+    sfx: AnimSfx | None = None
 
 
 class GameSessionState(NamedTuple):
@@ -59,6 +64,8 @@ class GameSessionState(NamedTuple):
     anim: AnimInstance | None = None             # BATCHED over all C rigs
     particles: ParticleState | None = None
     joint_mats: jnp.ndarray | None = None        # (C, J, 4, 4) current poses
+    sfx_events: jnp.ndarray | None = None        # (C, 2) bool [left, right]
+                                                 # footstep fired this frame
 
 
 def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
@@ -117,14 +124,21 @@ def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
 
     anim = gs.anim
     jt = gs.joint_mats
+    sfx_events = gs.sfx_events
     if gw.anim is not None and anim is not None:
         # EVERY rig animates every frame (mq_update walks all entities →
         # animated_update, model.c:1953/1563) — anim is a batched
         # AnimInstance over the C character rigs, advanced by one vmap
-        anim, jt = jax.vmap(
-            lambda a, s: anim_step(gw.anim, gw.anim_sk, gw.anim_lib,
-                                   a, s, dt)
-        )(anim, st.chars.state)                           # jt: (C, J, 4, 4)
+        if gw.sfx is not None:
+            anim, jt, sfx_events = jax.vmap(
+                lambda a, s: anim_step(gw.anim, gw.anim_sk, gw.anim_lib,
+                                       a, s, dt, sfx=gw.sfx)
+            )(anim, st.chars.state)                       # jt: (C, J, 4, 4)
+        else:
+            anim, jt = jax.vmap(
+                lambda a, s: anim_step(gw.anim, gw.anim_sk, gw.anim_lib,
+                                       a, s, dt)
+            )(anim, st.chars.state)
         if gw.attach_joint is not None:
             # joint riding (parent_transform_apply model.c:1594-1647):
             # child world = parent_mx · joint_global · offset. joint
@@ -157,4 +171,5 @@ def game_step(gw: GameWorld, gs: GameSessionState, inputs: Inputs,
         parts = particles_update(gw.particles, parts, centers)
 
     return GameSessionState(engine=st, game=game, anim=anim,
-                            particles=parts, joint_mats=jt)
+                            particles=parts, joint_mats=jt,
+                            sfx_events=sfx_events)

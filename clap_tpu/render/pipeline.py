@@ -55,6 +55,19 @@ class RenderOptions:
     fog_near: float = 80.0
     fog_far: float = 160.0
     fog_color: tuple = (0.58, 0.68, 0.78)
+    internal_scale: int = 1                 # shading-rate lever: render
+                                            # every 3D pass at (W/s, H/s)
+                                            # and bilinear-upscale the final
+                                            # LDR to (W, H). The frame cost
+                                            # is ∝ internal pixels (raster
+                                            # lattice math, G-buffer bytes,
+                                            # shading, post), so s=2 buys
+                                            # ~4× env-fps for a measured
+                                            # PSNR cost (bench reports the
+                                            # curve) — the escape hatch the
+                                            # 4096-env × 60 Hz north star
+                                            # needs on one chip (the HBM
+                                            # bound analysis, ROUND_NOTES)
     fog_noise: bool = False                 # 3D-noise-modulated fog color
                                             # in combine (combine.frag:35-48)
                                             # — the noise field is evaluated
@@ -639,6 +652,25 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
     shadow_moments/shadow_mvps/cascade_dists: optionally precomputed
     (e.g. a shared atlas for a multi-view batch, render_frame_batch);
     None → per-view CSM fit + shadow passes, like the reference."""
+    if opts.internal_scale > 1:
+        # shading-rate lever: the whole 3D frame renders at 1/s² the
+        # pixels; only the final LDR upscale touches full resolution
+        import dataclasses
+
+        s = opts.internal_scale
+        iopts = dataclasses.replace(opts, width=max(opts.width // s, 8),
+                                    height=max(opts.height // s, 8),
+                                    internal_scale=1)
+        img = render_frame(iopts, geom, cam_view, cam_proj, lights, eye,
+                           far=far, ssao_kernel_arr=ssao_kernel_arr,
+                           grain_noise=grain_noise, lut_volume=lut_volume,
+                           base_texture=base_texture,
+                           shadow_moments=shadow_moments,
+                           shadow_mvps=shadow_mvps,
+                           cascade_dists=cascade_dists,
+                           particles=particles, textures=textures,
+                           static_shadow=static_shadow)
+        return post.upsample_bilinear(img, opts.height, opts.width)
     W, H = opts.width, opts.height
 
     # fully static scene under the shadow split: the dynamic caster

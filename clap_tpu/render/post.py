@@ -78,6 +78,36 @@ def upsample2(img, out_h: int, out_w: int):
     return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "bilinear")
 
 
+def _axis_bilinear_up(x, f: int):
+    """True bilinear ×f upsample along axis 0, gather-free: repeat +
+    two edge-clamped shifts + a per-phase weight vector (output center
+    (j+0.5)/f − 0.5 interpolates the two nearest input samples)."""
+    n = x.shape[0]
+    up = jnp.repeat(x, f, axis=0)
+    nxt = jnp.concatenate([up[f:], jnp.repeat(up[-1:], f, axis=0)], 0)
+    prv = jnp.concatenate([jnp.repeat(up[:1], f, axis=0), up[:-f]], 0)
+    k = jnp.arange(n * f) % f
+    g = (k.astype(x.dtype) + 0.5) / f - 0.5
+    shape = (n * f,) + (1,) * (x.ndim - 1)
+    g = g.reshape(shape)
+    w = jnp.abs(g)
+    nb = jnp.where(g >= 0, nxt, prv)
+    return (1.0 - w) * up + w * nb
+
+
+def upsample_bilinear(img, out_h: int, out_w: int):
+    """Exact separable bilinear upsample (the internal-resolution
+    lever's final LDR upscale). Integer factors are gather-free
+    (repeat + shifts); other shapes fall back to jax.image.resize."""
+    h, w = img.shape[0], img.shape[1]
+    if out_h % h == 0 and out_w % w == 0:
+        img = _axis_bilinear_up(img, out_h // h)
+        img = jnp.moveaxis(
+            _axis_bilinear_up(jnp.moveaxis(img, 1, 0), out_w // w), 0, 1)
+        return img
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "bilinear")
+
+
 # 11-tap Gaussian, matching the reference's separable blur weights
 _G11 = np.array([0.0093, 0.028002, 0.065984, 0.121703, 0.175713, 0.198596,
                  0.175713, 0.121703, 0.065984, 0.028002, 0.0093], np.float32)

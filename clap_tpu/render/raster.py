@@ -298,7 +298,12 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
         jnp.concatenate([clip_verts, vextra], axis=-1)
     g = src if pre_expanded else \
         gather_rows(src, faces.T.reshape(-1))             # (3T, NC)
-    v = [[g[c * T:(c + 1) * T, i] for i in range(NC)] for c in range(3)]
+    # ONE transpose to component-major, then every per-component column
+    # is a contiguous row slice. Slicing columns directly out of the
+    # (3T, NC) layout re-read the lane-padded rows 3·NC times — 9.1 ms
+    # of the 16-env composed trace lived on that one line.
+    gt = g.T                                              # (NC, 3T)
+    v = [[gt[i, c * T:(c + 1) * T] for i in range(NC)] for c in range(3)]
     w = [v[c][3] for c in range(3)]
     inside = [wc > w_eps for wc in w]
     n_in = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
@@ -500,7 +505,24 @@ def records_to_coeffs(rec, cluster: int = None):
         (q1[0], zero), (q1[1], zero), (q1[2], zero),
         (s_[0], zero), (s_[1], zero), (s_[2], zero),
         (tid, tid), (zmin, inf), (zero, zero))]
-    return jnp.stack(cols, axis=-1)
+    return _pack_coeffs(cols, cluster)
+
+
+def _pack_coeffs(cols, cluster):
+    """Column list → coefficient records. Without ``cluster``: (T, NC)
+    tri-major (tests/oracle). With: the (Tc, cluster·NC) cluster-row
+    layout the per-tile gather + kernel consume, built by ONE fused
+    transpose from the (NC, T) columnar stack — stacking tri-major
+    first put NC on the lane axis (padded ×128/NC) and paid a second
+    relayout in the reshape (the two ops were ~4.3 ms of the 16-env
+    composed trace)."""
+    nc = len(cols)
+    if not cluster:
+        return jnp.stack(cols, axis=-1)
+    arr = jnp.stack(cols, axis=0)                   # (NC, T): T on lanes
+    Tc = arr.shape[1] // cluster
+    return arr.reshape(nc, Tc, cluster).transpose(1, 2, 0) \
+              .reshape(Tc, cluster * nc)
 
 
 NCOEF_DEPTH = 16
@@ -547,7 +569,7 @@ def records_to_coeffs_depth(rec, cluster: int = None):
         (a2, zero), (b2, zero), (c2, mone),
         (za, zero), (zb, zero), (zc, zero),
         (zmin, inf), (zero, zero), (zero, zero), (zero, zero))]
-    return jnp.stack(cols, axis=-1)
+    return _pack_coeffs(cols, cluster)
 
 
 def _raster_depth_kernel(width: int, height: int, tile_h: int, tile_w: int,
@@ -625,9 +647,9 @@ def rasterize_depth(rec, binned, width: int, height: int,
 
     rec, _, _ = _pad_cluster(rec, jnp.ones((rec.shape[1],), bool), None,
                              cluster)
-    coef = records_to_coeffs_depth(rec, cluster)  # col 12 = cluster zmin
-    Tc = coef.shape[0] // cluster
-    crec = coef.reshape(Tc, cluster * NCOEF_DEPTH)
+    # (Tc, cluster·NCOEF_DEPTH) cluster rows; col 12 = cluster zmin
+    crec = records_to_coeffs_depth(rec, cluster)
+    Tc = crec.shape[0]
     cap_c = tile_list.shape[1]
     cap = cap_c * cluster
     # gather_rows: stays a shared-table gather under the per-env vmap
@@ -1000,9 +1022,9 @@ def _raster_main(rec, binned, width: int, height: int,
     # would cover every pixel (e_k = 0 ≥ 0)
     rec, _, _ = _pad_cluster(rec, jnp.ones((rec.shape[1],), bool), None,
                              cluster)
-    coef = records_to_coeffs(rec, cluster)      # (T8, NCOEF), col 22 =
-    Tc = coef.shape[0] // cluster               # cluster zmin (early-out)
-    crec = coef.reshape(Tc, cluster * NCOEF)
+    # (Tc, cluster·NCOEF) cluster rows; col 22 = cluster zmin (early-out)
+    crec = records_to_coeffs(rec, cluster)
+    Tc = crec.shape[0]
     cap_c = tile_list.shape[1]
     cap = cap_c * cluster
     # pre-gather cluster records per tile (XLA gather — keeps the kernel
