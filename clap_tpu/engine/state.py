@@ -92,6 +92,14 @@ class SceneConfig(NamedTuple):
                                       # (ODE geoms ride their entities,
                                       # physics.c:789-811; None = all tri
                                       # entities are immobile, skip the work)
+    ent_rest_rot: jnp.ndarray = None  # (E, 4) load-pose quats. When set
+                                      # (with ent_rest_pos), tri collision
+                                      # follows the FULL entity transform:
+                                      # tri' = R(rot)·R(rest)⁻¹·(tri−rest_p)
+                                      # + pos — rotating/animated platforms
+                                      # stay solid in the right place
+                                      # (physics.c:789-811). None keeps the
+                                      # cheaper translation-only follow.
 
 
 def engine_state_init(n_entities: int, n_bodies: int, n_chars: int,

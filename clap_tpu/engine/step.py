@@ -286,18 +286,42 @@ def engine_step(cfg: SceneConfig, st: EngineState, inputs: Inputs,
         world = world._replace(tri_valid=world.tri_valid & tvis)
         if cfg.ent_rest_pos is not None:
             # trimesh collision FOLLOWS its entity (ODE geoms ride
-            # entity transforms, physics.c:789-811): translate each
-            # triangle by its owner's (pos - rest) delta. One-hot MXU
-            # matmul — delta is per-env under vmap, and a (T,) gather
-            # of a per-env (E, 3) table would be a batched-operand
-            # gather; the (T, E) one-hot is a trace-time constant.
+            # entity transforms, physics.c:789-811). One-hot MXU
+            # matmul — the per-entity transform is per-env under vmap,
+            # and a (T,) gather of a per-env table would be a
+            # batched-operand gather; the (T, E) one-hot is a
+            # trace-time constant.
             oh = (jnp.maximum(te, 0)[:, None]
                   == jnp.arange(st.pos.shape[0])[None, :]
                   ).astype(jnp.float32)                  # (T, E) const
-            delta = jax.lax.dot(oh, st.pos - cfg.ent_rest_pos,
+            owned = (te >= 0)[:, None]
+            if cfg.ent_rest_rot is None:
+                # translation-only follow (visibility-toggled platforms)
+                delta = jax.lax.dot(oh, st.pos - cfg.ent_rest_pos,
+                                    precision=jax.lax.Precision.HIGHEST)
+                delta = jnp.where(owned, delta, 0.0)
+                world = world._replace(tris=world.tris + delta[:, None, :])
+            else:
+                # FULL transform follow: tri' = R_rel·(tri − rest_p) +
+                # pos, R_rel = R(rot)·R(rest)⁻¹ — rotating platforms'
+                # collision rides their orientation (physics.c:789-811)
+                E = st.pos.shape[0]
+                r_rel = jnp.einsum(
+                    "eab,ecb->eac", mx.mat3_from_quat(st.rot),
+                    mx.mat3_from_quat(cfg.ent_rest_rot))   # R·R_restᵀ
+                feat = jnp.concatenate(
+                    [r_rel.reshape(E, 9), st.pos], axis=-1)  # (E, 12)
+                f = jax.lax.dot(oh, feat,
                                 precision=jax.lax.Precision.HIGHEST)
-            delta = jnp.where((te >= 0)[:, None], delta, 0.0)
-            world = world._replace(tris=world.tris + delta[:, None, :])
+                r_t = f[:, :9].reshape(-1, 3, 3)             # (T, 3, 3)
+                pos_t = f[:, 9:12]
+                rest_t = jax.lax.dot(oh, cfg.ent_rest_pos,
+                                     precision=jax.lax.Precision.HIGHEST)
+                local = world.tris - rest_t[:, None, :]
+                moved = jnp.einsum("tab,tcb->tca", r_t, local) \
+                    + pos_t[:, None, :]
+                world = world._replace(
+                    tris=jnp.where(owned[:, None], moved, world.tris))
         cfg = cfg._replace(world=world)
     st = _characters_move(cfg, st, inputs, dt)
     st = _apply_char_push(cfg, st, dt)

@@ -55,6 +55,16 @@ class RenderOptions:
     fog_near: float = 80.0
     fog_far: float = 160.0
     fog_color: tuple = (0.58, 0.68, 0.78)
+    record_compact: int = 0                 # fixed-capacity valid-first
+                                            # face-stream compaction before
+                                            # the record pipeline (composed
+                                            # per-env scenes: LOD select +
+                                            # culling leave the static
+                                            # stream ~75% invalid, and masks
+                                            # can't shorten what XLA walks).
+                                            # 0 = off; set to a generous
+                                            # bound on visible faces.
+                                            # Valid faces beyond it DROP.
     internal_scale: int = 1                 # shading-rate lever: render
                                             # every 3D pass at (W/s, H/s)
                                             # and bilinear-upscale the final
@@ -232,9 +242,13 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     if pre:
         # corner stream (record order) instead of vertex table: the
         # per-cascade transform runs on 3T rows and the record build
-        # needs no gather (pad rows are zeros → w=0 → records invalid,
-        # and valid0's pad-False masks them anyway)
+        # needs no gather. Pad rows are masked by valid0's pad-False
+        # entries — NOT by w (clip_transform appends homogeneous w=1,
+        # so zero pad vertices project to the origin with nonzero w;
+        # the valid mask is the only thing keeping them out).
         src = geom.shadow_corner_verts
+        assert src.shape[0] == 3 * (faces0.shape[0] - pad), \
+            "shadow_corner_verts does not match the shadow face stream"
         if pad:
             src = jnp.concatenate(
                 [src, jnp.zeros((3 * pad, 3), src.dtype)])
@@ -306,9 +320,16 @@ def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
             raise ValueError("corner_verts without corner_normals: "
                              "kernel_attrs interpolates normals")
         vex = geom.corner_normals
+    faces, fvalid, fent = geom.faces, geom.face_valid, geom.face_entity
+    if opts.record_compact and not pre:
+        from .raster import compact_faces
+
+        faces, fvalid, fent = compact_faces(
+            faces, fvalid, opts.record_compact,
+            extra=fent.astype(jnp.int32))
     rec, ok, _csrc, _ = clip_near_records(
-        clip, geom.faces, W, H, geom.face_valid,
-        vextra=vex, tid_pack=geom.face_entity,
+        clip, faces, W, H, fvalid,
+        vextra=vex, tid_pack=fent,
         pack_stride=stride, pre_expanded=pre)
     binned = bin_triangles(rec, ok, W, H, cap=opts.raster_cap or None)
     depth, pid, nraw = rasterize_attrs(rec, binned, W, H)
@@ -346,9 +367,16 @@ def _surface_gather(opts: RenderOptions, geom: SceneGeometry, clip,
     # triangles raster as clipped sub-tris instead of dropping
     from .raster import clip_near_records
 
+    pre = geom.corner_verts is not None
+    faces, fvalid = geom.faces, geom.face_valid
+    face_entity = geom.face_entity
+    if opts.record_compact and not pre:
+        from .raster import compact_faces
+
+        faces, fvalid, face_entity = compact_faces(
+            faces, fvalid, opts.record_compact, extra=face_entity)
     rec, ok, csrc, cbary = clip_near_records(
-        clip, geom.faces, W, H, geom.face_valid,
-        pre_expanded=geom.corner_verts is not None)
+        clip, faces, W, H, fvalid, pre_expanded=pre)
     binned = bin_triangles(rec, ok, W, H,
                            cap=opts.raster_cap or None)
     gb = rasterize(rec, binned, W, H)
@@ -397,11 +425,11 @@ def _surface_gather(opts: RenderOptions, geom: SceneGeometry, clip,
         # per-face entity id rides the attr gather as a flat column
         # (a separate face_entity image gather cost ~4 ms @ 16 envs)
         attrs, flat_px = shade.interpolate_attrs(
-            gb, geom.faces, vattrs, csrc, cbary,
-            face_attrs=geom.face_entity[:, None].astype(jnp.float32),
+            gb, faces, vattrs, csrc, cbary,
+            face_attrs=face_entity[:, None].astype(jnp.float32),
             table_dtype=tdt)
     else:
-        attrs = shade.interpolate_attrs(gb, geom.faces, vattrs, csrc,
+        attrs = shade.interpolate_attrs(gb, faces, vattrs, csrc,
                                         cbary, table_dtype=tdt)
 
     # local-attrs mode: per-pixel entity rotation (one-hot MXU lookup —
@@ -507,6 +535,11 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
     W, H = opts.width, opts.height
     # corner-expanded static stream: transform 3T corner rows directly
     # (clip_near_records then skips its per-frame corner gather)
+    if geom.corner_verts is not None:
+        # a corner stream built over a DIFFERENT face table would
+        # silently render the wrong triangles
+        assert geom.corner_verts.shape[0] == 3 * geom.faces.shape[0], \
+            "corner_verts does not match the face stream"
     clip = clip_transform(
         geom.corner_verts if geom.corner_verts is not None else geom.verts,
         cam_view, cam_proj)

@@ -891,6 +891,50 @@ def bin_triangles(rec, ok, width: int, height: int,
     return tile_list, counts, big_idx, big_count
 
 
+def compact_faces(faces, face_valid, cap: int, extra=None,
+                  cluster: int = CLUSTER):
+    """Fixed-capacity valid-first compaction of a face stream, at
+    binning-cluster granularity.
+
+    Per-env LOD selection + frustum culling leave the static face table
+    mostly invalid (the composed testbed: 62k faces, ~15k valid) — and
+    masks can't shorten the stream the record pipeline walks. Sorting
+    CLUSTER validity keys (T/8 of them, 2-operand sort — the flat
+    per-face payload sort measured 8.9 ms at 16 envs; this is ~0.1 ms)
+    and gathering the first cap/8 clusters' faces bounds every
+    downstream record op at ``cap``. Valid clusters beyond the cap are
+    dropped (callers size cap with headroom; the composed scene's worst
+    case is ~4× under it).
+
+    Returns (faces (cap, 3), valid (cap,), extra (cap,) | None) —
+    per-env arrays under vmap (gather_rows keeps the gathers in the
+    fast shared-table form)."""
+    T = faces.shape[0]
+    if cap >= T:
+        return faces, face_valid, extra
+    pad = (-T) % cluster
+    if pad:
+        faces = jnp.concatenate(
+            [faces, jnp.zeros((pad, 3), faces.dtype)])
+        face_valid = jnp.concatenate(
+            [face_valid, jnp.zeros((pad,), bool)])
+        if extra is not None:
+            extra = jnp.concatenate([extra, jnp.zeros((pad,), extra.dtype)])
+        T += pad
+    Tc = T // cluster
+    ckey = (~face_valid.reshape(Tc, cluster).any(1)).astype(jnp.uint32)
+    cidx = jnp.arange(Tc, dtype=jnp.int32)
+    _, sidx = jax.lax.sort((ckey, cidx), num_keys=1, is_stable=True)
+    keep = sidx[: cap // cluster]
+    midx = (keep[:, None] * cluster
+            + jnp.arange(cluster, dtype=jnp.int32)[None, :]).reshape(-1)
+    faces_c = gather_rows(faces, midx)
+    valid_c = gather_rows(face_valid[:, None], midx)[:, 0]
+    extra_c = None if extra is None else \
+        gather_rows(extra[:, None], midx)[:, 0]
+    return faces_c, valid_c, extra_c
+
+
 TRI_CHUNK = 8  # triangles processed per vectorized kernel step
 
 

@@ -326,27 +326,37 @@ def bake_static_shadow(rt: RenderTables, entity_mx0, light_dir,
     if rt.static_shadow_faces is None or rt.static_shadow_faces.shape[0] == 0:
         raise ValueError("no static shadow stream: build_render_tables "
                          "needs entity_shadow_static")
-    packed = entity_mx0[:, :3, :].reshape(entity_mx0.shape[0], 12)
-    g = packed[rt.vert_entity]
-    m = g.reshape(-1, 3, 4)
-    wverts = jnp.einsum("vij,vj->vi", m[:, :, :3], rt.verts) + m[:, :, 3]
-    # bounds over the static casters' own vertices
+    # static index of the casters' vertices (host-known subset)
     used = np.zeros(int(rt.verts.shape[0]), bool)
     used[np.asarray(rt.static_shadow_faces).reshape(-1)] = True
-    wsub = jnp.asarray(np.asarray(wverts)[used])
-    sv, cd = bounds_light_subview(wsub.min(0) - 1.0, wsub.max(0) + 1.0,
-                                  light_dir, far=far)
+    used_idx = jnp.asarray(np.nonzero(used)[0].astype(np.int32))
     T = rt.static_shadow_faces
-    ones_t = jnp.ones((T.shape[0],), bool)
-    zeros_v = jnp.zeros_like(wverts)
-    geom = SceneGeometry(
-        verts=wverts, normals=zeros_v, faces=T, face_valid=ones_t,
-        base_color=zeros_v, rough_metal=zeros_v[:, :2], emission=zeros_v,
-        shadow_faces=T, shadow_face_valid=ones_t)
     opts = RenderOptions(shadow_size=shadow_size)
-    moments = shadow_pass_all(opts, geom, sv.view, sv.proj)
-    mvps = jnp.einsum("cij,cjk->cik", sv.proj, sv.view)
-    return moments, mvps, cd
+
+    # ONE jitted program (not eager op-by-op): a big static scene's bake
+    # is compile-dominated the first time, and the persistent
+    # compilation cache makes every later bake of the same shapes a pure
+    # execute — "bake once" costs seconds warm, not minutes
+    def _bake(mx0, ldir):
+        packed = mx0[:, :3, :].reshape(mx0.shape[0], 12)
+        g = packed[rt.vert_entity]
+        m = g.reshape(-1, 3, 4)
+        wverts = jnp.einsum("vij,vj->vi", m[:, :, :3], rt.verts) \
+            + m[:, :, 3]
+        wsub = wverts[used_idx]
+        sv, cd = bounds_light_subview(wsub.min(0) - 1.0, wsub.max(0) + 1.0,
+                                      ldir, far=far)
+        ones_t = jnp.ones((T.shape[0],), bool)
+        zeros_v = jnp.zeros_like(wverts)
+        geom = SceneGeometry(
+            verts=wverts, normals=zeros_v, faces=T, face_valid=ones_t,
+            base_color=zeros_v, rough_metal=zeros_v[:, :2],
+            emission=zeros_v, shadow_faces=T, shadow_face_valid=ones_t)
+        moments = shadow_pass_all(opts, geom, sv.view, sv.proj)
+        mvps = jnp.einsum("cij,cjk->cik", sv.proj, sv.view)
+        return moments, mvps, cd
+
+    return jax.jit(_bake)(entity_mx0, light_dir)
 
 
 def kernel_attrs_ok(rt: RenderTables) -> bool:

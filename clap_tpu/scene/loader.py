@@ -370,6 +370,7 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
     # platform whose active position differs from its load pose
     # (on_pos), or a scene that opts in explicitly
     rest_pos = None
+    rest_rot = None
     if tri_ents is not None:
         tri_owner = set(int(x) for x in tri_ents.tolist())
         movable = bool(doc.get("collision_follows_entities", False))
@@ -379,6 +380,11 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
                 movable = True
         if movable:
             rest_pos = jnp.asarray(st.pos)
+            # "collision_follows_rotation": tri collision rides the FULL
+            # entity transform (rotating/animated platforms,
+            # physics.c:789-811); plain follows stay translation-only
+            if bool(doc.get("collision_follows_rotation", False)):
+                rest_rot = jnp.asarray(st.rot)
 
     cfg = SceneConfig(
         world=world, bodies=bodies, entities=ent, char_params=char_params,
@@ -386,6 +392,7 @@ def load_scene(doc_json: str, asset_loader=None, heightfield=None,
         limbo_height=jnp.float32(doc.get("limbo_height", 40.0)),
         gravity_y=jnp.float32(-9.8),
         ent_rest_pos=rest_pos,
+        ent_rest_rot=rest_rot,
         camera_char=jnp.asarray(
             [int(c.get("character", -1)) for c in cam_entries], jnp.int32)
         if n_cameras else None,

@@ -411,3 +411,37 @@ def test_shadow_static_mask_platform_exclusion():
     np.testing.assert_array_equal(m, [True, False, False, True, False])
     m2 = shadow_static_mask(ent, platform_group=pg)
     np.testing.assert_array_equal(m2, [True, False, False, False, False])
+
+
+def test_record_compact_image_parity():
+    """Fixed-capacity valid-first face compaction (record_compact): with
+    cap >= valid faces the image is identical to the uncompacted frame
+    in BOTH surface paths (the stream order changes, but the raster
+    winner is depth-selected, not order-selected)."""
+    rt = _tables()
+    B = 2
+    mxs, vis, eyes = _env_states(B, seed=7)
+    # hide one cube so part of the static stream is invalid (the
+    # compaction's reason to exist)
+    vis = vis.at[:, 2].set(False)
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 60.0)
+    views = jax.vmap(lambda e: mx.mat4_look_at(
+        e, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])))(eyes)
+    planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+    lights = _sun()
+    geom_b, axes = assemble_scene_geometry_batch(rt, mxs, vis, planes, eyes)
+    T = int(rt.faces.shape[0])
+    vmax = int(np.asarray(geom_b.face_valid).sum(-1).max())
+    cap = (vmax + 7) // 8 * 8 + 8        # fits the valid set...
+    assert cap < T                       # ...and actually engages
+    for kattrs in (False, True):
+        base = dict(width=96, height=96, shadow_size=64, film_grain=0.0,
+                    kernel_attrs=kattrs)
+        i0 = jax.jit(lambda g, v, e: render_frame_dynamic_batch(
+            RenderOptions(**base), g, axes, v, proj, lights, e,
+            far=60.0))(geom_b, views, eyes)
+        i1 = jax.jit(lambda g, v, e: render_frame_dynamic_batch(
+            RenderOptions(record_compact=cap, **base), g, axes, v, proj,
+            lights, e, far=60.0))(geom_b, views, eyes)
+        diff = np.abs(np.asarray(i1) - np.asarray(i0))
+        assert diff.max() < 1e-4, (kattrs, diff.max())

@@ -382,3 +382,68 @@ def test_kernel_attrs_extras_parity():
         np.where(h3, np.asarray(jnp.mod(pid3, ENT_PACK)), -1),
         np.where(np.asarray(gb4.tri_id >= 0),
                  ents[np.maximum(np.asarray(gb4.tri_id), 0)], -1))
+
+
+def test_pre_expanded_records_bit_identical():
+    """ADVICE r3: the pre_expanded corner-stream branches must produce
+    records bit-identical to the gather path — for both record builders
+    and both layouts (plain + extras), including the baked v0/v2/v1
+    corner swap."""
+    import numpy as np
+    from clap_tpu import mathx as mx
+    from clap_tpu.render.pipeline import clip_transform
+    from clap_tpu.render.raster import (assemble_tri_records,
+                                        clip_near_records,
+                                        expand_corners_major,
+                                        expand_corners_record,
+                                        project_to_screen)
+
+    rng = np.random.default_rng(11)
+    V, T = 64, 40
+    verts = rng.standard_normal((V, 3)).astype(np.float32) * 3
+    normals = rng.standard_normal((V, 3)).astype(np.float32)
+    faces = rng.integers(0, V, (T, 3)).astype(np.int32)
+    valid = rng.random(T) > 0.2
+    eye = jnp.array([0.0, 1.0, 6.0])
+    view = mx.mat4_look_at(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 50.0)
+
+    # --- assemble_tri_records (record-order expansion)
+    vrec4 = np.concatenate([verts, np.ones((V, 1), np.float32)], -1)
+    clipv = clip_transform(jnp.asarray(verts), view, proj)
+    sx, sy, z, iw = project_to_screen(clipv, 128, 128)
+    rec_a, ok_a = assemble_tri_records(sx, sy, z, iw, jnp.asarray(faces),
+                                       jnp.asarray(valid))
+    tbl = np.stack([np.asarray(sx), np.asarray(sy), np.asarray(z),
+                    np.asarray(iw)], -1)
+    ex = expand_corners_record(tbl, faces)            # (3T, 4)
+    rec_b, ok_b = assemble_tri_records(
+        jnp.asarray(ex[:, 0]), jnp.asarray(ex[:, 1]),
+        jnp.asarray(ex[:, 2]), jnp.asarray(ex[:, 3]),
+        jnp.asarray(faces), jnp.asarray(valid), pre_expanded=True)
+    np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))
+    np.testing.assert_array_equal(np.asarray(ok_a), np.asarray(ok_b))
+
+    # --- clip_near_records (corner-major expansion), extras layout
+    cv = expand_corners_major(verts, faces)
+    cn = expand_corners_major(normals, faces)
+    r1, o1, c1, _ = clip_near_records(clipv, jnp.asarray(faces), 128, 128,
+                                      jnp.asarray(valid),
+                                      vextra=jnp.asarray(normals))
+    r2, o2, c2, _ = clip_near_records(
+        clip_transform(jnp.asarray(cv), view, proj), jnp.asarray(faces),
+        128, 128, jnp.asarray(valid), vextra=jnp.asarray(cn),
+        pre_expanded=True)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    # --- clip_near_records plain layout (cb pairs)
+    r3, o3, c3, cb3 = clip_near_records(clipv, jnp.asarray(faces),
+                                        128, 128, jnp.asarray(valid))
+    r4, o4, c4, cb4 = clip_near_records(
+        clip_transform(jnp.asarray(cv), view, proj), jnp.asarray(faces),
+        128, 128, jnp.asarray(valid), pre_expanded=True)
+    np.testing.assert_array_equal(np.asarray(r3), np.asarray(r4))
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(o4))
+    np.testing.assert_array_equal(np.asarray(cb3), np.asarray(cb4))

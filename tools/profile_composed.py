@@ -66,7 +66,8 @@ lights = lights._replace(
     color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
     is_dir=lights.is_dir.at[0].set(True),
     active=lights.active.at[0].set(True))
-opts = RenderOptions(width=res, height=res, shadow_size=256, film_grain=0.0)
+opts = RenderOptions(width=res, height=res, shadow_size=256, film_grain=0.0,
+                     record_compact=24576)
 proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
 skip = ent.skip_culling
 
