@@ -473,7 +473,8 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     from clap_tpu.render.lights import lights_empty
     from clap_tpu.render.pipeline import (RenderOptions,
                                           render_frame_dynamic_batch)
-    from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
+    from clap_tpu.render.scenerender import (assemble_cluster_records_batch,
+                                             assemble_scene_geometry_batch,
                                              bake_static_shadow,
                                              build_render_tables,
                                              default_edge_ids,
@@ -543,6 +544,9 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                          record_compact=24576,
                          kernel_attrs=kernel_attrs_ok(rt) and bool(
                              int(os.environ.get("KERNEL_ATTRS", "1"))))
+    # CLUSTER_REC=0 reverts to member-granularity assembly for A/B runs
+    cluster_rec = (opts.kernel_attrs and rt.cl_rest is not None
+                   and bool(int(os.environ.get("CLUSTER_REC", "1"))))
     proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
     skip = ent.skip_culling
 
@@ -558,8 +562,17 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
 
         views = jax.vmap(view_of)(cam)
         planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
-        geom, axes = assemble_scene_geometry_batch(
-            rt, sts.mx, sts.visible, planes, cam.pos, skip_culling=skip)
+        if cluster_rec:
+            # cluster-granularity record front end: validity/compaction/
+            # world+clip at ~T/8 cluster rows, zero per-env gathers
+            # before the per-tile record fetch (test_cluster_records)
+            geom, axes = assemble_cluster_records_batch(
+                rt, sts.mx, sts.visible, planes, cam.pos, views, proj,
+                cap=opts.record_compact, skip_culling=skip)
+        else:
+            geom, axes = assemble_scene_geometry_batch(
+                rt, sts.mx, sts.visible, planes, cam.pos,
+                skip_culling=skip)
         return render_frame_dynamic_batch(opts, geom, axes, views, proj,
                                           lights, cam.pos, far=200.0,
                                           static_shadow=static_shadow)

@@ -169,6 +169,15 @@ class SceneGeometry(NamedTuple):
     corner_verts: jnp.ndarray = None         # (3T, 3)
     corner_normals: jnp.ndarray = None       # (3T, 3)
     shadow_corner_verts: jnp.ndarray = None  # (3Ts, 3)
+    # cluster-record mode (scenerender.assemble_cluster_records_batch):
+    # per-corner CLIP-space component columns [corner c][x,y,z,w,nx,ny,
+    # nz] — the record pipeline's input already built at cluster
+    # granularity; verts/faces are unused (empty) in this mode and the
+    # surface stage calls clip_near_records(components=…) directly.
+    # kernel_attrs only.
+    comp: jnp.ndarray = None        # (21, T) f32
+    comp_valid: jnp.ndarray = None  # (T,) bool
+    comp_ent: jnp.ndarray = None    # (T,) int32 face entity
 
 
 class TextureSets(NamedTuple):
@@ -302,35 +311,46 @@ def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
     from .raster import clip_near_records, ent_pack_stride, rasterize_attrs
 
     W, H = opts.width, opts.height
-    if geom.ent_rot is None or geom.face_entity is None \
-            or geom.ent_flat is None:
+    if geom.ent_rot is None or geom.ent_flat is None \
+            or (geom.face_entity is None and geom.comp is None):
         raise ValueError("kernel_attrs needs local-attrs geometry with "
                          "ent_flat (RenderTables.flat_eligible)")
     n_ent = geom.ent_rot.shape[-3]
-    T = geom.faces.shape[0]
+    T = geom.comp.shape[-1] if geom.comp is not None else \
+        geom.faces.shape[0]
     stride = ent_pack_stride(n_ent)     # adaptive: few entities → small
     if 2 * T * stride >= 1 << 24:       # stride → higher triangle cap
         raise ValueError(
             f"kernel_attrs limit exceeded: T={T} with E={n_ent} "
             f"(stride {stride}) needs 2·T·stride < 2^24")
-    pre = geom.corner_verts is not None
-    vex = geom.normals
-    if pre:
-        if geom.corner_normals is None:
-            raise ValueError("corner_verts without corner_normals: "
-                             "kernel_attrs interpolates normals")
-        vex = geom.corner_normals
-    faces, fvalid, fent = geom.faces, geom.face_valid, geom.face_entity
-    if opts.record_compact and not pre:
-        from .raster import compact_faces
+    if geom.comp is not None:
+        # cluster-record mode: per-corner clip components arrive fully
+        # built (assemble_cluster_records_batch) — no gathers at all
+        comps = [[geom.comp[c * 7 + i] for i in range(7)]
+                 for c in range(3)]
+        rec, ok, _csrc, _ = clip_near_records(
+            None, None, W, H, geom.comp_valid,
+            tid_pack=geom.comp_ent, pack_stride=stride,
+            components=comps)
+    else:
+        pre = geom.corner_verts is not None
+        vex = geom.normals
+        if pre:
+            if geom.corner_normals is None:
+                raise ValueError("corner_verts without corner_normals: "
+                                 "kernel_attrs interpolates normals")
+            vex = geom.corner_normals
+        faces, fvalid, fent = geom.faces, geom.face_valid, geom.face_entity
+        if opts.record_compact and not pre:
+            from .raster import compact_faces
 
-        faces, fvalid, fent = compact_faces(
-            faces, fvalid, opts.record_compact,
-            extra=fent.astype(jnp.int32))
-    rec, ok, _csrc, _ = clip_near_records(
-        clip, faces, W, H, fvalid,
-        vextra=vex, tid_pack=fent,
-        pack_stride=stride, pre_expanded=pre)
+            faces, fvalid, fent = compact_faces(
+                faces, fvalid, opts.record_compact,
+                extra=fent.astype(jnp.int32))
+        rec, ok, _csrc, _ = clip_near_records(
+            clip, faces, W, H, fvalid,
+            vextra=vex, tid_pack=fent,
+            pack_stride=stride, pre_expanded=pre)
     binned = bin_triangles(rec, ok, W, H, cap=opts.raster_cap or None)
     depth, pid, nraw = rasterize_attrs(rec, binned, W, H)
     gb = GBuffer(depth=depth, tri_id=pid,
@@ -540,9 +560,16 @@ def model_pass(opts: RenderOptions, geom: SceneGeometry, cam_view, cam_proj,
         # silently render the wrong triangles
         assert geom.corner_verts.shape[0] == 3 * geom.faces.shape[0], \
             "corner_verts does not match the face stream"
-    clip = clip_transform(
-        geom.corner_verts if geom.corner_verts is not None else geom.verts,
-        cam_view, cam_proj)
+    if geom.comp is not None:
+        # cluster-record mode: clip components arrive pre-built
+        clip = None
+        if not opts.kernel_attrs:
+            raise ValueError("cluster-record geometry (comp) requires "
+                             "opts.kernel_attrs")
+    else:
+        clip = clip_transform(
+            geom.corner_verts if geom.corner_verts is not None
+            else geom.verts, cam_view, cam_proj)
     if opts.kernel_attrs:
         gb, nrm, base, rough, metal, emission, eid_px = \
             _surface_kernel_attrs(opts, geom, clip)
@@ -678,13 +705,17 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                  ssao_kernel_arr=None, grain_noise=None, lut_volume=None,
                  base_texture=None, shadow_moments=None, shadow_mvps=None,
                  cascade_dists=None, particles=None, textures=None,
-                 static_shadow=None):
+                 static_shadow=None, _taps=None):
     """The full canonical frame (pipeline_build chain). Returns the
     final LDR (or PQ) image (H, W, 3).
 
     shadow_moments/shadow_mvps/cascade_dists: optionally precomputed
     (e.g. a shared atlas for a multi-view batch, render_frame_batch);
-    None → per-view CSM fit + shadow passes, like the reference."""
+    None → per-view CSM fit + shadow passes, like the reference.
+
+    _taps: internal — a dict the per-pass browser fills with each
+    pass's intermediate image (render_frame_debug); None costs
+    nothing."""
     if opts.internal_scale > 1:
         # shading-rate lever: the whole 3D frame renders at 1/s² the
         # pixels; only the final LDR upscale touches full resolution
@@ -702,7 +733,7 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                            shadow_mvps=shadow_mvps,
                            cascade_dists=cascade_dists,
                            particles=particles, textures=textures,
-                           static_shadow=static_shadow)
+                           static_shadow=static_shadow, _taps=_taps)
         return post.upsample_bilinear(img, opts.height, opts.width)
     W, H = opts.width, opts.height
 
@@ -725,6 +756,17 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         shadow_moments, shadow_mvps, cascade_dists, base_texture,
         textures, static_shadow=static_shadow,
     )
+    if _taps is not None:
+        # the model pass's MRT outputs + the shadow pass it consumed
+        # (pipeline-debug.c previews each pass's FBO attachments)
+        if shadow_moments is not None:
+            _taps["shadow_atlas"] = shadow_moments[..., 0]
+        _taps["lighting_hdr"] = hdr
+        _taps["emission"] = emit
+        _taps["view_normals"] = vnrm * 0.5 + 0.5
+        _taps["depth"] = gb.depth
+        if edge_meta is not None:
+            _taps["edge_key"] = edge_meta[0]
 
     if particles is not None:
         # particles: (ppos (P,3), psize, pactive[, color[, alpha]])
@@ -756,10 +798,14 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         edges = post.laplace_edges(d)
     edge_mask = jnp.clip(edges * 2.0, 0.0, 1.0)
 
+    if _taps is not None:
+        _taps["edges"] = edge_mask
     smaa_weights = None
     if opts.edge_aa:
         smaa_weights = post.smaa_blend_weights(edge_mask)
         hdr = post.smaa_neighborhood_blend(hdr, smaa_weights)
+        if _taps is not None:
+            _taps["smaa_weights"] = smaa_weights
 
     if opts.ssao:
         # ¼-res inputs via average pooling (::4 strided decimation pays
@@ -779,6 +825,8 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         ao_q = post.ssao_blur(ao_raw)
         ao = post.upsample2(post.upsample2(
             ao_q, ao_q.shape[0] * 2, ao_q.shape[1] * 2), H, W)
+        if _taps is not None:
+            _taps["ssao"] = ao
         hdr = hdr * (0.4 + 0.6 * ao[..., None])
 
     # combine-pass ordering matches combine.frag:65-117: SMAA/SSAO (above)
@@ -796,6 +844,8 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
         bloom = post.upsample2(
             post.gauss_blur_v(post.gauss_blur_h(
                 post.downsample2(post.downsample2(emit)))), H, W)
+        if _taps is not None:
+            _taps["bloom"] = bloom
         color = color + bloom * (opts.bloom_intensity
                                  * (1.0 - fog_f))[..., None]
     fc = jnp.array(opts.fog_color, color.dtype)[None, None]
@@ -828,9 +878,10 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                          * fade)[..., None]
     if opts.film_grain > 0 and grain_noise is not None:
         color = post.film_grain(color, grain_noise, opts.film_grain)
-    if opts.hdr:
-        return shade.oetf_pq(color)
-    return shade.oetf_srgb(color)
+    out = shade.oetf_pq(color) if opts.hdr else shade.oetf_srgb(color)
+    if _taps is not None:
+        _taps["combine"] = out
+    return out
 
 
 def render_frame_batch(opts: RenderOptions, geom: SceneGeometry, cam_views,

@@ -259,7 +259,7 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
                       valid_mask=None, two_sided: bool = False,
                       w_eps: float = 1e-4, vextra=None, tid_pack=None,
                       pack_stride: int = ENT_PACK,
-                      pre_expanded: bool = False):
+                      pre_expanded: bool = False, components=None):
     """Near-plane clipping (the GL hardware-clip analogue the v1 raster
     skipped — crossing triangles used to drop, raster.py r1): clip each
     triangle against w = w_eps in CLIP space into ≤2 sub-triangles,
@@ -283,27 +283,41 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
 
     pre_expanded: clip_verts (and vextra) are ALREADY corner-major
     streams of length 3T (expand_corners_major) — skips the per-frame
-    corner gather (see assemble_tri_records)."""
+    corner gather (see assemble_tri_records).
+
+    components: fully pre-built per-corner component columns
+    ``[[x, y, z, w(, extras…)] for each face corner]`` — 3 lists of NC
+    (T,) arrays in CLIP space. The caller already holds columnar
+    per-corner data (scenerender.assemble_cluster_records_batch
+    transforms rest-pose cluster rows straight to clip components), so
+    no gather, no transpose, no slicing happens here at all. Overrides
+    clip_verts/faces/vextra."""
     assert not (two_sided and vextra is not None), \
         "extras mode is front-face only"
-    T = faces.shape[0] if not pre_expanded else clip_verts.shape[0] // 3
-    # COLUMNAR throughout: every intermediate is a (T,) lane-packed
-    # array. The previous (T, 3, 4)/(T, 3, 2) formulation lane-padded
-    # (3, 4) → (8, 128) — a 32× HBM blow-up on every materialized
-    # intermediate (~7 ms/frame of the 16-env composed trace).
-    # ONE corner gather in corner-major order so per-corner columns are
-    # contiguous slices: [all v0 | all v1 | all v2].
-    NC = 4 if vextra is None else 4 + vextra.shape[-1]
-    src = clip_verts if vextra is None else \
-        jnp.concatenate([clip_verts, vextra], axis=-1)
-    g = src if pre_expanded else \
-        gather_rows(src, faces.T.reshape(-1))             # (3T, NC)
-    # ONE transpose to component-major, then every per-component column
-    # is a contiguous row slice. Slicing columns directly out of the
-    # (3T, NC) layout re-read the lane-padded rows 3·NC times — 9.1 ms
-    # of the 16-env composed trace lived on that one line.
-    gt = g.T                                              # (NC, 3T)
-    v = [[gt[i, c * T:(c + 1) * T] for i in range(NC)] for c in range(3)]
+    if components is not None:
+        v = components
+        T = v[0][0].shape[0]
+        NC = len(v[0])
+    else:
+        T = faces.shape[0] if not pre_expanded else clip_verts.shape[0] // 3
+        # COLUMNAR throughout: every intermediate is a (T,) lane-packed
+        # array. The previous (T, 3, 4)/(T, 3, 2) formulation lane-padded
+        # (3, 4) → (8, 128) — a 32× HBM blow-up on every materialized
+        # intermediate (~7 ms/frame of the 16-env composed trace).
+        # ONE corner gather in corner-major order so per-corner columns
+        # are contiguous slices: [all v0 | all v1 | all v2].
+        NC = 4 if vextra is None else 4 + vextra.shape[-1]
+        src = clip_verts if vextra is None else \
+            jnp.concatenate([clip_verts, vextra], axis=-1)
+        g = src if pre_expanded else \
+            gather_rows(src, faces.T.reshape(-1))         # (3T, NC)
+        # ONE transpose to component-major, then every per-component
+        # column is a contiguous row slice. Slicing columns directly out
+        # of the (3T, NC) layout re-read the lane-padded rows 3·NC times
+        # — 9.1 ms of the 16-env composed trace lived on that one line.
+        gt = g.T                                          # (NC, 3T)
+        v = [[gt[i, c * T:(c + 1) * T] for i in range(NC)]
+             for c in range(3)]
     w = [v[c][3] for c in range(3)]
     inside = [wc > w_eps for wc in w]
     n_in = (inside[0].astype(jnp.int32) + inside[1].astype(jnp.int32)
@@ -383,7 +397,7 @@ def clip_near_records(clip_verts, faces, width: int, height: int,
     if tid_pack is not None:
         tid = tid * pack_stride \
             + jnp.concatenate([tid_pack] * 2).astype(jnp.float32)
-    if vextra is not None:
+    if NC > 4:
         # extras layout (22 cols): no cb pairs — extras mode never reads
         # bary. Record-corner order (v0, v2, v1), 3 components each.
         excols = [jnp.concatenate([sa[4 + i], sb[4 + i]])

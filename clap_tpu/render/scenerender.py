@@ -97,6 +97,27 @@ class RenderTables(NamedTuple):
     # Shadow factors multiply (exact when static and dynamic occluders
     # don't overlap along the light ray).
     static_shadow_faces: jnp.ndarray = None   # (Tss, 3), load pose
+    # --- cluster record tables (assemble_cluster_records_batch) ---
+    # Face blocks are padded per (entity, LOD) to CLUSTER multiples, so
+    # every binning cluster is (entity, LOD)-PURE: per-env face validity
+    # collapses to ONE value per cluster and the whole per-env record
+    # pipeline (validity, compaction, corner fetch, world+clip
+    # transform) runs on ~T/8 cluster rows instead of member rows. The
+    # pad faces are degenerate (v, v, v) — zero area, self-masking in
+    # the record builders.
+    cl_entity: jnp.ndarray = None   # (Tc,) int32 — the cluster's entity
+    cl_lod: jnp.ndarray = None      # (Tc,) int32 — the cluster's LOD
+    # rest-pose corner rows, one row per cluster: 18 component groups
+    # [corner c ∈ (v0,v1,v2)][comp k ∈ (x,y,z,nx,ny,nz)] × CLUSTER
+    # members — col = (6c + k)·CLUSTER + m. Gathering a kept cluster
+    # fetches all 24 corners (pos + model-local normal) in ONE row.
+    cl_rest: jnp.ndarray = None     # (Tc, 18·CLUSTER) f32
+    # dynamic shadow stream corner expansion (record order v0, v2, v1)
+    # + per-corner entity — per-env world shadow corners come from one
+    # one-hot MXU transform of these rows, so the batched path never
+    # materializes a (B, Vi) world-vertex table at all.
+    shadow_corner_rest: jnp.ndarray = None    # (3·Ts, 3)
+    shadow_corner_entity: jnp.ndarray = None  # (3·Ts,) int32
 
 
 def model_from_mesh(verts, normals, faces, base_color=(0.7, 0.7, 0.7),
@@ -216,7 +237,7 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
     keeps only dynamic casters."""
     vs, ns, bc, rm, em, ve = [], [], [], [], [], []
     uvs, tgs, tids, fbms, eids = [], [], [], [], []
-    fs, fe, fl = [], [], []
+    fs, fe, fl, fp = [], [], [], []
     E = len(entity_model)
     aabbs = np.zeros((E, 2, 3), np.float32)
     ent_flat = np.zeros((E, 9), np.float32)
@@ -261,28 +282,76 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
             eids.append(np.full(V, float(entity_edge_id[ei]), np.float32))
         ve.append(np.full(len(m.verts), ei, np.int32))
         for lod, faces in enumerate(m.lod_faces):
+            # pad each (entity, LOD) block to a CLUSTER multiple with
+            # degenerate (v, v, v) faces so binning clusters never
+            # straddle blocks — cluster purity is what lets the batched
+            # assembly run validity/compaction/transforms at cluster
+            # granularity (degenerate pads have zero area and are
+            # rejected by the record builders on their own)
+            from .raster import CLUSTER
+
+            n = len(faces)
+            pad = (-n) % CLUSTER
             fs.append(faces.astype(np.int64) + voff)
-            fe.append(np.full(len(faces), ei, np.int32))
-            fl.append(np.full(len(faces), lod, np.int32))
+            if pad:
+                fs.append(np.full((pad, 3), voff, np.int64))
+            fe.append(np.full(n + pad, ei, np.int32))
+            fl.append(np.full(n + pad, lod, np.int32))
+            fp.append(np.arange(n + pad) >= n)   # pad-face mask
         aabbs[ei, 0] = m.verts.min(0)
         aabbs[ei, 1] = m.verts.max(0)
         voff += len(m.verts)
     cat = lambda xs, d=np.float32: jnp.asarray(  # noqa: E731
         np.concatenate(xs) if xs else np.zeros((0,), d))
-    # static shadow-caster subset: coarsest LOD per entity
+    # static shadow-caster subset: coarsest LOD per entity (pad faces
+    # are degenerate placeholders for cluster purity — keep them OUT of
+    # the member-granularity shadow streams)
     fe_np = np.concatenate(fe) if fe else np.zeros((0,), np.int32)
     fl_np = np.concatenate(fl) if fl else np.zeros((0,), np.int32)
+    fp_np = np.concatenate(fp) if fp else np.zeros((0,), bool)
     fs_np = (np.concatenate(fs).astype(np.int32) if fs
              else np.zeros((0, 3), np.int32))
     coarse = np.zeros(len(entity_model), np.int64)
     np.maximum.at(coarse, fe_np, fl_np)
-    ssel = fl_np == coarse[fe_np]
+    ssel = (fl_np == coarse[fe_np]) & ~fp_np
     sta_faces = None
     if entity_shadow_static is not None:
         sta = np.asarray(entity_shadow_static, bool)
         sta_sel = ssel & sta[fe_np]
         sta_faces = jnp.asarray(fs_np[sta_sel])
         ssel = ssel & ~sta[fe_np]      # dynamic casters only
+
+    # cluster record tables: blocks are CLUSTER-padded above, so every
+    # cluster is (entity, LOD)-pure
+    from .raster import CLUSTER
+
+    cl_entity = cl_lod = cl_rest = None
+    sc_rest = sc_ent = None
+    if fs_np.shape[0] > 0:
+        Tn = fs_np.shape[0]
+        assert Tn % CLUSTER == 0
+        Tcn = Tn // CLUSTER
+        cl_e = fe_np.reshape(Tcn, CLUSTER)
+        cl_l = fl_np.reshape(Tcn, CLUSTER)
+        assert (cl_e == cl_e[:, :1]).all() and (cl_l == cl_l[:, :1]).all(), \
+            "face blocks not cluster-pure"
+        cl_entity = jnp.asarray(cl_e[:, 0])
+        cl_lod = jnp.asarray(cl_l[:, 0])
+        vcat = np.concatenate(vs)
+        ncat = np.concatenate(ns)
+        comps = []
+        for c in range(3):
+            p = vcat[fs_np[:, c]]
+            q = ncat[fs_np[:, c]]
+            comps += [p[:, 0], p[:, 1], p[:, 2], q[:, 0], q[:, 1], q[:, 2]]
+        stk = np.stack(comps)                    # (18, T)
+        cl_rest = jnp.asarray(
+            stk.reshape(18, Tcn, CLUSTER).transpose(1, 0, 2)
+               .reshape(Tcn, 18 * CLUSTER))
+        # dynamic shadow stream corner expansion (record order v0,v2,v1)
+        sfaces_np = fs_np[ssel]
+        sc_rest = jnp.asarray(vcat[sfaces_np[:, [0, 2, 1]].reshape(-1)])
+        sc_ent = jnp.asarray(np.repeat(fe_np[ssel], 3).astype(np.int32))
     return RenderTables(
         verts=cat(vs), normals=cat(ns), base_color=cat(bc),
         rough_metal=cat(rm), emission=cat(em),
@@ -300,6 +369,8 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         ent_flat=jnp.asarray(ent_flat),
         flat_eligible=bool(flat_eligible),
         static_shadow_faces=sta_faces,
+        cl_entity=cl_entity, cl_lod=cl_lod, cl_rest=cl_rest,
+        shadow_corner_rest=sc_rest, shadow_corner_entity=sc_ent,
     )
 
 
@@ -372,6 +443,164 @@ def kernel_attrs_ok(rt: RenderTables) -> bool:
                 and 2 * rt.faces.shape[0] * stride < 1 << 24)
 
 
+def _entity_cull_lod(rt: RenderTables, entity_mx, entity_visible,
+                     cam_planes, cam_pos, skip_culling=None):
+    """Per-env per-entity frustum cull + distance LOD (the shared front
+    half of both batched assembly paths). Returns (ent_ok (B, E) bool,
+    lod (B, E) int32, rot (B, E, 3, 3))."""
+    c = 0.5 * (rt.entity_aabb[:, 0] + rt.entity_aabb[:, 1])
+    e = 0.5 * (rt.entity_aabb[:, 1] - rt.entity_aabb[:, 0])
+    rot = entity_mx[:, :, :3, :3]
+    wc = jnp.einsum("beij,ej->bei", rot, c) + entity_mx[:, :, :3, 3]
+    we = jnp.einsum("beij,ej->bei", jnp.abs(rot), e)
+    in_frustum = jax.vmap(aabb_in_frustum)(cam_planes, wc - we, wc + we)
+    if skip_culling is not None:
+        in_frustum = in_frustum | skip_culling[None, :]
+    dist = jnp.linalg.norm(wc - cam_pos[:, None, :], axis=-1)
+    lod = jnp.sum(dist[..., None] > jnp.asarray(LOD_DISTANCES)[None, None, :],
+                  axis=-1).astype(jnp.int32)
+    lod = jnp.minimum(lod, LOD_MAX - 1)
+    if rt.ent_max_lod is not None:   # clamp to each entity's own chain
+        lod = jnp.minimum(lod, rt.ent_max_lod[None, :])
+    return entity_visible & in_frustum, lod, rot
+
+
+def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
+                                   entity_visible, cam_planes, cam_pos,
+                                   views, proj, cap: int = 24576,
+                                   skip_culling=None):
+    """Cluster-granularity batched assembly for the kernel_attrs
+    composed path — the record pipeline's front end at ~T/8 rows.
+
+    The r3 path did per-env work at MEMBER granularity: a (Ti, E·LOD)
+    one-hot validity matmul, a (B, Vi) world-vertex transform, member
+    compaction gathers, and a 3T-row per-env corner gather — together
+    ~12 ms of the 16-env composed trace (gather rows at ~5-10 ns/row
+    dominate; see ROUND_NOTES). Because face blocks are (entity, LOD)-
+    pure per cluster (build_render_tables pads them), ALL of that
+    collapses to cluster rows:
+
+      1. cluster validity = ok_el[cl_entity, cl_lod] — one Tc-row
+         gather of the per-env (E·LOD) table (moveaxis fast path),
+      2. valid-first compaction sorts Tc keys and keeps cap/CLUSTER
+         cluster ids,
+      3. ONE shared-table gather fetches each kept cluster's 24
+         rest-pose corners (+ model-local normals) as a single row,
+      4. the world+clip transform is applied directly to those corner
+         columns with per-cluster matrices selected by one one-hot MXU
+         matmul: F = (proj·view)·entity_mx.
+
+    No (B, Vi) vertex table, no member gathers, no per-env corner
+    gather. The output feeds clip_near_records(components=…) — fully
+    columnar, zero gathers downstream until the per-tile record fetch.
+
+    Returns (geom, axes) like assemble_scene_geometry_batch; the
+    SceneGeometry carries ``comp``/``comp_valid``/``comp_ent`` and a
+    per-env world-space ``shadow_corner_verts`` stream instead of
+    verts/faces. Requires rt.flat_eligible (kernel_attrs mode).
+    """
+    from .raster import CLUSTER
+
+    if rt.cl_rest is None or not rt.flat_eligible:
+        raise ValueError("cluster records need cl_rest tables and "
+                         "flat-eligible materials (kernel_attrs mode)")
+    from ..ops.gatherx import gather_rows
+
+    B, E = entity_mx.shape[:2]
+    hi = jax.lax.Precision.HIGHEST
+    L = LOD_MAX
+    ent_ok, lod, rot = _entity_cull_lod(rt, entity_mx, entity_visible,
+                                        cam_planes, cam_pos, skip_culling)
+    ok_el = (ent_ok[..., None]
+             & (lod[..., None] == jnp.arange(L)[None, None, :]))  # (B,E,L)
+
+    # 1. cluster validity: per-env table, STATIC cluster index — the
+    # (E·L, B)-transposed gather keeps rows shared across envs
+    idx = rt.cl_entity * L + rt.cl_lod                    # (Tc,) static
+    okT = ok_el.reshape(B, E * L).T                       # (E·L, B)
+    cv = gather_rows(okT, idx).T                          # (B, Tc)
+    Tc = idx.shape[0]
+    capc = min(cap // CLUSTER, Tc)
+
+    # 2. valid-first stable compaction (preserves cluster order — the
+    # binning sort's z-tiebreak order stays deterministic)
+    ckey = (~cv).astype(jnp.uint32)
+    cidx = jnp.broadcast_to(jnp.arange(Tc, dtype=jnp.int32)[None],
+                            (B, Tc))
+    _, sidx = jax.lax.sort((ckey, cidx), num_keys=1, is_stable=True)
+    keep = sidx[:, :capc]                                 # (B, capc)
+    nval = jnp.minimum(jnp.sum(cv, axis=-1), capc)        # (B,)
+    kvalid = jnp.arange(capc)[None, :] < nval[:, None]    # (B, capc)
+
+    # 3. fetch kept clusters' corner rows (shared table — fast path)
+    rows = gather_rows(rt.cl_rest, keep)                  # (B, capc, 144)
+    centi = gather_rows(rt.cl_entity, keep)               # (B, capc)
+
+    # 4. per-cluster clip matrices via one-hot MXU selection
+    vp = jnp.einsum("ij,bjk->bik", proj, views, precision=hi)
+    F = jnp.einsum("bij,bejk->beik", vp, entity_mx,
+                   precision=hi).reshape(B, E, 16)
+    oh = (centi[..., None] == jnp.arange(E)[None, None, :]
+          ).astype(jnp.float32)                           # (B, capc, E)
+    fc = jnp.einsum("bce,bek->bkc", oh, F, precision=hi)  # (B, 16, capc)
+    gt = rows.transpose(0, 2, 1)                          # (B, 144, capc)
+
+    T = capc * CLUSTER
+    components = []
+    for c in range(3):
+        cols = [[] for _ in range(7)]     # x, y, z, w, nx, ny, nz
+        for m in range(CLUSTER):
+            X = gt[:, (c * 6 + 0) * CLUSTER + m]
+            Y = gt[:, (c * 6 + 1) * CLUSTER + m]
+            Z = gt[:, (c * 6 + 2) * CLUSTER + m]
+            for j in range(4):            # clip row j
+                cols[j].append(fc[:, 4 * j + 0] * X + fc[:, 4 * j + 1] * Y
+                               + fc[:, 4 * j + 2] * Z + fc[:, 4 * j + 3])
+            for i in range(3):            # model-local normal passthrough
+                cols[4 + i].append(gt[:, (c * 6 + 3 + i) * CLUSTER + m])
+        components.append([
+            jnp.stack(col, axis=-1).reshape(B, T) for col in cols])
+    comp = jnp.stack([components[c][i] for c in range(3)
+                      for i in range(7)], axis=1)         # (B, 21, T)
+    comp_valid = jnp.repeat(kvalid, CLUSTER, axis=-1)     # (B, T)
+    comp_ent = jnp.repeat(centi, CLUSTER, axis=-1)        # (B, T)
+
+    # dynamic shadow stream: world corners from rest rows by one one-hot
+    # transform (no (B, Vi) vertex table anywhere in this path)
+    packed = entity_mx[:, :, :3, :].reshape(B, E, 12)
+    oh_sc = (rt.shadow_corner_entity[:, None] == jnp.arange(E)[None, :]
+             ).astype(jnp.float32)                        # (3Ts, E) const
+    gs = jnp.einsum("se,bek->bsk", oh_sc, packed, precision=hi)
+    scr = rt.shadow_corner_rest
+    swc = jnp.stack(
+        [gs[..., 4 * i] * scr[:, 0] + gs[..., 4 * i + 1] * scr[:, 1]
+         + gs[..., 4 * i + 2] * scr[:, 2] + gs[..., 4 * i + 3]
+         for i in range(3)], axis=-1)                     # (B, 3Ts, 3)
+    oh_sh = (np.asarray(rt.shadow_face_entity)[:, None]
+             == np.arange(E)[None, :]).astype(np.float32)
+    sfv = jnp.einsum("te,be->bt", jnp.asarray(oh_sh),
+                     entity_visible.astype(jnp.float32),
+                     precision=hi) > 0.5
+
+    zero3 = jnp.zeros((0, 3), jnp.float32)
+    geom = SceneGeometry(
+        verts=zero3, normals=zero3, faces=jnp.zeros((0, 3), jnp.int32),
+        face_valid=jnp.zeros((0,), bool),
+        base_color=zero3, rough_metal=zero3[:, :2], emission=zero3,
+        comp=comp, comp_valid=comp_valid, comp_ent=comp_ent,
+        ent_rot=rot, ent_flat=rt.ent_flat,
+        shadow_faces=rt.shadow_faces, shadow_face_valid=sfv,
+        shadow_corner_verts=swc,
+    )
+    axes = SceneGeometry(
+        verts=None, normals=None, faces=None, face_valid=None,
+        base_color=None, rough_metal=None, emission=None,
+        comp=0, comp_valid=0, comp_ent=0, ent_rot=0, ent_flat=None,
+        shadow_faces=None, shadow_face_valid=0, shadow_corner_verts=0,
+    )
+    return geom, axes
+
+
 def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
                                   entity_visible, cam_planes, cam_pos,
                                   skip_culling=None):
@@ -411,22 +640,8 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
          + g[..., 4 * i + 2] * vz + g[..., 4 * i + 3] for i in range(3)],
         axis=-1)
 
-    # per-entity world AABB cull + distance LOD (per env)
-    c = 0.5 * (rt.entity_aabb[:, 0] + rt.entity_aabb[:, 1])
-    e = 0.5 * (rt.entity_aabb[:, 1] - rt.entity_aabb[:, 0])
-    rot = entity_mx[:, :, :3, :3]
-    wc = jnp.einsum("beij,ej->bei", rot, c) + entity_mx[:, :, :3, 3]
-    we = jnp.einsum("beij,ej->bei", jnp.abs(rot), e)
-    in_frustum = jax.vmap(aabb_in_frustum)(cam_planes, wc - we, wc + we)
-    if skip_culling is not None:
-        in_frustum = in_frustum | skip_culling[None, :]
-    dist = jnp.linalg.norm(wc - cam_pos[:, None, :], axis=-1)
-    lod = jnp.sum(dist[..., None] > jnp.asarray(LOD_DISTANCES)[None, None, :],
-                  axis=-1).astype(jnp.int32)
-    lod = jnp.minimum(lod, LOD_MAX - 1)
-    if rt.ent_max_lod is not None:   # clamp to each entity's own chain
-        lod = jnp.minimum(lod, rt.ent_max_lod[None, :])
-    ent_ok = entity_visible & in_frustum                  # (B, E)
+    ent_ok, lod, rot = _entity_cull_lod(rt, entity_mx, entity_visible,
+                                        cam_planes, cam_pos, skip_culling)
 
     # face validity: entity-ok AND lod match, as ONE one-hot matmul over
     # the (E · LOD_MAX) product table

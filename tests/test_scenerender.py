@@ -22,8 +22,12 @@ def make_tables():
 def test_instancing_shapes():
     rt = make_tables()
     assert rt.verts.shape[0] == 48          # 2 active instances × 24
-    assert rt.faces.shape[0] == 24          # 2 × 12 tris
+    # 2 × 12 tris, each block CLUSTER-padded to 16 with degenerate
+    # (v, v, v) faces (cluster-record purity; test_cluster_records)
+    assert rt.faces.shape[0] == 32
     assert int(rt.face_entity.max()) == 1
+    # shadow stream excludes the pads
+    assert rt.shadow_faces.shape[0] == 24
 
 
 def test_transform_and_cull():

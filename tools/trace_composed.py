@@ -35,7 +35,8 @@ from clap_tpu.render.camera import camera_view_proj
 from clap_tpu.render.lights import lights_empty
 from clap_tpu.render.pipeline import (RenderOptions,
                                       render_frame_dynamic_batch)
-from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
+from clap_tpu.render.scenerender import (assemble_cluster_records_batch,
+                                         assemble_scene_geometry_batch,
                                          bake_static_shadow,
                                          build_render_tables,
                                          default_edge_ids, kernel_attrs_ok,
@@ -107,13 +108,24 @@ def views_planes(sts):
     return views, planes
 
 
+cluster_rec = (opts.kernel_attrs and rt.cl_rest is not None
+               and bool(int(os.environ.get("CLUSTER_REC", "1"))))
+print("cluster_rec:", cluster_rec, flush=True)
+
+
 @jax.jit
 def f_full(gss, ins):
     gss = jax.vmap(lambda s, i: game_step(gw, s, i))(gss, ins)
     sts = gss.engine
     views, planes = views_planes(sts)
-    geom, axes = assemble_scene_geometry_batch(
-        rt, sts.mx, sts.visible, planes, sts.camera.pos, skip_culling=skip)
+    if cluster_rec:
+        geom, axes = assemble_cluster_records_batch(
+            rt, sts.mx, sts.visible, planes, sts.camera.pos, views, proj,
+            cap=opts.record_compact, skip_culling=skip)
+    else:
+        geom, axes = assemble_scene_geometry_batch(
+            rt, sts.mx, sts.visible, planes, sts.camera.pos,
+            skip_culling=skip)
     imgs = render_frame_dynamic_batch(opts, geom, axes, views, proj,
                                       lights, sts.camera.pos, far=200.0,
                                       static_shadow=static_shadow)
