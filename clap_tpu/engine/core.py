@@ -130,6 +130,7 @@ class Engine:
         self.last_frame = None
         self._frame_dir = None
         self.display = None
+        self.editor = None
         if cfg.graphics_init:
             cfg.graphics_init(self)
 
@@ -340,6 +341,25 @@ class Engine:
         self.bus.send(Message(MT.COMMAND, data={"cmd": msg.get("command")}))
 
     # --- frame (clap_frame, clap.c:551-665, headless core) ---
+    def attach_editor(self, loaded_scene):
+        """In-engine scene editor (scene.c:174-304): F1 toggles it,
+        edits apply to the LIVE state (and session), `editor.save(
+        engine.state)` re-serializes scene.json."""
+        from ..scene.editor import SceneEditor
+
+        self.editor = SceneEditor(loaded_scene)
+        return self.editor
+
+    def route_editor(self, rec) -> bool:
+        """Feed one input record to the editor; True when consumed
+        (the edited state replaces the live engine/session state)."""
+        st, consumed = self.editor.handle_input(rec, self.state)
+        if consumed:
+            self.state = st
+            if self.session is not None:
+                self.session = self.session._replace(engine=st)
+        return consumed
+
     def frame(self, inputs: Inputs | None = None, dt: float = 1 / 60):
         self.profiler.frame_begin()
         self._timers_run()
@@ -352,9 +372,14 @@ class Engine:
                 from .input import record_to_inputs
 
                 n_chars = self.scene_cfg.char_params.body.shape[0]
-                inputs = record_to_inputs(
-                    self.display.record, float(self.state.camera.yaw),
-                    n_chars=max(n_chars, 1))
+                rec = self.display.record
+                if self.editor is not None \
+                        and self.route_editor(rec):
+                    inputs = self._zero_inputs   # editor consumed it
+                else:
+                    inputs = record_to_inputs(
+                        rec, float(self.state.camera.yaw),
+                        n_chars=max(n_chars, 1))
             else:
                 inputs = self._zero_inputs
         self.profiler.step("input")

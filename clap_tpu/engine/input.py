@@ -39,6 +39,7 @@ class InputRecord:
     zoom: float = 0.0
     pause: bool = False
     menu_toggle: bool = False
+    edit_toggle: bool = False  # scene editor (scene.c:174-304)
     enter: bool = False      # menu activate
     mouse_x: float | None = None   # pointer position (UI hover/click)
     mouse_y: float | None = None
@@ -51,7 +52,7 @@ KEY_BINDINGS = {
     "up": "pitch_up", "down": "pitch_down",
     "left": "yaw_left", "right": "yaw_right",
     "space": "space", "shift": "shift", "tab": "tab",
-    "escape": "menu_toggle", "enter": "enter",
+    "escape": "menu_toggle", "enter": "enter", "f1": "edit_toggle",
 }
 
 # joystick axis/button bindings (input-joystick.c per-pad tables)
