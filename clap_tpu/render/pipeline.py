@@ -78,6 +78,25 @@ class RenderOptions:
                                             # 4096-env × 60 Hz north star
                                             # needs on one chip (the HBM
                                             # bound analysis, ROUND_NOTES)
+    model_msaa: int = 1                     # supersampled model pass
+                                            # (render_options.model_msaa,
+                                            # clap.c:453-465): the 3D frame
+                                            # renders at f× resolution and
+                                            # box-resolves down — the
+                                            # TPU-native MSAA analogue (no
+                                            # hardware resolve; coverage IS
+                                            # shading here). Opposite lever
+                                            # to internal_scale; both honor
+                                            # the rebuild-on-diff contract
+                                            # (static options retrace).
+    shadow_msaa: int = 1                    # supersampled shadow atlas:
+                                            # raster each cascade at f×
+                                            # shadow_size and average-pool
+                                            # the VSM moments (moments are
+                                            # linear in coverage, so the
+                                            # pool IS the multisample
+                                            # resolve — pipeline-builder.c
+                                            # :245-308 shadow_msaa)
     fog_noise: bool = False                 # 3D-noise-modulated fog color
                                             # in combine (combine.frag:35-48)
                                             # — the noise field is evaluated
@@ -231,7 +250,7 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
     instancing plays the same trick, shadow.geom:5-27).
 
     Returns (CASCADES, S, S, 2) VSM moments."""
-    s = opts.shadow_size
+    s = opts.shadow_size * max(opts.shadow_msaa, 1)
     n_casc = casc_views.shape[0]
     # pad faces to a cluster multiple FIRST so per-cascade blocks stay
     # cluster-aligned in the concatenated stream (clusters must not
@@ -289,8 +308,13 @@ def shadow_pass_all(opts: RenderOptions, geom: SceneGeometry, casc_views,
                            tile_h=th, tile_w=tw)
     depth = rasterize_depth(rec, binned, s, n_casc * s, th, tw)
     d = jnp.where(jnp.isfinite(depth), depth * 0.5 + 0.5, 1.0)
-    m = jnp.stack([d, d * d], axis=-1)
-    return m.reshape(n_casc, s, s, 2)
+    m = jnp.stack([d, d * d], axis=-1).reshape(n_casc, s, s, 2)
+    if opts.shadow_msaa > 1:
+        # multisample resolve: VSM moments are linear in coverage, so
+        # the average pool IS the resolve (pipeline-builder.c:245-308)
+        m = jax.vmap(lambda mm: post.downsample_pool(
+            mm, opts.shadow_msaa))(m)
+    return m
 
 
 def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
@@ -735,6 +759,25 @@ def render_frame(opts: RenderOptions, geom: SceneGeometry, cam_view,
                            particles=particles, textures=textures,
                            static_shadow=static_shadow, _taps=_taps)
         return post.upsample_bilinear(img, opts.height, opts.width)
+    if opts.model_msaa > 1:
+        # supersample resolve: render f× pixels, box-filter down (the
+        # MSAA analogue — every covered sample is shaded, so this is
+        # SSAA-quality at MSAA's API surface)
+        import dataclasses
+
+        f = opts.model_msaa
+        sopts = dataclasses.replace(opts, width=opts.width * f,
+                                    height=opts.height * f, model_msaa=1)
+        img = render_frame(sopts, geom, cam_view, cam_proj, lights, eye,
+                           far=far, ssao_kernel_arr=ssao_kernel_arr,
+                           grain_noise=grain_noise, lut_volume=lut_volume,
+                           base_texture=base_texture,
+                           shadow_moments=shadow_moments,
+                           shadow_mvps=shadow_mvps,
+                           cascade_dists=cascade_dists,
+                           particles=particles, textures=textures,
+                           static_shadow=static_shadow, _taps=_taps)
+        return post.downsample_pool(img, f)
     W, H = opts.width, opts.height
 
     # fully static scene under the shadow split: the dynamic caster
