@@ -55,22 +55,31 @@ _WC = (3, 7, 11)
 
 
 def tile_dims(width: int, height: int) -> tuple:
-    """Tile dims: large 32×256 tiles amortize the ~50µs/grid-step cost;
-    tiny targets (test images) drop to 8×128. Small frame budgets are
-    handled by a DEEPER per-tile list (tile_capacity), not smaller tiles
-    — more grid steps cost more than longer masked lists."""
+    """Tile dims: the r4 on-device sweep (composed testbed, 16 envs ×
+    256², kernel-only) measured 1.49 (32×256) / 1.11 (16×256) / 1.46
+    (8×256) / 1.82 (8×128) ms/env — 16-row tiles halve the pixel
+    lattice each walked record pays for, and beyond that the per-grid-
+    step fixed cost (tile record DMA ∝ n_tiles·cap) wins. Large targets
+    (720p+) keep 32×256: their grids are already past the fixed-cost
+    knee. Tiny targets (test images) drop to 8×128. (An in-kernel
+    sub-slab skip — ref-accumulated planes + per-8-row y-extent tests —
+    measured SLOWER than this policy: the read-modify-write of the
+    output slabs per chunk beats the skipped lattice math.)"""
     if width >= 256 and height >= 128:
-        return 32, 256
+        return (16, 256) if height <= 512 else (32, 256)
     return 8, 128
 
 
 def tile_capacity(width: int, height: int) -> int:
     """Per-tile triangle capacity: scaled up when the target has few
     tiles so dense scenes don't hit the cap (depth-ordered binning makes
-    overflow graceful, but deeper lists avoid it entirely)."""
+    overflow graceful, but deeper lists avoid it entirely). 3× (not 4×)
+    at few tiles: the per-tile record prefetch scales with cap, and the
+    r4 sweep measured cap 4096 → 3072 at ~0.14 ms/env with the densest
+    composed tile at 2640 records."""
     th, tw = tile_dims(width, height)
     n_tiles = pl.cdiv(width, tw) * pl.cdiv(height, th)
-    return MAX_PER_TILE * 4 if n_tiles < 24 else MAX_PER_TILE
+    return MAX_PER_TILE * 3 if n_tiles < 24 else MAX_PER_TILE
 
 
 class GBuffer(NamedTuple):
