@@ -538,10 +538,11 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     opts = RenderOptions(width=res, height=res, shadow_size=256,
                          film_grain=0.0,
                          internal_scale=internal_scale,
-                         # valid-first face compaction: the 62k static
-                         # stream is ~75% unselected LODs/culled chunks;
-                         # 24576 is ~1.6x the worst observed valid count
-                         record_compact=24576,
+                         # valid-first face compaction: with the
+                         # per-cluster frustum cull the testbed keeps
+                         # ~4.5k faces in view — 12288 is ~2.7× that
+                         # (saturation is measured and reported below)
+                         record_compact=12288,
                          kernel_attrs=kernel_attrs_ok(rt) and bool(
                              int(os.environ.get("KERNEL_ATTRS", "1"))))
     # CLUSTER_REC=0 reverts to member-granularity assembly for A/B runs
@@ -603,6 +604,29 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                        ins1)
     gss, out = step_and_render(gss, ins)
     _sync(out)
+    clusters_at_cap = None
+    if cluster_rec:
+        # compaction-cap honesty (the full-frame tiles_at_cap analogue):
+        # saturated kvalid would mean valid clusters were DROPPED
+        sts1 = jax.tree.map(lambda x: x[:1], gss.engine)
+        cam1 = sts1.camera
+
+        def view1(c):
+            q = mx.qmul(
+                mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), c.yaw),
+                mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]),
+                                        c.pitch))
+            return camera_view_proj(c.pos, q, jnp.pi / 3, 1.0)[0]
+
+        v1 = jax.vmap(view1)(cam1)
+        p1 = jax.vmap(lambda v: make_subview(v, proj).planes)(v1)
+        g1, _ = assemble_cluster_records_batch(
+            rt, sts1.mx, sts1.visible, p1, cam1.pos, v1, proj,
+            cap=opts.record_compact, skip_culling=skip)
+        from clap_tpu.render.raster import CLUSTER
+
+        nval = int(np.asarray(g1.comp_valid).sum()) // CLUSTER
+        clusters_at_cap = bool(nval >= opts.record_compact // CLUSTER)
     if return_images:
         return np.asarray(out)
     luma = out
@@ -612,9 +636,12 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     _sync(luma)
     dt = (time.perf_counter() - t0) / frames
     tag = f"_s{internal_scale}" if internal_scale > 1 else ""
-    return {"metric": f"step_and_render_{n_envs}x{res}{tag}_ms",
-            "value": dt * 1e3, "env_fps": n_envs / dt,
-            "mean_luma": float(luma[0])}
+    out = {"metric": f"step_and_render_{n_envs}x{res}{tag}_ms",
+           "value": dt * 1e3, "env_fps": n_envs / dt,
+           "mean_luma": float(luma[0])}
+    if clusters_at_cap is not None:
+        out["clusters_at_cap"] = clusters_at_cap
+    return out
 
 
 def bench_shading_rate(res: int = 256, scales=(2, 4)):

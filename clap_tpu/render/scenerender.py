@@ -107,6 +107,10 @@ class RenderTables(NamedTuple):
     # the record builders.
     cl_entity: jnp.ndarray = None   # (Tc,) int32 — the cluster's entity
     cl_lod: jnp.ndarray = None      # (Tc,) int32 — the cluster's LOD
+    # rest-pose cluster AABB (center xyz, extent xyz): the per-cluster
+    # frustum cull runs at Tc rows BEFORE compaction, so offscreen
+    # terrain/sub-chunk clusters never reach the record pipeline at all
+    cl_aabb: jnp.ndarray = None     # (Tc, 6) f32
     # rest-pose corner rows, one row per cluster: 18 component groups
     # [corner c ∈ (v0,v1,v2)][comp k ∈ (x,y,z,nx,ny,nz)] × CLUSTER
     # members — col = (6c + k)·CLUSTER + m. Gathering a kept cluster
@@ -325,7 +329,7 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
     # cluster is (entity, LOD)-pure
     from .raster import CLUSTER
 
-    cl_entity = cl_lod = cl_rest = None
+    cl_entity = cl_lod = cl_rest = cl_aabb = None
     sc_rest = sc_ent = None
     if fs_np.shape[0] > 0:
         Tn = fs_np.shape[0]
@@ -348,6 +352,14 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         cl_rest = jnp.asarray(
             stk.reshape(18, Tcn, CLUSTER).transpose(1, 0, 2)
                .reshape(Tcn, 18 * CLUSTER))
+        # rest-pose cluster AABBs (pad corners are real model verts —
+        # they only ever tighten nothing / stay inside)
+        cxyz = stk[[0, 1, 2, 6, 7, 8, 12, 13, 14]].reshape(
+            3, 3, Tcn, CLUSTER)                  # (corner, xyz, Tc, m)
+        cmin = cxyz.min(axis=(0, 3)).T           # (Tc, 3)
+        cmax = cxyz.max(axis=(0, 3)).T
+        cl_aabb = jnp.asarray(np.concatenate(
+            [(cmin + cmax) * 0.5, (cmax - cmin) * 0.5], axis=1))
         # dynamic shadow stream corner expansion (record order v0,v2,v1)
         sfaces_np = fs_np[ssel]
         sc_rest = jnp.asarray(vcat[sfaces_np[:, [0, 2, 1]].reshape(-1)])
@@ -370,6 +382,7 @@ def build_render_tables(models: list[ModelData], entity_model: np.ndarray,
         flat_eligible=bool(flat_eligible),
         static_shadow_faces=sta_faces,
         cl_entity=cl_entity, cl_lod=cl_lod, cl_rest=cl_rest,
+        cl_aabb=cl_aabb,
         shadow_corner_rest=sc_rest, shadow_corner_entity=sc_ent,
     )
 
@@ -468,7 +481,8 @@ def _entity_cull_lod(rt: RenderTables, entity_mx, entity_visible,
 def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
                                    entity_visible, cam_planes, cam_pos,
                                    views, proj, cap: int = 24576,
-                                   skip_culling=None):
+                                   skip_culling=None,
+                                   cluster_cull: bool = True):
     """Cluster-granularity batched assembly for the kernel_attrs
     composed path — the record pipeline's front end at ~T/8 rows.
 
@@ -521,6 +535,42 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
     cv = gather_rows(okT, idx).T                          # (B, Tc)
     Tc = idx.shape[0]
     capc = min(cap // CLUSTER, Tc)
+
+    if cluster_cull and rt.cl_aabb is not None:
+        # 1b. per-CLUSTER frustum cull at Tc rows, BEFORE compaction:
+        # the entity cull keeps a partially-visible entity whole, so a
+        # horizon terrain chunk drags every offscreen sub-cluster
+        # through clip/binning/sort. Rest AABBs ride one static one-hot
+        # MXU transform; conservative p-vertex plane test (the record
+        # builders would mark these records dead anyway — this stops
+        # paying for them; record SETS only shrink by already-dead rows,
+        # so images are unchanged — test_cluster_records).
+        oh_cl = jnp.asarray(
+            (np.asarray(rt.cl_entity)[:, None]
+             == np.arange(E)[None, :]).astype(np.float32))   # static
+        packed = entity_mx[:, :, :3, :].reshape(B, E, 12)
+        gm = jnp.einsum("te,bek->btk", oh_cl, packed,
+                        precision=jax.lax.Precision.HIGHEST)  # (B,Tc,12)
+        cc, ce = rt.cl_aabb[:, :3], rt.cl_aabb[:, 3:]
+        wc = jnp.stack(
+            [gm[..., 4 * i] * cc[:, 0] + gm[..., 4 * i + 1] * cc[:, 1]
+             + gm[..., 4 * i + 2] * cc[:, 2] + gm[..., 4 * i + 3]
+             for i in range(3)], axis=-1)                 # (B, Tc, 3)
+        we = jnp.stack(
+            [jnp.abs(gm[..., 4 * i]) * ce[:, 0]
+             + jnp.abs(gm[..., 4 * i + 1]) * ce[:, 1]
+             + jnp.abs(gm[..., 4 * i + 2]) * ce[:, 2]
+             for i in range(3)], axis=-1)
+        n = cam_planes[..., :3]                           # (B, 6, 3)
+        d = cam_planes[..., 3]
+        dist = jnp.einsum("bpk,btk->btp", n, wc) + d[:, None, :] \
+            + jnp.einsum("bpk,btk->btp", jnp.abs(n), we)
+        in_fr = jnp.all(dist >= 0.0, axis=-1)             # (B, Tc)
+        if skip_culling is not None:
+            scl = jnp.asarray(np.asarray(skip_culling)[
+                np.asarray(rt.cl_entity)])                # static (Tc,)
+            in_fr = in_fr | scl[None, :]
+        cv = cv & in_fr
 
     # 2. valid-first stable compaction (preserves cluster order — the
     # binning sort's z-tiebreak order stays deterministic)

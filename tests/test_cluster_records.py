@@ -117,9 +117,12 @@ def test_cluster_record_set_matches_member_path():
     rec_o, ok_o = jax.jit(jax.vmap(old_records))(
         geom_o.verts, geom_o.face_valid, views)
 
+    # cluster_cull=False: the cull drops clusters whose records are
+    # dead-or-fragmentless anyway — record SET equality needs it off
+    # (test_cluster_cull_image_identical covers the cull)
     geom_n, _ = assemble_cluster_records_batch(
         rt, bmx, bvis, bplanes, beyes, views, proj, cap=T_all,
-        skip_culling=ent.skip_culling)
+        skip_culling=ent.skip_culling, cluster_cull=False)
 
     def new_records(comp, cv, ce):
         comps = [[comp[c * 7 + i] for i in range(7)] for c in range(3)]
@@ -177,6 +180,38 @@ def test_cluster_image_parity():
     assert diff.mean() < 2e-3, diff.mean()
     assert np.quantile(diff, 0.999) < 0.2, np.quantile(diff, 0.999)
     assert np.asarray(i_n).std() > 0.01      # content rendered
+
+
+def test_cluster_cull_image_identical():
+    """The per-cluster frustum cull only removes clusters that produce
+    no fragments (conservative p-vertex AABB test), so the rendered
+    image is BIT-identical with it on/off — and it must actually cull
+    something on the testbed (offscreen terrain sub-chunks)."""
+    tb, rt, proj, views, bplanes, bmx, bvis, beyes = _setup(B=1)
+    ent = tb.cfg.entities
+    lights = lights_empty(1)
+    d = jnp.array([-0.4, -0.8, -0.4])
+    lights = lights._replace(
+        direction=lights.direction.at[0].set(d / jnp.linalg.norm(d)),
+        color=lights.color.at[0].set(jnp.ones(3)),
+        is_dir=lights.is_dir.at[0].set(True),
+        active=lights.active.at[0].set(True))
+    opts = RenderOptions(width=96, height=96, shadow_size=64,
+                         film_grain=0.0, ssao=False, kernel_attrs=True)
+    imgs = {}
+    nval = {}
+    for cull in (False, True):
+        geom, axes = assemble_cluster_records_batch(
+            rt, bmx, bvis, bplanes, beyes, views, proj,
+            cap=rt.faces.shape[0], skip_culling=ent.skip_culling,
+            cluster_cull=cull)
+        nval[cull] = int(np.asarray(geom.comp_valid).sum())
+        imgs[cull] = np.asarray(jax.jit(
+            lambda g: render_frame_dynamic_batch(
+                opts, g, axes, views, proj, lights, beyes, far=200.0))(
+                    geom))
+    assert nval[True] < nval[False], nval
+    np.testing.assert_array_equal(imgs[True], imgs[False])
 
 
 def test_cluster_cap_compaction():
