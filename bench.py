@@ -276,7 +276,8 @@ def bench_full_frame_production(width=1280, height=720, nr_v=240,
     from clap_tpu.render.lights import lights_empty
     from clap_tpu.render.pipeline import (RenderOptions,
                                           render_frame_dynamic_batch)
-    from clap_tpu.render.scenerender import (assemble_scene_geometry_batch,
+    from clap_tpu.render.scenerender import (assemble_cluster_records_batch,
+                                             assemble_scene_geometry_batch,
                                              bake_static_shadow,
                                              build_render_tables,
                                              kernel_attrs_ok,
@@ -335,6 +336,13 @@ def bench_full_frame_production(width=1280, height=720, nr_v=240,
     opts = RenderOptions(width=width, height=height, shadow_size=512,
                          film_grain=0.0, raster_cap=4096,
                          kernel_attrs=ka)
+    # cluster-record front end + per-cluster frustum cull: at this
+    # camera ~40% of the 64×64 terrain's sub-clusters are outside the
+    # frustum — the entity cull can't drop any of them (one entity).
+    # 10240-cluster cap ≈ 1.4× the measured in-view count (reported).
+    rec_cap = 10240 * 8
+    cluster_rec = ka and rt.cl_rest is not None and bool(
+        int(os.environ.get("CLUSTER_REC", "1")))
     eye = jnp.array([[0.0, 18.0, 28.0]])
     proj = mx.mat4_perspective(jnp.pi / 3, width / height, 0.1, 200.0)
 
@@ -343,9 +351,14 @@ def bench_full_frame_production(width=1280, height=720, nr_v=240,
             e, jnp.array([0.0, 2.0, 0.0]),
             jnp.array([0.0, 1.0, 0.0])))(eyes)
         planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
-        geom, axes = assemble_scene_geometry_batch(
-            rt, mxs, jnp.ones((1, 2), bool), planes, eyes,
-            skip_culling=jnp.array([True, False]))
+        if cluster_rec:
+            geom, axes = assemble_cluster_records_batch(
+                rt, mxs, jnp.ones((1, 2), bool), planes, eyes, views,
+                proj, cap=rec_cap)
+        else:
+            geom, axes = assemble_scene_geometry_batch(
+                rt, mxs, jnp.ones((1, 2), bool), planes, eyes,
+                skip_culling=jnp.array([True, False]))
         return render_frame_dynamic_batch(opts, geom, axes, views, proj,
                                           lights, eyes,
                                           static_shadow=static_shadow)
@@ -355,6 +368,19 @@ def bench_full_frame_production(width=1280, height=720, nr_v=240,
     img0 = _sync(fj(mxs, eye))
     img1 = _sync(fj(mxs, eye + jnp.array([[0.5, 0.0, 0.0]])))
     depends = bool(jnp.any(jnp.abs(img0 - img1) > 1e-6))
+    clusters_at_cap = None
+    if cluster_rec:
+        views = jax.vmap(lambda e: mx.mat4_look_at(
+            e, jnp.array([0.0, 2.0, 0.0]),
+            jnp.array([0.0, 1.0, 0.0])))(eye)
+        planes = jax.vmap(lambda v: make_subview(v, proj).planes)(views)
+        g1, _ = assemble_cluster_records_batch(
+            rt, mxs, jnp.ones((1, 2), bool), planes, eye, views, proj,
+            cap=rec_cap)
+        from clap_tpu.render.raster import CLUSTER
+
+        nval = int(np.asarray(g1.comp_valid).sum()) // CLUSTER
+        clusters_at_cap = bool(nval >= rec_cap // CLUSTER)
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
@@ -366,6 +392,8 @@ def bench_full_frame_production(width=1280, height=720, nr_v=240,
             "kernel_attrs": bool(ka), "bake_warm_ms": bake_ms,
             "bake_cold_ms": bake_cold_ms,
             "dyn_shadow_tris": int(rt.shadow_faces.shape[0]),
+            "cluster_rec": bool(cluster_rec),
+            "clusters_at_cap": clusters_at_cap,
             "input_dependent": depends}
 
 

@@ -78,7 +78,7 @@ lights = lights._replace(
     is_dir=lights.is_dir.at[0].set(True),
     active=lights.active.at[0].set(True))
 opts = RenderOptions(width=res, height=res, shadow_size=256, film_grain=0.0,
-                     record_compact=24576,
+                     record_compact=12288,
                      attr_bf16=bool(int(os.environ.get("ATTR_BF16", "0"))),
                      kernel_attrs=kernel_attrs_ok(rt) and bool(
                          int(os.environ.get("KERNEL_ATTRS", "1"))))
