@@ -342,3 +342,32 @@ def test_case12_glancing_pair_collision_spins():
     # x-momentum conserved (equal masses, symmetric damping)
     px = float(st.vel[0, 0] + st.vel[1, 0])
     assert abs(px) < 0.1
+
+
+def test_solver_passes_shrink_contact_band():
+    """The 8-15% contact band is the 4-pass SPEED point, not a solver
+    ceiling: phys_step(solver_passes=12) (toward QuickStep's 20 LCP
+    iterations) must land incline rolling (case 5) strictly closer to
+    the analytic 5/7·g·sinθ — and within half the documented band."""
+    slope = 0.25
+    world = slope_world(slope)
+    r = 0.5
+    nv = np.array([-slope, 1.0, 0.0]) / np.sqrt(1 + slope * slope)
+    sin_t = slope / np.sqrt(1 + slope * slope)
+    frames = 45
+    v_expect = (5.0 / 7.0) * 9.8 * sin_t * frames / 60.0
+
+    def run(passes):
+        params, st = one_sphere(r=r, pos=(0, 0, 0), mu=1.5)
+        st = st._replace(
+            pos=st.pos.at[0].set(jnp.asarray(r * nv, jnp.float32)))
+        step = jax.jit(lambda s: W.phys_step(world, params, s, 1 / 60,
+                                             solver_passes=passes))
+        for _ in range(frames):
+            st = step(st)
+        return np.linalg.norm(np.asarray(st.vel[0])[[0, 1]])
+
+    err4 = abs(run(4) - v_expect) / v_expect
+    err12 = abs(run(12) - v_expect) / v_expect
+    assert err12 <= err4 + 1e-6, (err4, err12)
+    assert err12 < 0.06, err12        # half the documented 12% band
