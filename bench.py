@@ -1,16 +1,39 @@
 #!/usr/bin/env python
-"""Benchmark driver — prints ONE JSON line with the north-star metric.
+"""Benchmark driver — prints the north-star metric as a JSON line.
 
 North star (BASELINE.json): batched sim-steps/sec/chip for 4096 parallel
 testbed scenes; target 4096 envs × 60 Hz = 245,760 env-steps/s → 1.0
-vs_baseline. Sub-benchmarks cover the BASELINE.json configs that exist so
-far; they're reported in the "sub" field.
+vs_baseline. Sub-benchmarks cover the BASELINE.json configs; they're
+reported in the "sub" field.
 
-Runs on whatever jax.default_backend() is (the driver provides a real TPU
-chip); falls back gracefully if a config fails.
+Survivability (VERDICT r4 #1 — BENCH_r04 was rc=124/parsed=null because
+one JSON line printed only after ~15 heavyweight configs):
+
+- configs run cheapest/most-important FIRST (the headline headless
+  number lands within the first minutes, even on a cold compile cache);
+- each config runs in its OWN SUBPROCESS (`bench.py --config KEY`) with
+  a per-config timeout: Python defers signal handlers while the main
+  thread is inside a single multi-minute XLA compile (measured on this
+  box), so an in-process design cannot react to SIGTERM mid-compile —
+  the parent, by contrast, only ever waits on the child and stays
+  signal-deliverable; a runaway compile is killed at its deadline and
+  recorded as {"skipped": "config-timeout"} instead of eating the run;
+- the merged JSON line is RE-printed after every completed config, so
+  the last parseable line of stdout is always the freshest snapshot —
+  a mid-run kill still leaves a valid artifact in the tail;
+- a wall-clock governor (BENCH_BUDGET_S, default 1500 s) skips any
+  config whose cost estimate exceeds the remaining budget;
+- SIGTERM/SIGINT/atexit handlers emit the merged line one final time
+  (`timeout` sends SIGTERM — r4's killer — which is catchable);
+- every snapshot is also mirrored to BENCH_PARTIAL.json on disk.
+
+Runs on whatever jax.default_backend() is (the driver provides a real
+TPU chip); falls back gracefully if a config fails.
 """
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -736,91 +759,60 @@ def kernel_parity_check():
     return bool(ok)
 
 
-def main():
-    backend = jax.default_backend()
+# ---------------------------------------------------------------------------
+# survivable harness (VERDICT r4 #1)
+
+_T0 = time.perf_counter()
+_RESULTS = {
+    "metric": "batched env sim-steps/sec/chip (testbed scene, headless)",
+    "value": 0.0,
+    "unit": "env-steps/s",
+    "vs_baseline": 0.0,
+    "backend": None,
+    "n_envs": 0,
+    "final": False,
+    "sub": {},
+}
+
+
+def _emit(final: bool = False):
+    """Print the merged snapshot as ONE JSON line + mirror it to disk.
+
+    Called after every completed config and from the exit/signal
+    handlers: the LAST parseable line of stdout is always the freshest
+    snapshot, so a mid-run kill cannot erase finished results."""
+    _RESULTS["final"] = bool(final)
+    _RESULTS["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+    line = json.dumps(_RESULTS)
+    print(line, flush=True)
+    try:
+        part = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PARTIAL.json")
+        with open(part, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def _on_signal(signum, frame):  # pragma: no cover - signal path
+    _RESULTS["killed_by_signal"] = int(signum)
+    _emit(final=False)
+    os._exit(1)
+
+
+def run_headless(backend):
+    """Headline: headless single + batched env-steps/s, regression floor."""
     sub = {}
-    try:
-        sub["kernel_parity"] = kernel_parity_check()
-    except Exception as e:  # pragma: no cover
-        sub["kernel_parity"] = {"error": str(e)[:200]}
-    try:
-        sub["ca2d"] = bench_ca2d()
-    except Exception as e:  # pragma: no cover
-        sub["ca2d"] = {"error": str(e)[:200]}
-
-    try:
-        sub["skinning"] = bench_skinning()
-    except Exception as e:  # pragma: no cover
-        sub["skinning"] = {"error": str(e)[:200]}
-
-    try:
-        sub["full_frame"] = bench_full_frame()
-    except Exception as e:  # pragma: no cover
-        sub["full_frame"] = {"error": str(e)[:200]}
-
-    try:
-        # VERDICT-r2 #5 density: ≥100k tris at 720p, full post chain
-        sub["full_frame_dense"] = bench_full_frame(
-            nr_v=240, n_cubes=256, raster_cap=4096,
-            name="full_frame_720p_dense_ms")
-    except Exception as e:  # pragma: no cover
-        sub["full_frame_dense"] = {"error": str(e)[:200]}
-
-    try:
-        # dense 720p through the production path (RenderTables +
-        # kernel_attrs + static-shadow bake) — the levers-on companion
-        # to full_frame_dense
-        sub["full_frame_production"] = bench_full_frame_production()
-    except Exception as e:  # pragma: no cover
-        sub["full_frame_production"] = {"error": str(e)[:200]}
-
-    try:
-        sub["batched_render"] = bench_batched_render()
-    except Exception as e:  # pragma: no cover
-        sub["batched_render"] = {"error": str(e)[:200]}
-
-    # composed step+render (per-env dynamic scenes): the measured
-    # 64/256/1024 scaling table (VERDICT r3 #10 — no extrapolation)
-    sr = {}
-    for n in ((64, 256, 1024) if backend == "tpu" else (8,)):
-        try:
-            sr[str(n)] = bench_step_and_render(n_envs=n)
-        except Exception as e:  # pragma: no cover
-            sr[str(n)] = {"error": str(e)[:200]}
-            break
-    sub["step_and_render"] = sr
-
-    # shading-rate lever (VERDICT r3 #2): env-fps at 64 envs per
-    # internal scale + PSNR vs the full-res composed frame
-    if backend == "tpu":
-        try:
-            rate = bench_shading_rate()
-            for s in (2,):
-                r = bench_step_and_render(n_envs=64, internal_scale=s)
-                rate[str(s)].update({"value": r["value"],
-                                     "env_fps": r["env_fps"]})
-            sub["shading_rate"] = rate
-        except Exception as e:  # pragma: no cover
-            sub["shading_rate"] = {"error": str(e)[:200]}
-
-    try:
-        dt1 = bench_headless(1)
-        sub["headless_single_ms"] = dt1 * 1e3
-    except Exception as e:  # pragma: no cover
-        sub["headless_single_ms"] = {"error": str(e)[:200]}
-
+    dt1 = bench_headless(1)
+    sub["headless_single_ms"] = dt1 * 1e3
     n_envs = 4096 if backend == "tpu" else 64
-    try:
-        dtN = bench_headless(n_envs)
-        env_steps_per_s = n_envs / dtN
-        sub[f"headless_{n_envs}_ms_per_frame"] = dtN * 1e3
-    except Exception as e:  # pragma: no cover
-        env_steps_per_s = 0.0
-        sub["headless_batched"] = {"error": str(e)[:200]}
+    dtN = bench_headless(n_envs)
+    env_steps_per_s = n_envs / dtN
+    sub[f"headless_{n_envs}_ms_per_frame"] = dtN * 1e3
 
     # regression floor (VERDICT r3 #3): fail LOUDLY if the headline
-    # metric falls >5% below the best recorded round (r4: 875k after the
-    # pair-list/patch solver work; r2 was 672k)
+    # metric falls >5% below the best recorded round (r4 builder-measured
+    # 875k after the pair-list/patch solver work; r2 was 672k)
     HEADLESS_FLOOR = 875_000
     if backend == "tpu":
         ok = env_steps_per_s >= 0.95 * HEADLESS_FLOOR
@@ -832,16 +824,130 @@ def main():
                   file=sys.stderr)
 
     target = 4096 * 60.0
-    print(json.dumps({
-        "metric": "batched env sim-steps/sec/chip (testbed scene, headless)",
-        "value": round(env_steps_per_s, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(env_steps_per_s / target, 4),
-        "backend": backend,
-        "n_envs": n_envs,
-        "sub": sub,
-    }))
+    _RESULTS["value"] = round(env_steps_per_s, 1)
+    _RESULTS["vs_baseline"] = round(env_steps_per_s / target, 4)
+    _RESULTS["n_envs"] = n_envs
+    _RESULTS["sub"].update(sub)
+    return {"env_steps_per_s": round(env_steps_per_s, 1)}
+
+
+def run_shading_rate():
+    rate = bench_shading_rate()
+    for s in (2,):
+        r = bench_step_and_render(n_envs=64, internal_scale=s)
+        rate[str(s)].update({"value": r["value"], "env_fps": r["env_fps"]})
+    return rate
+
+
+def _configs(backend):
+    """(key, cost-estimate seconds [cold-cache-ish], thunk). Ordered
+    cheapest/most-important first so the headline + the VERDICT-r4
+    must-record set (headless, composed 64, dense 720p, production,
+    floor verdict) land before the expensive tail."""
+    on_tpu = backend == "tpu"
+    configs = [
+        ("headless", 300, lambda: run_headless(backend)),
+        ("ca2d", 60, bench_ca2d),
+        ("skinning", 90, bench_skinning),
+        ("step_and_render", 900, lambda: {
+            str(64 if on_tpu else 8):
+                bench_step_and_render(n_envs=64 if on_tpu else 8)}),
+        ("full_frame_dense", 420, lambda: bench_full_frame(
+            nr_v=240, n_cubes=256, raster_cap=4096,
+            name="full_frame_720p_dense_ms")),
+        ("full_frame_production", 600, bench_full_frame_production),
+        ("kernel_parity", 150, kernel_parity_check),
+        ("batched_render", 240, bench_batched_render),
+        ("full_frame", 240, bench_full_frame),
+    ]
+    if on_tpu:
+        configs += [
+            ("step_and_render_256", 600,
+             lambda: {"256": bench_step_and_render(n_envs=256)}),
+            ("shading_rate", 900, run_shading_rate),
+        ]
+    return configs
+
+
+_CHILD_MARK = "BENCHCFG "
+
+
+def child_main(key):
+    """--config KEY mode: run one config, print its result as a marked
+    JSON line. Runs inside the per-config subprocess."""
+    backend = jax.default_backend()
+    for k, _est, thunk in _configs(backend):
+        if k == key:
+            out = {"result": thunk(), "headline": _RESULTS
+                   if k == "headless" else None}
+            print(_CHILD_MARK + json.dumps(out), flush=True)
+            return 0
+    print(_CHILD_MARK + json.dumps(
+        {"result": {"error": f"unknown config {key}"}}), flush=True)
+    return 2
+
+
+def main():
+    import subprocess
+
+    backend = jax.default_backend()
+    _RESULTS["backend"] = backend
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    _RESULTS["budget_s"] = budget
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    atexit.register(lambda: None if _RESULTS.get("final") else _emit(False))
+
+    me = os.path.abspath(__file__)
+    for i, (key, est, _thunk) in enumerate(_configs(backend)):
+        remaining = budget - (time.perf_counter() - _T0)
+        # the headline config is exempt from the governor: a bench
+        # artifact without the north-star number is not an artifact
+        if i > 0 and est > remaining:
+            _RESULTS["sub"][key] = {"skipped": "budget", "est_s": est,
+                                    "remaining_s": round(remaining, 1)}
+            continue
+        # per-config deadline: twice the estimate (compiles dominate and
+        # are hard to predict cold), clipped to the remaining budget;
+        # the headline config may use the whole remaining budget
+        deadline = remaining if i == 0 else min(2.0 * est, remaining)
+        t0 = time.perf_counter()
+        out = None
+        try:
+            proc = subprocess.run(
+                [sys.executable, me, "--config", key],
+                stdout=subprocess.PIPE, timeout=deadline)
+            for ln in proc.stdout.decode(errors="replace").splitlines():
+                if ln.startswith(_CHILD_MARK):
+                    out = json.loads(ln[len(_CHILD_MARK):])
+            if out is None:
+                out = {"result": {"error":
+                                  f"child rc={proc.returncode}, no result"}}
+        except subprocess.TimeoutExpired:
+            out = {"result": {"skipped": "config-timeout",
+                              "deadline_s": round(deadline, 1)}}
+        except Exception as e:  # pragma: no cover
+            out = {"result": {"error": str(e)[:300]}}
+        took = round(time.perf_counter() - t0, 1)
+        res = out.get("result")
+        if out.get("headline"):
+            for f in ("value", "vs_baseline", "n_envs"):
+                _RESULTS[f] = out["headline"][f]
+            _RESULTS["sub"].update(out["headline"]["sub"])
+        if key.startswith("step_and_render") and isinstance(res, dict) \
+                and "error" not in res and "skipped" not in res:
+            _RESULTS["sub"].setdefault("step_and_render", {}).update(res)
+            _RESULTS["sub"]["step_and_render"]["took_s"] = took
+        else:
+            _RESULTS["sub"][key] = res
+            if isinstance(res, dict):
+                res["took_s"] = took
+        _emit(final=False)
+
+    _emit(final=True)
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--config":
+        sys.exit(child_main(sys.argv[2]))
     sys.exit(main())
