@@ -533,7 +533,8 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                                              shadow_static_mask)
     from clap_tpu.render.view import make_subview
     from clap_tpu.scene.testbed import (build_demo_rig, build_testbed,
-                                        replicate_state, testbed_models)
+                                        replicate_state, build_testbed_char_skin,
+                                        testbed_models)
 
     n_chars = 2
     # terrain split into 4×4 chunk entities: frustum culling + distance
@@ -556,7 +557,12 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                            joint_mats=jnp.tile(jnp.eye(4, dtype=jnp.float32),
                                                (n_chars, 3, 1, 1)))
 
-    models = testbed_models(tb)
+    # skinned characters (VERDICT r4 #2): the roster renders as
+    # LBS-deformed ring-column meshes entering the record stream as a
+    # per-env dynamic range (charskin.py). SKIN=0 reverts to the rigid
+    # proxies for A/B runs.
+    skin_on = bool(int(os.environ.get("SKIN", "1")))
+    models = testbed_models(tb, skinned_chars=skin_on)
     ent = tb.cfg.entities
     edge = default_edge_ids(np.asarray(ent.active),
                             np.asarray(ent.body_is_char))
@@ -569,6 +575,7 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
         entity_edge_id=edge,
         entity_shadow_static=shadow_static_mask(ent) if static_on
         else None)
+    cskin = build_testbed_char_skin(tb, models, rt) if skin_on else None
     lights = lights_empty(1)
     d = jnp.array([-0.4, -0.8, -0.4])
     lights = lights._replace(
@@ -602,7 +609,8 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
     skip = ent.skip_culling
 
-    def render_chunk(sts):
+    def render_chunk(args):
+        sts, jmats = args
         cam = sts.camera
 
         def view_of(c):
@@ -620,11 +628,12 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
             # before the per-tile record fetch (test_cluster_records)
             geom, axes = assemble_cluster_records_batch(
                 rt, sts.mx, sts.visible, planes, cam.pos, views, proj,
-                cap=opts.record_compact, skip_culling=skip)
+                cap=opts.record_compact, skip_culling=skip,
+                char_skin=cskin, joint_mats=jmats)
         else:
             geom, axes = assemble_scene_geometry_batch(
                 rt, sts.mx, sts.visible, planes, cam.pos,
-                skip_culling=skip)
+                skip_culling=skip, char_skin=cskin, joint_mats=jmats)
         return render_frame_dynamic_batch(opts, geom, axes, views, proj,
                                           lights, cam.pos, far=200.0,
                                           static_shadow=static_shadow)
@@ -632,13 +641,13 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     @jax.jit
     def step_and_render(gss, ins):
         gss = jax.vmap(lambda s, i: game_step(gw, s, i))(gss, ins)
-        sts = gss.engine
+        sj = (gss.engine, gss.joint_mats)
         if n_envs <= chunk:
-            imgs = render_chunk(sts)
+            imgs = render_chunk(sj)
         else:
             chunked = jax.tree.map(
                 lambda x: x.reshape(n_envs // chunk, chunk, *x.shape[1:]),
-                sts)
+                sj)
             imgs = jax.lax.map(render_chunk, chunked)
             imgs = imgs.reshape(n_envs, *imgs.shape[2:])
         if return_images:

@@ -46,7 +46,8 @@ def skin_verts(jt: jnp.ndarray, verts, normals, weights, jidx):
     return sv, sn
 
 
-def skin_verts_batch(jts: jnp.ndarray, verts, normals, weights, jidx):
+def skin_verts_batch(jts: jnp.ndarray, verts, normals, weights, jidx,
+                     blend=None):
     """LBS for B instances of ONE rig/mesh in a single MXU contraction.
 
     ``jax.vmap(skin_verts)`` lowers the blend to B tiny (V,J)@(J,12)
@@ -58,11 +59,13 @@ def skin_verts_batch(jts: jnp.ndarray, verts, normals, weights, jidx):
     12 per-component slices is a full (V, B) lane block — no padding,
     no strided lane reads.
 
-    jts: (B, J, 4, 4); verts/normals: (V, 3); weights/jidx: (V, 4).
+    jts: (B, J, 4, 4); verts/normals: (V, 3); weights/jidx: (V, 4)
+    (or pass a precomputed dense ``blend`` (V, J) matrix instead).
     Returns (sv (B, V, 3), sn (B, V, 3)).
     """
     B, J = jts.shape[0], jts.shape[1]
-    W = blend_matrix(weights, jidx, J, verts.dtype)        # (V, J) shared
+    W = blend_matrix(weights, jidx, J, verts.dtype) \
+        if blend is None else blend                        # (V, J) shared
     # (B, J, 12) → (J, 12, B) → (J, 12·B), component-major lanes
     pT = jnp.transpose(jts[:, :, :3, :].reshape(B, J, 12), (1, 2, 0))
     bl = jnp.einsum("vj,jm->vm", W, pT.reshape(J, 12 * B),

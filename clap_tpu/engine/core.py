@@ -139,7 +139,7 @@ class Engine:
                         fov: float = jnp.pi / 3, textures=None,
                         lut_volume=None, grain_noise=None,
                         particle_world=None, particle_size: float = 0.12,
-                        particle_color=(0.9, 0.9, 0.6)):
+                        particle_color=(0.9, 0.9, 0.6), char_skin=None):
         """Wire per-frame rendering into Engine.frame (graphics=True:
         clap_frame IS update+render, clap.c:551-665 — r1 only composed
         render with the step in demos/tests). The camera comes from the
@@ -155,7 +155,11 @@ class Engine:
         When ``render_tables`` carries a static shadow stream
         (build_render_tables entity_shadow_static=), the static
         casters' atlas is baked ONCE here (the engine state's load pose)
-        and every frame's CSM only rasters the dynamic casters."""
+        and every frame's CSM only rasters the dynamic casters.
+
+        char_skin (render.charskin.CharSkin): skinned characters — the
+        session's joint_mats deform the char meshes every frame
+        (model.vert:34-48; requires a game session that animates)."""
         from .. import mathx as mx
         from ..render.camera import camera_view_proj
         from ..render.pipeline import RenderOptions, render_frame
@@ -186,7 +190,7 @@ class Engine:
                        & (jnp.arange(P)[None, :] < pp.count[:, None]))
             pactive = pactive.reshape(-1)
 
-        def render(st, particles, lut_vol):
+        def render(st, particles, lut_vol, jmats):
             cam = st.camera
             q = mx.qmul(
                 mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
@@ -197,7 +201,8 @@ class Engine:
             sv = make_subview(view, proj)
             geom = assemble_scene_geometry(
                 render_tables, st.mx, st.visible, sv.planes, cam.pos,
-                skip_culling=skip_culling)
+                skip_culling=skip_culling, char_skin=char_skin,
+                joint_mats=jmats if char_skin is not None else None)
             part_arg = None
             if particles is not None:
                 part_arg = (particles.pos.reshape(-1, 3),
@@ -399,8 +404,10 @@ class Engine:
         if self._render is not None and self.cfg.graphics:
             parts = (self.session.particles
                      if getattr(self, "_render_particles", False) else None)
+            jm = (self.session.joint_mats
+                  if self.session is not None else None)
             self.last_frame = self._render(self.state, parts,
-                                           self._lut_volume)
+                                           self._lut_volume, jm)
             if self._frame_dir:
                 import numpy as np
 

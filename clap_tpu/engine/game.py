@@ -46,9 +46,13 @@ class GameWorld(NamedTuple):
     head_joint: jnp.ndarray | None = None        # (C,) int32 joint, -1 none
     char_entity: jnp.ndarray | None = None       # (C,) int32 entity per char
     char_height: jnp.ndarray | None = None       # (C,) f32 AABB height
-    # near-plane-corner occlusion shrink every frame (camera.c:93-117);
-    # Engine enables it with graphics — headless sims skip the raycasts
-    camera_occlusion: bool = False
+    # near-plane-corner occlusion shrink every frame. The reference
+    # camera occlusion-raycasts UNCONDITIONALLY each frame
+    # (camera.c:232-236), so the composed default is ON and every
+    # composed/flagship number absorbs the ~4-ray cost; pure headless
+    # sims (no rendering, camera unused) may pass False explicitly —
+    # the documented off-switch.
+    camera_occlusion: bool = True
     # per-clip frame-SFX table (animation_sfx scene.c:1295-1303); when
     # set, game_step emits per-char footstep events in
     # GameSessionState.sfx_events (init anim with anim_instances_init(n,

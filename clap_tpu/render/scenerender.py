@@ -482,7 +482,8 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
                                    entity_visible, cam_planes, cam_pos,
                                    views, proj, cap: int = 24576,
                                    skip_culling=None,
-                                   cluster_cull: bool = True):
+                                   cluster_cull: bool = True,
+                                   char_skin=None, joint_mats=None):
     """Cluster-granularity batched assembly for the kernel_attrs
     composed path — the record pipeline's front end at ~T/8 rows.
 
@@ -512,6 +513,14 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
     SceneGeometry carries ``comp``/``comp_valid``/``comp_ent`` and a
     per-env world-space ``shadow_corner_verts`` stream instead of
     verts/faces. Requires rt.flat_eligible (kernel_attrs mode).
+
+    char_skin + joint_mats ((B, C, J, 4, 4)): render SKINNED characters
+    (charskin.py — model.vert:34-48 parity). The char entities' rigid
+    clusters are statically masked out of the validity pass and an
+    LBS-deformed per-env record range (C·Tp clip-component columns)
+    concatenates onto the compacted rigid stream; the chars' rows of
+    the dynamic shadow corner stream are overwritten with skinned
+    corners.
     """
     from .raster import CLUSTER
 
@@ -533,6 +542,12 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
     idx = rt.cl_entity * L + rt.cl_lod                    # (Tc,) static
     okT = ok_el.reshape(B, E * L).T                       # (E·L, B)
     cv = gather_rows(okT, idx).T                          # (B, Tc)
+    if char_skin is not None:
+        # skinned chars: their rigid clusters never raster — the
+        # skinned record range below replaces them (static mask)
+        cl_skinned = jnp.asarray(np.isin(
+            np.asarray(rt.cl_entity), np.asarray(char_skin.char_ents)))
+        cv = cv & ~cl_skinned[None, :]
     Tc = idx.shape[0]
     capc = min(cap // CLUSTER, Tc)
 
@@ -632,6 +647,17 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
                      entity_visible.astype(jnp.float32),
                      precision=hi) > 0.5
 
+    if char_skin is not None:
+        from .charskin import apply_shadow_skin, skin_records
+
+        comp_s, valid_s, ent_s, sh_world = skin_records(
+            char_skin, joint_mats, entity_mx, views, proj,
+            entity_visible)
+        comp = jnp.concatenate([comp, comp_s], axis=-1)
+        comp_valid = jnp.concatenate([comp_valid, valid_s], axis=-1)
+        comp_ent = jnp.concatenate([comp_ent, ent_s], axis=-1)
+        swc = apply_shadow_skin(swc, char_skin, sh_world)
+
     zero3 = jnp.zeros((0, 3), jnp.float32)
     geom = SceneGeometry(
         verts=zero3, normals=zero3, faces=jnp.zeros((0, 3), jnp.int32),
@@ -653,7 +679,8 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
 
 def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
                                   entity_visible, cam_planes, cam_pos,
-                                  skip_culling=None):
+                                  skip_culling=None, char_skin=None,
+                                  joint_mats=None):
     """Per-ENV-BATCH geometry assembly for composed step+render: B envs,
     each with its own entity transforms/visibility/camera, over ONE
     shared instance table.
@@ -689,6 +716,21 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
         [g[..., 4 * i] * vx + g[..., 4 * i + 1] * vy
          + g[..., 4 * i + 2] * vz + g[..., 4 * i + 3] for i in range(3)],
         axis=-1)
+
+    if char_skin is not None:
+        # skinned chars (model.vert:34-48): the char entities' instance
+        # vertex blocks are replaced with LBS-deformed world positions
+        # (silhouettes + shadows exact). The per-pixel normals of this
+        # path come from the SHARED model-local table rotated by
+        # ent_rot, which a per-env deformation cannot ride — char
+        # shading normals stay rest-pose here; the cluster-record path
+        # (the flagship) interpolates the skinned normals exactly.
+        from .charskin import skin_vertex_rows
+
+        w_skin, _snl = skin_vertex_rows(char_skin, joint_mats, entity_mx)
+        for c, r0 in enumerate(char_skin.vert_row0):
+            wverts = jax.lax.dynamic_update_slice(
+                wverts, w_skin[:, c], (0, r0, 0))
 
     ent_ok, lod, rot = _entity_cull_lod(rt, entity_mx, entity_visible,
                                         cam_planes, cam_pos, skip_culling)
@@ -742,10 +784,16 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
 
 def assemble_scene_geometry(rt: RenderTables, entity_mx, entity_visible,
                             cam_planes, cam_pos,
-                            skip_culling=None) -> SceneGeometry:
+                            skip_culling=None, char_skin=None,
+                            joint_mats=None) -> SceneGeometry:
     """Per-frame geometry assembly: transform instance verts by entity
     matrices, cull per entity, select LOD per entity by distance
-    (models_render model.c:969-998)."""
+    (models_render model.c:969-998).
+
+    char_skin + joint_mats ((C, J, 4, 4)): skinned characters — the
+    char entities' vertex blocks are replaced with LBS-deformed world
+    positions AND normals (both exact in this single-scene path;
+    model.vert:34-48)."""
     # pack world matrices (E, 12) → one gather per vertex
     packed = entity_mx[:, :3, :].reshape(entity_mx.shape[0], 12)
     g = packed[rt.vert_entity]                            # (Vi, 12)
@@ -754,6 +802,18 @@ def assemble_scene_geometry(rt: RenderTables, entity_mx, entity_visible,
     wnorm = jnp.einsum("vij,vj->vi", m[:, :, :3], rt.normals)
     wnorm = wnorm / jnp.maximum(
         jnp.linalg.norm(wnorm, axis=-1, keepdims=True), 1e-6)
+    if char_skin is not None:
+        from .charskin import skin_vertex_rows
+
+        w_skin, snl = skin_vertex_rows(char_skin, joint_mats, entity_mx)
+        emx = entity_mx[char_skin.char_ents]              # (C, 4, 4)
+        wn = jnp.einsum("cij,cvj->cvi", emx[:, :3, :3], snl)
+        wn = wn / jnp.maximum(
+            jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-6)
+        for c, r0 in enumerate(char_skin.vert_row0):
+            wverts = jax.lax.dynamic_update_slice(wverts, w_skin[c],
+                                                  (r0, 0))
+            wnorm = jax.lax.dynamic_update_slice(wnorm, wn[c], (r0, 0))
     wtan = None
     if rt.any_material:
         wt = jnp.einsum("vij,vj->vi", m[:, :, :3], rt.tangent[:, :3])

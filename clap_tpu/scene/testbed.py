@@ -231,12 +231,78 @@ def build_testbed(seed: int = 42, side: float = 64.0, nr_v: int = 128,
     return Testbed(cfg=cfg, state0=st, terrain=t, chunks=chunks)
 
 
+def char_column_mesh(width: float = 0.6, height: float = 2.0,
+                     rings: int = 13, segments: int = 10):
+    """Skinnable character mesh: a ring column along +y (feet at 0,
+    head at ``height``) with a waist/shoulder radius profile — the
+    asset-less stand-in for the glTF character meshes (the reference's
+    demo chars; absent submodules, SURVEY §6). Ring density is what
+    makes LBS deformation visible: the cube proxy had no interior
+    vertices to bend. Returns (verts, normals, uvs, faces) — uv is a
+    cylindrical unwrap (u = angle/2π, v = y/height)."""
+    ys = np.linspace(0.0, height, rings).astype(np.float32)
+    tn = ys / height
+    # radius profile: ankles → hips bulge → waist → shoulders → head
+    prof = 0.22 + 0.16 * np.exp(-((tn - 0.35) / 0.25) ** 2) \
+        + 0.10 * np.exp(-((tn - 0.8) / 0.18) ** 2) \
+        - 0.06 * tn
+    prof = (prof * (width / 0.6)).astype(np.float32)
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ca, sa = np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    verts, normals, uvs = [], [], []
+    for yi, r in zip(ys, prof):
+        for k, (c, s) in enumerate(zip(ca, sa)):
+            verts.append((r * c, yi, r * s))
+            normals.append((c, 0.0, s))
+            uvs.append((k / segments, yi / height))
+    verts = np.asarray(verts, np.float32)
+    normals = np.asarray(normals, np.float32)
+    faces = []
+    for k in range(rings - 1):
+        for i in range(segments):
+            j = (i + 1) % segments
+            a, b = k * segments + i, k * segments + j
+            c, d = a + segments, b + segments
+            faces.extend([[a, c, b], [b, c, d]])
+    # cap fans (feet / head)
+    base = len(verts)
+    verts = np.concatenate([verts, np.array(
+        [[0, 0, 0], [0, height, 0]], np.float32)])
+    normals = np.concatenate([normals, np.array(
+        [[0, -1, 0], [0, 1, 0]], np.float32)])
+    top0 = (rings - 1) * segments
+    for i in range(segments):
+        j = (i + 1) % segments
+        faces.append([base, i, j])                       # bottom
+        faces.append([base + 1, top0 + j, top0 + i])     # top
+    uvs = np.concatenate([np.asarray(uvs, np.float32),
+                          np.array([[0.5, 0.0], [0.5, 1.0]], np.float32)])
+    return verts, normals, uvs, np.asarray(faces, np.int32)
+
+
+def build_testbed_char_skin(tb: Testbed, models, rt):
+    """CharSkin for the testbed roster: smooth 1-D weights to the demo
+    rig's 3-joint chain (joints at y = 0, 0.8, 1.6 — build_demo_rig),
+    shared by every char entity (slots 1..n_chars)."""
+    from ..render.charskin import build_char_skin, linear_joint_weights
+
+    n_chars = tb.cfg.char_params.body.shape[0]
+    w, ji = linear_joint_weights(models[1].verts,
+                                 np.array([0.0, 0.8, 1.6]))
+    return build_char_skin(rt, models[1], w, ji, 3,
+                           np.arange(1, 1 + n_chars))
+
+
 def testbed_models(tb: Testbed, with_lods: bool = True,
-                   terrain_color=(0.35, 0.5, 0.3)):
+                   terrain_color=(0.35, 0.5, 0.3),
+                   skinned_chars: bool = False):
     """ModelData list matching the testbed's model-id layout (render
     side of models_render): 0 terrain (EMPTY when chunked), 1 character,
     2 sphere, 3 tree, then one model per terrain chunk with LOD chains.
-    """
+
+    skinned_chars=True swaps the character's cube proxy for the
+    skinnable ring-column mesh (char_column_mesh) — pair with
+    build_testbed_char_skin for LBS-deformed rendering."""
     from ..render.scenerender import ModelData, model_from_mesh
     from .primitives import cube
 
@@ -262,9 +328,16 @@ def testbed_models(tb: Testbed, with_lods: bool = True,
         terrain_model = model_from_mesh(
             t.vx, t.norm, t.idx.reshape(-1, 3),
             base_color=terrain_color, with_lods=False)
+    if skinned_chars:
+        sv, sn, _suv, sf = char_column_mesh(0.6, 2.0)
+        char_model = model_from_mesh(sv, sn, sf,
+                                     base_color=(0.8, 0.5, 0.4),
+                                     with_lods=with_lods)
+    else:
+        char_model = cube_model(0.6, 2.0, (0.8, 0.5, 0.4))
     models = [
         terrain_model,
-        cube_model(0.6, 2.0, (0.8, 0.5, 0.4)),
+        char_model,
         cube_model(0.8, 0.8, (0.6, 0.6, 0.7)),
         cube_model(0.8, 3.0, (0.4, 0.3, 0.2)),
     ]
@@ -291,7 +364,12 @@ def build_demo_rig():
     from ..anim.system import default_state_map
 
     parent = [-1, 0, 1]
+    # inverse bind = inverse of each joint's rest GLOBAL transform
+    # (gltf skins' inverseBindMatrices) so the rest pose skins to
+    # identity — joints sit at y = 0, 0.8, 1.6 on the chain
     invbind = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    for j, y in enumerate((0.0, 0.8, 1.6)):
+        invbind[j, 1, 3] = -y
     base_t = np.array([[0, 0, 0], [0, 0.8, 0], [0, 0.8, 0]], np.float32)
     base_r = np.tile(np.array([0, 0, 0, 1], np.float32), (3, 1))
     base_s = np.ones((3, 3), np.float32)

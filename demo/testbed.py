@@ -143,13 +143,19 @@ def main():
             diffuse=jnp.asarray(np.stack([checker, bark, atlas])),
             slope_blend=jnp.array([False, False, True]))
 
+        # SKINNED textured characters: the ring-column mesh deforms by
+        # the rigs' LBS every frame (model.vert:34-48; charskin.py)
+        from clap_tpu.scene.testbed import (build_testbed_char_skin,
+                                            char_column_mesh)
+
+        chv, chn, chuv, chf = char_column_mesh(0.6, 2.0)
         models = [
             model_from_mesh(t.vx, t.norm, t.idx.reshape(-1, 3),
                             base_color=(1.0, 1.0, 1.0), with_lods=False,
                             uv=t.uv, tex_id=2),
-            model_from_mesh(*_cube_model(0.6, 2.0),
+            model_from_mesh(chv, chn, chf,
                             base_color=(0.8, 0.5, 0.4),
-                            uv=_cube_uv(), tex_id=0),
+                            uv=chuv, tex_id=0),
             model_from_mesh(*_cube_model(0.8, 0.8),
                             base_color=(0.6, 0.6, 0.7)),
             model_from_mesh(*_cube_model(0.8, 3.0),
@@ -172,6 +178,7 @@ def main():
             color=lights.color.at[0].set(jnp.array([1.0, 0.95, 0.9])),
             is_dir=lights.is_dir.at[0].set(True),
             active=lights.active.at[0].set(True))
+        cskin = build_testbed_char_skin(tb, models, rt)
         opts = RenderOptions(width=640, height=360, shadow_size=256)
         eng.attach_graphics(rt, lights, opts,
                             skip_culling=ent.skip_culling,
@@ -180,7 +187,8 @@ def main():
                             grain_noise=blue_noise2d(64),
                             particle_world=game_world.particles,
                             particle_size=0.1,
-                            particle_color=(0.95, 0.9, 0.5))
+                            particle_color=(0.95, 0.9, 0.5),
+                            char_skin=cskin)
 
     if args.serve:
         d = eng.attach_display(port=args.serve)
