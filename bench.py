@@ -500,7 +500,8 @@ def bench_batched_render(n_envs: int = 64, res: int = 256):
 def bench_step_and_render(n_envs: int = 64, res: int = 256,
                           frames: int = 10, chunk: int = 64,
                           internal_scale: int = 1,
-                          return_images: bool = False):
+                          return_images: bool = False,
+                          textured: bool = False):
     # chunk=64: per-env G-buffers + the 128-lane-padded attr-gather
     # output are ~35 MB/env at 256² — a single 256-env vmap would
     # materialize ~9 GB of transient per frame (v5e HBM is 16 GB);
@@ -562,7 +563,16 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     # per-env dynamic range (charskin.py). SKIN=0 reverts to the rigid
     # proxies for A/B runs.
     skin_on = bool(int(os.environ.get("SKIN", "1")))
-    models = testbed_models(tb, skinned_chars=skin_on)
+    # textured=True (VERDICT r4 #7): char + tree carry uv/texture layers
+    # so the frame takes the per-pixel material-gather path — the honest
+    # cost of model.frag-style sampling next to the kernel_attrs
+    # flat-material fast path the default config measures.
+    models = testbed_models(tb, skinned_chars=skin_on, textured=textured)
+    textures = None
+    if textured:
+        from clap_tpu.scene.testbed import testbed_textures
+
+        textures = testbed_textures()
     ent = tb.cfg.entities
     edge = default_edge_ids(np.asarray(ent.active),
                             np.asarray(ent.body_is_char))
@@ -636,7 +646,8 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                 skip_culling=skip, char_skin=cskin, joint_mats=jmats)
         return render_frame_dynamic_batch(opts, geom, axes, views, proj,
                                           lights, cam.pos, far=200.0,
-                                          static_shadow=static_shadow)
+                                          static_shadow=static_shadow,
+                                          textures=textures)
 
     @jax.jit
     def step_and_render(gss, ins):
@@ -696,8 +707,11 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     _sync(luma)
     dt = (time.perf_counter() - t0) / frames
     tag = f"_s{internal_scale}" if internal_scale > 1 else ""
+    if textured:
+        tag += "_tex"
     out = {"metric": f"step_and_render_{n_envs}x{res}{tag}_ms",
            "value": dt * 1e3, "env_fps": n_envs / dt,
+           "kernel_attrs": bool(opts.kernel_attrs),
            "mean_luma": float(luma[0])}
     if clusters_at_cap is not None:
         out["clusters_at_cap"] = clusters_at_cap
@@ -871,6 +885,8 @@ def _configs(backend):
     ]
     if on_tpu:
         configs += [
+            ("step_and_render_textured", 600, lambda: {
+                "64tex": bench_step_and_render(n_envs=64, textured=True)}),
             ("step_and_render_256", 600,
              lambda: {"256": bench_step_and_render(n_envs=256)}),
             ("shading_rate", 900, run_shading_rate),

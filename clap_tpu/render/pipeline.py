@@ -232,6 +232,12 @@ def shadow_pass(opts: RenderOptions, geom: SceneGeometry, light_view,
         sfaces, sfv = geom.faces, geom.face_valid
     pre = geom.shadow_corner_verts is not None
     src = geom.shadow_corner_verts if pre else geom.verts
+    if pre:
+        # trace-time invariant: the pre-expanded stream must cover THIS
+        # face stream (a corner stream built over geom.faces while
+        # shadow_faces is set would silently shadow the wrong triangles)
+        assert src.shape[0] == 3 * sfaces.shape[0], \
+            "shadow_corner_verts does not match the shadow face stream"
     clip = clip_transform(src, light_view, light_proj)
     sx, sy, z, iw = project_to_screen(clip, s, s)
     rec, ok = assemble_tri_records(sx, sy, z, iw, sfaces,
@@ -363,6 +369,8 @@ def _surface_kernel_attrs(opts: RenderOptions, geom: SceneGeometry, clip):
             if geom.corner_normals is None:
                 raise ValueError("corner_verts without corner_normals: "
                                  "kernel_attrs interpolates normals")
+            assert geom.corner_verts.shape[0] == 3 * geom.faces.shape[0], \
+                "corner_verts does not match the face stream"
             vex = geom.corner_normals
         faces, fvalid, fent = geom.faces, geom.face_valid, geom.face_entity
         if opts.record_compact and not pre:
@@ -412,6 +420,9 @@ def _surface_gather(opts: RenderOptions, geom: SceneGeometry, clip,
     from .raster import clip_near_records
 
     pre = geom.corner_verts is not None
+    if pre:
+        assert geom.corner_verts.shape[0] == 3 * geom.faces.shape[0], \
+            "corner_verts does not match the face stream"
     faces, fvalid = geom.faces, geom.face_valid
     face_entity = geom.face_entity
     if opts.record_compact and not pre:

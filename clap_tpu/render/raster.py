@@ -439,9 +439,10 @@ def records_to_coeffs(rec, cluster: int = None):
     triples so the kernel's inner loop is pure FMA work — no per-pixel
     divides, no vertex differences.
 
-    Columns: a0,b0,c0, a1,b1,c1, a2,b2,c2, za,zb,zc, q0_0..2, q1_0..2,
-    s_0..2, tid, pad, pad — where d_face0 = Σ e_k·q0_k, d_face1 =
-    Σ e_k·q1_k, s = Σ e_k·s_k and face bary b = (d0/s, d1/s). q folds
+    Columns: a0,b0,c0, a1,b1,c1, a2,b2,c2, za,zb,zc, d0A,d0B,d0C,
+    d1A,d1B,d1C, sA,sB,sC, tid, zmin, pad — where the d0/d1/s attribute
+    planes are PIXEL-basis affine forms (d = A·px + B·py + C, composed
+    from Σ e_k·q_k below) and face bary b = (d0/s, d1/s). q folds
     the optional per-corner ORIGINAL-triangle barycentrics (record cols
     13-18, from near-plane clipping) so clipped sub-triangles emit bary
     already composed w.r.t. their source triangle — no per-pixel cbary
@@ -504,6 +505,25 @@ def records_to_coeffs(rec, cluster: int = None):
         q0 = [p[k] * cb[k][0] for k in range(3)]
         q1 = [p[k] * cb[k][1] for k in range(3)]
         s_ = p
+
+    # compose the attribute planes into PIXEL basis (d = A·px + B·py +
+    # C, like the z-plane): d = Σ e_k·q_k with e_k affine in (px, py)
+    # is itself affine. Composed here in the cheap (T,) column domain,
+    # this cuts the kernel's attr work from 3 edge-FMAs to 2 pixel-FMAs
+    # per plane AND decouples d0/d1/s from e_k (deeper ILP). Precision:
+    # the composed C term carries ~|c_k·q_k| cancellation, so per-pixel
+    # values gain ~1e-4 relative error vs the edge-basis form — the
+    # same structure the z-plane always had; normals/bary consumers
+    # renormalize downstream (r5 device sweep: −3% chain time —
+    # the kernel is list-walk/DMA-bound, not plane-FLOP-bound).
+    def pix(q):
+        return (a0 * q[0] + a1 * q[1] + a2 * q[2],
+                b0 * q[0] + b1 * q[1] + b2 * q[2],
+                c0 * q[0] + c1 * q[1] + c2 * q[2])
+
+    q0 = pix(q0)
+    q1 = pix(q1)
+    s_ = pix(s_)
     zero = jnp.zeros_like(a0)
     mone = jnp.full_like(a0, -1.0)
     # column 22: zmin (+inf for dead records) — the kernel's early-out
@@ -998,9 +1018,11 @@ def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
         zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
             & (z >= -1.0) & (z <= 1.0)
         zm = jnp.where(zok, z, jnp.inf)                  # (C, TH, TW)
-        d0 = e0 * col(12) + e1 * col(13) + e2 * col(14)
-        d1 = e0 * col(15) + e1 * col(16) + e2 * col(17)
-        s = e0 * col(18) + e1 * col(19) + e2 * col(20)
+        # attr planes arrive composed in PIXEL basis (records_to_coeffs
+        # pix()): 2 FMAs per plane, independent of e_k
+        d0 = col(12) * px + col(13) * py + col(14)
+        d1 = col(15) * px + col(16) * py + col(17)
+        s = col(18) * px + col(19) * py + col(20)
         # float tri id, broadcast to full tile shape through arithmetic
         # (standalone (C,1,1)→(C,H,W) vector broadcasts are a Mosaic
         # unsupported path; riding an add is not)

@@ -295,28 +295,38 @@ def build_testbed_char_skin(tb: Testbed, models, rt):
 
 def testbed_models(tb: Testbed, with_lods: bool = True,
                    terrain_color=(0.35, 0.5, 0.3),
-                   skinned_chars: bool = False):
+                   skinned_chars: bool = False,
+                   textured: bool = False):
     """ModelData list matching the testbed's model-id layout (render
     side of models_render): 0 terrain (EMPTY when chunked), 1 character,
     2 sphere, 3 tree, then one model per terrain chunk with LOD chains.
 
     skinned_chars=True swaps the character's cube proxy for the
     skinnable ring-column mesh (char_column_mesh) — pair with
-    build_testbed_char_skin for LBS-deformed rendering."""
+    build_testbed_char_skin for LBS-deformed rendering.
+
+    textured=True puts uv + texture layers on the character (layer 0)
+    and tree (layer 1) models — pair with testbed_textures() — which
+    makes the tables material-bearing: the composed frame then takes
+    the per-pixel gather path (model.frag:32-80 sampling), NOT the
+    flat-material kernel_attrs fast path."""
     from ..render.scenerender import ModelData, model_from_mesh
     from .primitives import cube
 
     t = tb.terrain
-    cv, cn, _cu, cf = cube(1.0)
+    cv, cn, cu, cf = cube(1.0)
     cv = np.asarray(cv, np.float32)
     cn = np.asarray(cn, np.float32)
+    cu = np.asarray(cu, np.float32)
     cf = np.asarray(cf)
 
-    def cube_model(w, h, color):
+    def cube_model(w, h, color, tex_id: int = -1):
         v = cv * np.array([w, h, w], np.float32) \
             + np.array([0, h / 2, 0], np.float32)
         return model_from_mesh(v, cn, cf, base_color=color,
-                               with_lods=with_lods)
+                               with_lods=with_lods,
+                               uv=cu if tex_id >= 0 else None,
+                               tex_id=tex_id)
 
     if tb.chunks:
         z3 = np.zeros((0, 3), np.float32)
@@ -329,23 +339,41 @@ def testbed_models(tb: Testbed, with_lods: bool = True,
             t.vx, t.norm, t.idx.reshape(-1, 3),
             base_color=terrain_color, with_lods=False)
     if skinned_chars:
-        sv, sn, _suv, sf = char_column_mesh(0.6, 2.0)
-        char_model = model_from_mesh(sv, sn, sf,
-                                     base_color=(0.8, 0.5, 0.4),
-                                     with_lods=with_lods)
+        sv, sn, suv, sf = char_column_mesh(0.6, 2.0)
+        char_model = model_from_mesh(
+            sv, sn, sf, base_color=(0.8, 0.5, 0.4), with_lods=with_lods,
+            uv=suv if textured else None, tex_id=0 if textured else -1)
     else:
-        char_model = cube_model(0.6, 2.0, (0.8, 0.5, 0.4))
+        char_model = cube_model(0.6, 2.0, (0.8, 0.5, 0.4),
+                                tex_id=0 if textured else -1)
     models = [
         terrain_model,
         char_model,
         cube_model(0.8, 0.8, (0.6, 0.6, 0.7)),
-        cube_model(0.8, 3.0, (0.4, 0.3, 0.2)),
+        cube_model(0.8, 3.0, (0.4, 0.3, 0.2),
+                   tex_id=1 if textured else -1),
     ]
     for cvv, cnn, cff in (tb.chunks or []):
         models.append(model_from_mesh(cvv, cnn, cff,
                                       base_color=terrain_color,
                                       with_lods=with_lods))
     return models
+
+
+def testbed_textures():
+    """Procedural TextureSets for testbed_models(textured=True): layer 0
+    checker (characters), layer 1 bark stripes (trees) — the asset-less
+    stand-in for glTF-shipped textures (scene/content.py loads real
+    ones)."""
+    from ..render.pipeline import TextureSets
+
+    checker = np.zeros((32, 32, 3), np.float32) + 0.55
+    checker[::2, ::2] = (0.95, 0.55, 0.35)
+    checker[1::2, 1::2] = (0.95, 0.55, 0.35)
+    bark = np.zeros((32, 32, 3), np.float32)
+    bark[:] = (0.45, 0.33, 0.2)
+    bark[:, ::4] = (0.3, 0.2, 0.12)
+    return TextureSets(diffuse=jnp.asarray(np.stack([checker, bark])))
 
 
 def replicate_state(st: EngineState, n_envs: int) -> EngineState:

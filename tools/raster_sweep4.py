@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Raster sweep 4 (round 5): the kernel-dominant sub-chain of the
+CLUSTER-RECORD composed path — clip_near_records(components) →
+bin_triangles → rasterize_attrs — on the real 16-env composed testbed
+records (skinned chars included), isolated from sim/assembly/post.
+
+The r5 device trace shows the main raster pallas kernel at 13.36 of
+23.8 ms/frame (56%); this harness iterates kernel/binning parameters
+on exactly that workload.
+
+Usage: python tools/raster_sweep4.py [n_envs]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from clap_tpu import mathx as mx
+from clap_tpu.anim.system import anim_instances_init
+from clap_tpu.engine.game import GameSessionState, GameWorld, game_step
+from clap_tpu.engine.step import inputs_zero
+from clap_tpu.render.camera import camera_view_proj
+from clap_tpu.render.raster import (bin_triangles, clip_near_records,
+                                    ent_pack_stride, rasterize_attrs)
+from clap_tpu.render.scenerender import (assemble_cluster_records_batch,
+                                         build_render_tables,
+                                         default_edge_ids,
+                                         shadow_static_mask)
+from clap_tpu.render.view import make_subview
+from clap_tpu.scene.testbed import (build_demo_rig, build_testbed,
+                                    build_testbed_char_skin, testbed_models)
+
+n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+W = H = 256
+n_chars = 2
+tb = build_testbed(seed=42, side=64.0, nr_v=128, n_dynamic=8,
+                   max_entities=96, n_chars=n_chars, terrain_chunks=4)
+sk, lib, acfg = build_demo_rig()
+gw = GameWorld(scene=tb.cfg, anim=acfg, anim_sk=sk, anim_lib=lib)
+gs1 = GameSessionState(engine=tb.state0, anim=anim_instances_init(n_chars),
+                      joint_mats=jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                                          (n_chars, 3, 1, 1)))
+models = testbed_models(tb, skinned_chars=True)
+ent = tb.cfg.entities
+edge = default_edge_ids(np.asarray(ent.active), np.asarray(ent.body_is_char))
+rt = build_render_tables(
+    models, np.asarray(ent.model_id), np.asarray(ent.active),
+    entity_edge_id=edge, entity_shadow_static=shadow_static_mask(ent))
+cskin = build_testbed_char_skin(tb, models, rt)
+proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
+skip = ent.skip_culling
+
+# step a few frames so cameras/rigs land in a real pose, then assemble
+# ONCE — the timed region is record->coeff->bin->kernel only
+gss = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_envs, *x.shape)), gs1)
+ins1 = inputs_zero(n_chars)._replace(
+    motion=jnp.zeros((n_chars, 2), jnp.float32).at[0, 0].set(1.0))
+ins = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_envs, *x.shape)), ins1)
+step = jax.jit(lambda g, i: jax.vmap(lambda s, ii: game_step(gw, s, ii))(g, i))
+for _ in range(5):
+    gss = step(gss, ins)
+sts = gss.engine
+cam = sts.camera
+
+
+def view_of(c):
+    q = mx.qmul(mx.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), c.yaw),
+                mx.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), c.pitch))
+    return camera_view_proj(c.pos, q, jnp.pi / 3, 1.0)[0]
+
+
+views = jax.jit(jax.vmap(view_of))(cam)
+planes = jax.jit(jax.vmap(lambda v: make_subview(v, proj).planes))(views)
+geom, axes = jax.jit(lambda mxs, vis, pl_, pos, vw, jm:
+                     assemble_cluster_records_batch(
+                         rt, mxs, vis, pl_, pos, vw, proj, cap=12288,
+                         skip_culling=skip, char_skin=cskin, joint_mats=jm))(
+    sts.mx, sts.visible, planes, cam.pos, views, gss.joint_mats)
+comp = jax.block_until_ready(geom.comp)
+comp_valid, comp_ent = geom.comp_valid, geom.comp_ent
+stride = ent_pack_stride(geom.ent_rot.shape[-3])
+print(f"comp {comp.shape} valid/env "
+      f"{np.asarray(comp_valid.sum(axis=1))[:4]}", flush=True)
+
+
+def run(tag, th=None, tw=None, cap=None, reps=10, empty=False):
+    @jax.jit
+    def f(comp, comp_valid, comp_ent):
+        def one(cp, cv, ce):
+            if empty:
+                cv = cv & False
+            comps = [[cp[c * 7 + i] for i in range(7)] for c in range(3)]
+            rec, ok, _cs, _cb = clip_near_records(
+                None, None, W, H, cv, tid_pack=ce, pack_stride=stride,
+                components=comps)
+            binned = bin_triangles(rec, ok, W, H, tile_h=th, tile_w=tw,
+                                   cap=cap)
+            depth, pid, nraw = rasterize_attrs(rec, binned, W, H,
+                                               tile_h=th, tile_w=tw)
+            return depth.sum() + pid.sum() + nraw.sum()
+        return jax.vmap(one)(comp, comp_valid, comp_ent)
+
+    out = f(comp, comp_valid, comp_ent)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(comp, comp_valid, comp_ent)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps * 1e3
+    print(f"{tag:28s}: {dt:8.2f} ms ({dt / n_envs:6.3f} ms/env)",
+          flush=True)
+    return dt
+
+
+if __name__ == "__main__":
+    from clap_tpu.render.raster import bin_stats
+
+    # occupancy of the real lists (env 0)
+    comps0 = [[comp[0, c * 7 + i] for i in range(7)] for c in range(3)]
+    rec0, ok0, _c, _b = clip_near_records(
+        None, None, W, H, comp_valid[0], tid_pack=comp_ent[0],
+        pack_stride=stride, components=comps0)
+    print("bin_stats:", bin_stats(bin_triangles(rec0, ok0, W, H), W, H),
+          flush=True)
+
+    run("baseline (full lists)")
+    run("empty lists (fixed cost)", empty=True)
+    run("empty cap 1024", 16, 256, 1024, empty=True)

@@ -62,7 +62,8 @@ gs1 = GameSessionState(engine=tb.state0, game=game_state_init(1, n_chars),
                        joint_mats=jnp.tile(jnp.eye(4, dtype=jnp.float32),
                                            (n_chars, 3, 1, 1)))
 
-models = testbed_models(tb)
+skin_on = bool(int(os.environ.get("SKIN", "1")))
+models = testbed_models(tb, skinned_chars=skin_on)
 ent = tb.cfg.entities
 edge = default_edge_ids(np.asarray(ent.active), np.asarray(ent.body_is_char))
 static_on = bool(int(os.environ.get("STATIC_SHADOW", "1")))
@@ -70,6 +71,11 @@ rt = build_render_tables(
     models, np.asarray(ent.model_id), np.asarray(ent.active),
     entity_edge_id=edge,
     entity_shadow_static=shadow_static_mask(ent) if static_on else None)
+cskin = None
+if skin_on:
+    from clap_tpu.scene.testbed import build_testbed_char_skin
+
+    cskin = build_testbed_char_skin(tb, models, rt)
 lights = lights_empty(1)
 d = jnp.array([-0.4, -0.8, -0.4])
 lights = lights._replace(
@@ -121,11 +127,13 @@ def f_full(gss, ins):
     if cluster_rec:
         geom, axes = assemble_cluster_records_batch(
             rt, sts.mx, sts.visible, planes, sts.camera.pos, views, proj,
-            cap=opts.record_compact, skip_culling=skip)
+            cap=opts.record_compact, skip_culling=skip,
+            char_skin=cskin, joint_mats=gss.joint_mats)
     else:
         geom, axes = assemble_scene_geometry_batch(
             rt, sts.mx, sts.visible, planes, sts.camera.pos,
-            skip_culling=skip)
+            skip_culling=skip, char_skin=cskin,
+            joint_mats=gss.joint_mats)
     imgs = render_frame_dynamic_batch(opts, geom, axes, views, proj,
                                       lights, sts.camera.pos, far=200.0,
                                       static_shadow=static_shadow)
