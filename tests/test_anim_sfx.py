@@ -3,6 +3,7 @@ from the CS_MOVING clip's contact frames (motion_frame_sfx
 scene.c:1239-1303) and flow game_step → session sfx_events → SoundEngine
 voices."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def test_single_shot_sfx_fires_once():
     assert fires == 1
 
 
+@pytest.mark.slow
 def test_game_step_emits_and_engine_plays():
     """sfx_events flow through game_step; Engine.attach_sound turns them
     into SoundEngine voices + a mixed audio buffer (the sfx_play path,

@@ -129,6 +129,7 @@ def test_finite_guards_quarantine():
     assert raised
 
 
+@pytest.mark.slow
 def test_engine_nan_watchdog_resets():
     """Engine's 1 Hz watchdog resets a corrupted state (or aborts with
     -E, the abort_on_error CLI of clap.c:909-915)."""

@@ -4,6 +4,7 @@ camera.c:93-246, scene.c:1474-1492, model.h:30-38)."""
 import json
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def _walled_testbed():
     return cfg, st
 
 
+@pytest.mark.slow
 def test_occlusion_shrinks_engine_step_camera():
     cfg, st0 = _walled_testbed()
     ins = inputs_zero(1)
@@ -62,6 +64,7 @@ def test_occlusion_shrinks_engine_step_camera():
     assert abs(float(s_occl.camera.dist) - want) < 1e-6
 
 
+@pytest.mark.slow
 def test_engine_frame_runs_occlusion_camera():
     """Through Engine.frame with graphics attached (not flythrough):
     attach_graphics re-jits the step with the occlusion raycast ON."""
@@ -119,6 +122,7 @@ def test_loader_armature_mapping():
     assert float(arm["char_height"][0]) > 0
 
 
+@pytest.mark.slow
 def test_head_joint_camera_target():
     """game_step feeds the rig's JOINT_HEAD world position to the camera
     (camera_target camera.c:174-206): the orbit center moves with an

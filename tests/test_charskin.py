@@ -142,6 +142,7 @@ def _render_once(tb, rt, cs, gss_engine, jmats, skip, opts, proj, lights):
                                       lights, cam.pos, far=100.0)
 
 
+@pytest.mark.slow
 def test_cluster_skin_pose_moves_silhouette():
     """The composed cluster-record frame shows the DEFORMING rig: two
     clip times → different silhouette pixels (VERDICT r4 #2 'golden')."""
@@ -191,6 +192,7 @@ def test_cluster_skin_pose_moves_silhouette():
     assert changed > 5, f"pose change moved only {changed} pixels"
 
 
+@pytest.mark.slow
 def test_engine_frame_renders_skinned_chars():
     """End-to-end: Engine session + attach_graphics(char_skin=…) — the
     frame loop shows the deforming rig across clip time."""

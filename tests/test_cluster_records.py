@@ -12,6 +12,7 @@ Checks:
   path folds world+clip into ONE 4x4 per entity).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -91,6 +92,7 @@ def test_cluster_tables_pure():
         sc, verts[sf[:, [0, 2, 1]].reshape(-1)], atol=0)
 
 
+@pytest.mark.slow
 def test_cluster_record_set_matches_member_path():
     """The record SETS agree (compaction reorders): canonicalize valid
     records by (entity, corner geometry) and compare columns."""
@@ -148,6 +150,7 @@ def test_cluster_record_set_matches_member_path():
     assert d.max() < 2e-2, d.max()   # fp order: folded 4x4 vs 2-stage
 
 
+@pytest.mark.slow
 def test_cluster_image_parity():
     tb, rt, proj, views, bplanes, bmx, bvis, beyes = _setup(B=2)
     ent = tb.cfg.entities

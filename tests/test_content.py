@@ -8,6 +8,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clap_tpu.engine.core import ClapConfig, Engine
 from clap_tpu.render.lights import lights_empty
@@ -145,6 +146,7 @@ def _engine_with_graphics(scene, rt, ts, **attach_kw):
     return eng
 
 
+@pytest.mark.slow
 def test_engine_frame_textured():
     scene, rt, ts = _setup()
     eng = _engine_with_graphics(scene, rt, ts)
@@ -160,6 +162,7 @@ def test_engine_frame_textured():
     assert not np.allclose(f_tex, f_plain, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_engine_frame_outlines():
     scene, rt, ts = _setup()
     base = dict(width=96, height=64, shadow_size=64, film_grain=0.0)
@@ -176,6 +179,7 @@ def test_engine_frame_outlines():
     assert (f0 - f1).max() > 0.05
 
 
+@pytest.mark.slow
 def test_engine_frame_particles():
     """Particles carried by the game session render inside Engine.frame
     (particle.c:122-125) — no manual particles= plumbing in the demo."""
@@ -203,6 +207,7 @@ def test_engine_frame_particles():
     assert not np.allclose(f_part, f_none, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_lut_autoswitch():
     """scene_lut_autoswitch parity (scene.c:93-129): a re-arming frame
     timer cycles the grading LUT; the jitted render consumes the volume

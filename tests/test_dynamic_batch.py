@@ -4,6 +4,7 @@ path. Checks exact parity of the one-hot-matmul selection against the
 single-env gather path, image-level parity of the local-attrs shading
 mode, and the full composed step+render program."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def _env_states(B, E=6, seed=0):
     return jnp.asarray(mxs), jnp.asarray(visible), jnp.asarray(eyes)
 
 
+@pytest.mark.slow
 def test_batch_assembly_matches_single_env():
     rt = _tables()
     B = 3
@@ -90,6 +92,7 @@ def test_batch_assembly_matches_single_env():
                                       np.asarray(g1.face_valid))
 
 
+@pytest.mark.slow
 def test_dynamic_batch_image_parity():
     rt = _tables()
     B = 2
@@ -120,6 +123,7 @@ def test_dynamic_batch_image_parity():
         assert np.quantile(diff, 0.999) < 0.15
 
 
+@pytest.mark.slow
 def test_composed_step_and_render_batch():
     """The north-star program: vmapped engine_step + per-env dynamic
     assembly + render in ONE jit."""
@@ -230,6 +234,7 @@ def test_dynamic_batch_kernel_attrs_exact():
     assert diff.max() < 1e-4, diff.max()
 
 
+@pytest.mark.slow
 def test_kernel_attrs_eligibility_raises():
     """Static eligibility misuse raises instead of silently shading
     wrong: missing ent_flat, and per-vertex-varying materials mark the
@@ -265,6 +270,7 @@ def test_kernel_attrs_eligibility_raises():
     assert not rt2.flat_eligible
 
 
+@pytest.mark.slow
 def test_static_shadow_split():
     """Static/dynamic shadow-caster split: ground bakes ONCE into a
     bounds-fit atlas, only the cubes stay in the per-env CSM stream;
@@ -342,6 +348,7 @@ def test_static_shadow_split():
                  .max()) > 0.05
 
 
+@pytest.mark.slow
 def test_static_shadow_all_static_scene():
     """Fully static scene under the split: the dynamic caster stream is
     empty, render_frame must skip the CSM fit (a 0-length record stream
@@ -413,6 +420,7 @@ def test_shadow_static_mask_platform_exclusion():
     np.testing.assert_array_equal(m2, [True, False, False, False, False])
 
 
+@pytest.mark.slow
 def test_record_compact_image_parity():
     """Fixed-capacity valid-first face compaction (record_compact): with
     cap >= valid faces the image is identical to the uncompacted frame

@@ -6,6 +6,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "demo"))
@@ -85,6 +86,7 @@ def test_editor_input_routing():
     assert [ed.mode] == [MODES[ed.mode_idx]]
 
 
+@pytest.mark.slow
 def test_editor_through_engine():
     """Wired, not an island: Engine.attach_editor routes records into
     the live state and the next frame steps the edited world."""

@@ -1,5 +1,6 @@
 """End-to-end headless slice: single env, batched envs, sharded envs."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +14,7 @@ def small_testbed():
                          max_entities=32)
 
 
+@pytest.mark.slow
 def test_single_env_steps():
     tb = small_testbed()
     step = jax.jit(lambda s, i: engine_step(tb.cfg, s, i))
@@ -41,6 +43,7 @@ def test_single_env_steps():
     assert int(st.frame) == 120
 
 
+@pytest.mark.slow
 def test_batched_envs_diverge():
     tb = small_testbed()
     n = 8
@@ -60,6 +63,7 @@ def test_batched_envs_diverge():
     assert spread[0] > 0.3 and spread[2] > 0.3
 
 
+@pytest.mark.slow
 def test_sharded_envs():
     tb = small_testbed()
     mesh = env_mesh()

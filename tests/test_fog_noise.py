@@ -2,6 +2,7 @@
 field vs the baked volume, the combine fog tint (combine.frag:35-48) and
 the material fog blend (lighting.glsl:209-213)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from clap_tpu import mathx as mx
@@ -62,6 +63,7 @@ def _frame(opts):
     return np.asarray(render_frame(opts, geom, view, proj, lights, eye))
 
 
+@pytest.mark.slow
 def test_fog_noise_modulates_combine():
     """fog_noise darkens the fog tint per pixel (radial_fog_color):
     background (pure fog) pixels change; image stays finite/in-range."""

@@ -2,6 +2,7 @@
 controller mask edge cases (SURVEY §7.3: the early-return paths the C
 handles must be mask-correct here)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def test_game_step_composes():
     assert np.isfinite(np.asarray(gs.joint_mats)).all()
 
 
+@pytest.mark.slow
 def test_controller_zero_dt_edge():
     """dt=0: the C bails via `if (dt_sec < 1e-6) goto rotate` — masks must
     keep the character frozen, not NaN."""
@@ -87,6 +89,7 @@ def test_controller_zero_dt_edge():
                                np.asarray(st.phys.pos[0]), atol=3e-3)
 
 
+@pytest.mark.slow
 def test_controller_huge_dt_clamped():
     """Frame spikes clamp to 1/30 (character.c:252-254)."""
     from clap_tpu.engine.step import engine_step
@@ -103,6 +106,7 @@ def test_controller_huge_dt_clamped():
     assert np.isfinite(np.asarray(out.phys.pos)).all()
 
 
+@pytest.mark.slow
 def test_joint_riding_attachment():
     """Entity attached to a joint of an animated parent follows the
     joint's world transform (model.c:1594-1647)."""
@@ -133,6 +137,7 @@ def test_joint_riding_attachment():
     assert abs(rider[0] - char[0]) < 2.0 and rider[0] > 0.1  # followed +x walk
 
 
+@pytest.mark.slow
 def test_roster_switch_retargets_camera():
     """Two-character testbed: cycling control (scene_control_next
     scene.c:23-55) moves the camera orbit target onto the newly
@@ -168,6 +173,7 @@ def test_roster_switch_retargets_camera():
     assert abs(shift[0] - (c1[0] - c0[0])) < 0.5
 
 
+@pytest.mark.slow
 def test_switch_entity_through_integrated_step():
     """A character walks onto a NON-terrain switch entity (a raised box
     with its own collision trimesh) through the full game_step: the

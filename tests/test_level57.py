@@ -7,6 +7,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,7 @@ def test_level_loads_gameplay_blocks():
     assert scene.cfg.char_params.body.shape == (2,)
 
 
+@pytest.mark.slow
 def test_switch_latches_and_platforms_solidify():
     scene = _load()
     gw = GameWorld(scene=scene.cfg, game=scene.game)
@@ -79,6 +81,7 @@ def test_switch_latches_and_platforms_solidify():
     assert on_platform, "character never stood on a revealed platform"
 
 
+@pytest.mark.slow
 def test_hidden_platforms_are_phantom():
     """Before any switch: a character dropped over a parked platform
     falls straight through to the terrain (visibility → collision
@@ -110,6 +113,7 @@ def test_hidden_platforms_are_phantom():
     assert foot_solid > 0.45, (foot_solid, "should stand on plat.1 top 0.6")
 
 
+@pytest.mark.slow
 def test_collision_follows_moved_platform():
     """A platform whose on_pos differs from its load pose: the collision
     triangles TRANSLATE with the entity (SceneConfig.ent_rest_pos path —

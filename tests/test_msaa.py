@@ -4,6 +4,7 @@ the whole 3D frame and box-resolves, shadow_msaa rasters the cascade
 atlas at f× and average-pools the VSM moments (the multisample
 resolve — moments are linear in coverage)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def _render(opts, scene):
         opts, g, view, proj, lights, eye, far=60.0))(geom))
 
 
+@pytest.mark.slow
 def test_model_msaa_resolves_and_smooths():
     scene = _scene()
     base = RenderOptions(width=64, height=64, shadow_size=64,

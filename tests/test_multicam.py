@@ -7,6 +7,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clap_tpu.engine.step import engine_step, inputs_zero
 from clap_tpu.scene.loader import load_scene, save_scene
@@ -33,6 +34,7 @@ def _loader(name):
     return make_skinned_gltf().encode()
 
 
+@pytest.mark.slow
 def test_two_camera_scene_steps_and_renders():
     scene = load_scene(SCENE, asset_loader=_loader, max_entities=8,
                        max_bodies=4)

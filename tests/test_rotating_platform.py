@@ -7,6 +7,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -56,6 +57,7 @@ def test_rest_rot_loaded():
     assert scene.cfg.ent_rest_rot is not None
 
 
+@pytest.mark.slow
 def test_unrotated_beam_supports_character():
     scene = _scene()
     st = _settle(scene.cfg, scene.state0)

@@ -2,6 +2,7 @@
 import json
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -75,6 +76,7 @@ def test_load_scene_structure():
     assert sc.models[0].rig is not None
 
 
+@pytest.mark.slow
 def test_loaded_scene_steps():
     sc = load_scene(json.dumps(SCENE), asset_loader=_loader)
     step = jax.jit(lambda s, i: engine_step(sc.cfg, s, i))

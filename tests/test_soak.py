@@ -2,6 +2,7 @@
 of the reference's input fuzzer + --exitafter headless runs, SURVEY §4).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from clap_tpu.engine.step import engine_step
 from clap_tpu.scene.testbed import build_testbed, replicate_state
 
 
+@pytest.mark.slow
 def test_fuzzed_batched_soak():
     tb = build_testbed(seed=13, side=32.0, nr_v=32, n_dynamic=4,
                        max_entities=32)

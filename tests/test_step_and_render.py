@@ -3,6 +3,7 @@ sim and renders the frame (BASELINE.json: "the whole step+render composes
 into one jitted XLA program"). Small shapes on CPU; the same function
 scales by vmap/sharding."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ from clap_tpu.scene.primitives import cube
 from clap_tpu.scene.testbed import build_testbed
 
 
+@pytest.mark.slow
 def test_step_and_render_one_program():
     tb = build_testbed(seed=7, side=32.0, nr_v=32, n_dynamic=2,
                        max_entities=16)
