@@ -607,10 +607,16 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                          film_grain=0.0,
                          internal_scale=internal_scale,
                          # valid-first face compaction: with the
-                         # per-cluster frustum cull the testbed keeps
-                         # ~4.5k faces in view — 12288 is ~2.7× that
-                         # (saturation is measured and reported below)
-                         record_compact=12288,
+                         # per-cluster frustum cull + res-scaled LOD the
+                         # testbed keeps ~4.1k faces in view — 8192 is
+                         # ~1.8× that (saturation measured + reported
+                         # below via clusters_at_cap)
+                         record_compact=8192,
+                         # per-tile capacity: res-scaled LOD leaves the
+                         # densest 16×128 sub-tile at ~800 records; 2048
+                         # coarse (1280/sub-tile) is 1.6× headroom and
+                         # trims the per-grid-step record DMA
+                         raster_cap=2048,
                          kernel_attrs=kernel_attrs_ok(rt) and bool(
                              int(os.environ.get("KERNEL_ATTRS", "1"))))
     # CLUSTER_REC=0 reverts to member-granularity assembly for A/B runs
@@ -618,6 +624,12 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
                    and bool(int(os.environ.get("CLUSTER_REC", "1"))))
     proj = mx.mat4_perspective(jnp.pi / 3, 1.0, 0.1, 200.0)
     skip = ent.skip_culling
+    # constant screen-space-error LOD: the 30/60/120 m chain distances
+    # are the 720p design point (model.c:975-998); a 256² target
+    # switches proportionally closer — same pixels-per-triangle, ~2×
+    # fewer walked records on the terrain. LOD_SCALE=1 reverts.
+    lod_scale = float(os.environ.get(
+        "LOD_SCALE", max(res // internal_scale, 64) / 720.0))
 
     def render_chunk(args):
         sts, jmats = args
@@ -639,11 +651,12 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
             geom, axes = assemble_cluster_records_batch(
                 rt, sts.mx, sts.visible, planes, cam.pos, views, proj,
                 cap=opts.record_compact, skip_culling=skip,
-                char_skin=cskin, joint_mats=jmats)
+                char_skin=cskin, joint_mats=jmats, lod_scale=lod_scale)
         else:
             geom, axes = assemble_scene_geometry_batch(
                 rt, sts.mx, sts.visible, planes, cam.pos,
-                skip_culling=skip, char_skin=cskin, joint_mats=jmats)
+                skip_culling=skip, char_skin=cskin, joint_mats=jmats,
+                lod_scale=lod_scale)
         return render_frame_dynamic_batch(opts, geom, axes, views, proj,
                                           lights, cam.pos, far=200.0,
                                           static_shadow=static_shadow,
@@ -693,7 +706,8 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
         p1 = jax.vmap(lambda v: make_subview(v, proj).planes)(v1)
         g1, _ = assemble_cluster_records_batch(
             rt, sts1.mx, sts1.visible, p1, cam1.pos, v1, proj,
-            cap=opts.record_compact, skip_culling=skip)
+            cap=opts.record_compact, skip_culling=skip,
+            lod_scale=lod_scale)
         from clap_tpu.render.raster import CLUSTER
 
         nval = int(np.asarray(g1.comp_valid).sum()) // CLUSTER
@@ -712,6 +726,7 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     out = {"metric": f"step_and_render_{n_envs}x{res}{tag}_ms",
            "value": dt * 1e3, "env_fps": n_envs / dt,
            "kernel_attrs": bool(opts.kernel_attrs),
+           "lod_scale": round(lod_scale, 4),
            "mean_luma": float(luma[0])}
     if clusters_at_cap is not None:
         out["clusters_at_cap"] = clusters_at_cap

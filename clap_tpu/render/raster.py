@@ -70,6 +70,21 @@ def tile_dims(width: int, height: int) -> tuple:
     return 8, 128
 
 
+def tile_subcols(tile_w: int) -> int:
+    """Sub-columns walked independently inside ONE kernel grid step.
+
+    The r5 sweep decomposed the main-raster chain at 16 envs into
+    0.757 ms/env of list walk (each walked record pays the full
+    (tile_h, tile_w) pixel lattice) + 0.465 ms/env fixed; finer tiles
+    halve the walk but the per-grid-step fixed cost made 16×128 tiles
+    measure WORSE end-to-end. Splitting the 256-wide tile into two
+    128-px sub-columns — each with its own binned list, walked
+    sequentially in the same grid step — halves the lattice per record
+    while paying the invocation/output fixed cost once. 128 px is the
+    floor: narrower accumulators under-fill the 128-lane VPU."""
+    return tile_w // 128 if tile_w >= 256 else 1
+
+
 def tile_capacity(width: int, height: int) -> int:
     """Per-tile triangle capacity: scaled up when the target has few
     tiles so dense scenes don't hit the cap (depth-ordered binning makes
@@ -616,73 +631,84 @@ def records_to_coeffs_depth(rec, cluster: int = None):
 
 
 def _raster_depth_kernel(width: int, height: int, tile_h: int, tile_w: int,
-                         count_ref, trec_ref, brec_ref, depth_ref):
+                         sub: int, chunk: int, count_ref, trec_ref, brec_ref,
+                         depth_ref):
     """Depth-only tile kernel (shadow passes): edge/z planes, min-depth
-    reduce, no winner attributes."""
+    reduce, no winner attributes. ``sub`` sub-columns walked per grid
+    step (see _raster_tile_kernel)."""
     ti = pl.program_id(0)
     ntx = pl.cdiv(width, tile_w)
     tx0 = (ti % ntx) * tile_w
     ty0 = (ti // ntx) * tile_h
+    tws = tile_w // sub
+    cap = trec_ref.shape[1] // sub
+    big_count = count_ref[ti, sub]
 
-    px = (tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
-          ).astype(jnp.float32) + 0.5
-    py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
-          ).astype(jnp.float32) + 0.5
+    for sc in range(sub):
+        px = (tx0 + sc * tws
+              + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tws), 2)
+              ).astype(jnp.float32) + 0.5
+        py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tws), 1)
+              ).astype(jnp.float32) + 0.5
 
-    def shade_chunk(slab, n_valid, depth):
-        def col(i):
-            return slab[:, i][:, None, None]
-        e0 = col(0) * px + col(1) * py + col(2)
-        e1 = col(3) * px + col(4) * py + col(5)
-        e2 = col(6) * px + col(7) * py + col(8)
-        z = col(9) * px + col(10) * py + col(11)
-        valid = (jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1, 1), 0)
-                 < n_valid)
-        zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
-            & (z >= -1.0) & (z <= 1.0)
-        zm = jnp.where(zok, z, jnp.inf)
-        rd = zm[0]
-        for c in range(1, TRI_CHUNK):
-            rd = jnp.minimum(rd, zm[c])
-        return jnp.minimum(rd, depth)
+        def shade_chunk(slab, n_valid, depth):
+            def col(i):
+                return slab[:, i][:, None, None]
+            e0 = col(0) * px + col(1) * py + col(2)
+            e1 = col(3) * px + col(4) * py + col(5)
+            e2 = col(6) * px + col(7) * py + col(8)
+            z = col(9) * px + col(10) * py + col(11)
+            valid = (jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1, 1), 0) < n_valid)
+            zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
+                & (z >= -1.0) & (z <= 1.0)
+            zm = jnp.where(zok, z, jnp.inf)
+            rd = zm[0]
+            for c in range(1, chunk):
+                rd = jnp.minimum(rd, zm[c])
+            return jnp.minimum(rd, depth)
 
-    count = count_ref[ti, 0]
-    big_count = count_ref[ti, 1]
-    n_small = pl.cdiv(count, TRI_CHUNK)
+        count = count_ref[ti, sc]
+        n_small = pl.cdiv(count, chunk)
 
-    def small_cond(c):
-        return (c[0] < n_small) & ~c[1]
+        def small_cond(c):
+            return (c[0] < n_small) & ~c[1]
 
-    def small_body(c):
-        k = c[0]
-        slab = trec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        depth = shade_chunk(slab, count - k * TRI_CHUNK, c[2])
-        # front-to-back early-out (see _raster_tile_kernel): once every
-        # pixel's min depth is nearer than this chunk's cluster zmin
-        # (col 12), the depth-sorted remainder can't lower anything
-        done = jnp.max(depth) < jnp.min(slab[:, 12]) - 1e-3
-        return (k + jnp.int32(1), done, depth)
+        def small_body(c):
+            k = c[0]
+            slab = trec_ref[0, pl.ds(sc * cap + k * chunk, chunk), :]
+            depth = shade_chunk(slab, count - k * chunk, c[2])
+            # front-to-back early-out (see _raster_tile_kernel): once
+            # every pixel's min depth is nearer than this chunk's
+            # cluster zmin (col 12), the depth-sorted remainder can't
+            # lower anything
+            done = jnp.max(depth) < jnp.min(slab[:, 12]) - 1e-3
+            return (k + jnp.int32(1), done, depth)
 
-    def big_body(k, depth):
-        slab = brec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        return shade_chunk(slab, big_count - k * TRI_CHUNK, depth)
+        def big_body(k, depth):
+            slab = brec_ref[0, pl.ds(k * chunk, chunk), :]
+            return shade_chunk(slab, big_count - k * chunk, depth)
 
-    depth = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
-    depth = jax.lax.while_loop(
-        small_cond, small_body, (jnp.int32(0), jnp.bool_(False), depth))[2]
-    depth = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body,
-                              depth)
-    depth_ref[:] = depth
+        depth = jnp.full((tile_h, tws), jnp.inf, jnp.float32)
+        depth = jax.lax.while_loop(
+            small_cond, small_body, (jnp.int32(0), jnp.bool_(False), depth))[2]
+        depth = jax.lax.fori_loop(0, pl.cdiv(big_count, chunk), big_body,
+                                  depth)
+        if sub == 1:
+            depth_ref[:] = depth
+        else:
+            depth_ref[:, sc * tws:(sc + 1) * tws] = depth
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def rasterize_depth(rec, binned, width: int, height: int,
                     tile_h: int = None, tile_w: int = None,
-                    cluster: int = None) -> jnp.ndarray:
+                    cluster: int = None, chunk: int = None) -> jnp.ndarray:
     """Depth-only raster (shadow maps): (H, W) min depth, inf = empty."""
     cluster = cluster or CLUSTER
     th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
     tile_list, counts, big_idx, big_count = binned
+    sub = tile_subcols(tw)
     ntx = pl.cdiv(width, tw)
     nty = pl.cdiv(height, th)
     n_tiles = ntx * nty
@@ -697,21 +723,23 @@ def rasterize_depth(rec, binned, width: int, height: int,
     cap = cap_c * cluster
     # gather_rows: stays a shared-table gather under the per-env vmap
     # (a batched-operand gather here was 5.8 ms/frame at 16 envs)
-    trec = gather_rows(crec, tile_list).reshape(n_tiles, cap, NCOEF_DEPTH)
+    trec = gather_rows(crec, tile_list).reshape(n_tiles, sub * cap,
+                                                NCOEF_DEPTH)
     n_big = big_idx.shape[0] * cluster
     brec = gather_rows(crec, big_idx).reshape(1, n_big, NCOEF_DEPTH)
-    counts2 = jnp.stack(
-        [counts * cluster,
-         jnp.broadcast_to(big_count * cluster, counts.shape)], axis=-1
+    counts2 = jnp.concatenate(
+        [counts.reshape(n_tiles, sub) * cluster,
+         jnp.broadcast_to(big_count * cluster, (n_tiles, 1))], axis=-1
     ).astype(jnp.int32)
 
-    kern = partial(_raster_depth_kernel, width, height, th, tw)
+    kern = partial(_raster_depth_kernel, width, height, th, tw, sub,
+                   chunk or KERNEL_CHUNK)
     depth = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cap, NCOEF_DEPTH), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, sub * cap, NCOEF_DEPTH), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_big, NCOEF_DEPTH), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -772,6 +800,13 @@ def bin_triangles(rec, ok, width: int, height: int,
     a cluster's bbox rows ≈ its true coverage), so the default is
     ntx > 1."""
     th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
+    # sub-column binning (tile_subcols): lists are built per 128-px
+    # SUB-tile; the kernels walk `sub` consecutive lists per grid step.
+    # Sub-tile ids are y-major with x at sub granularity, so one coarse
+    # tile's lists are consecutive rows — the kernel-side regroup is a
+    # plain reshape.
+    sub = tile_subcols(tw)
+    tw = tw // sub
     ntx = pl.cdiv(width, tw)
     nty = pl.cdiv(height, th)
     n_tiles = ntx * nty
@@ -913,6 +948,16 @@ def bin_triangles(rec, ok, width: int, height: int,
     # scenes — 100k+ tris at 720p — saturate the 1024 default and the
     # depth-ordered cap silently drops the farthest clusters)
     cap_c = min(cap if cap else tile_capacity(width, height), T) // cluster
+    if sub > 1:
+        # per-SUB-tile capacity: 1.25/sub of the coarse-tile budget —
+        # lists split ~evenly across sub-columns (straddlers land in
+        # both; the 25% headroom covers the skew); total per-grid-step
+        # record DMA grows only 1.25× while the walked lattice halves
+        cap_c = max(1, (cap_c * 5) // (4 * sub))
+    # align the per-tile record capacity to the largest kernel chunk
+    # (32 records = 4 clusters) so chunked slab reads never cross the
+    # block end
+    cap_c = -(-cap_c // 4) * 4
     starts = jnp.searchsorted(st, jnp.arange(n_tiles))
     ends = jnp.searchsorted(st, jnp.arange(n_tiles) + 1)
     counts = jnp.minimum(ends - starts, cap_c).astype(jnp.int32)
@@ -925,7 +970,9 @@ def bin_triangles(rec, ok, width: int, height: int,
 
     # big-cluster list (statically absent when spans cover the grid)
     if big is None:
-        big_idx = jnp.zeros((max(TRI_CHUNK // cluster, 1),), jnp.int32)
+        # statically-empty big list: still sized to one KERNEL_CHUNK so
+        # the kernels' chunked reads stay in bounds (never walked)
+        big_idx = jnp.zeros((max(KERNEL_CHUNK // cluster, 1),), jnp.int32)
         big_count = jnp.zeros((), jnp.int32)
     else:
         big_idx = jnp.nonzero(big, size=MAX_BIG_TRIS,
@@ -980,127 +1027,157 @@ def compact_faces(faces, face_valid, cap: int, extra=None,
 
 TRI_CHUNK = 8  # triangles processed per vectorized kernel step
 
+KERNEL_CHUNK = 32  # default kernel walk chunk: the r5 on-device sweep
+                   # (composed 16-env lists) measured per-chunk loop
+                   # overhead (slab column extracts + while bookkeeping
+                   # + early-out reduce) at ~0.35 µs — far above the
+                   # lattice FMA cost — so fatter chunks amortize it:
+                   # walk 0.80 → 0.67 ms/env at 32 vs 8. Capacity is
+                   # 32-record aligned in bin_triangles; the early-out
+                   # coarsens to 32-record granularity (still cluster-
+                   # zmin-keyed, parity unchanged: test_raster_chunk).
+
 
 def _raster_tile_kernel(width: int, height: int, tile_h: int, tile_w: int,
-                        count_ref, trec_ref, brec_ref,
+                        sub: int, chunk: int, count_ref, trec_ref, brec_ref,
                         depth_ref, slot_ref, d0_ref, d1_ref, s_ref):
     """One pixel tile. Coefficient records arrive PRE-GATHERED per tile
-    ((1, cap, NCOEF) block) so the inner loop is pure FMA vector math:
-    each step evaluates TRI_CHUNK triangles' edge/z planes against the
-    whole pixel lattice — no per-pixel divides (perspective weights are
-    normalized outside the kernel from the winner's d0/d1/s), no
-    vertex differences, no dynamic VMEM gathers, no vector-lane
+    ((1, sub·cap, NCOEF) block) so the inner loop is pure FMA vector
+    math: each step evaluates TRI_CHUNK triangles' edge/z planes against
+    a sub-column's pixel lattice — no per-pixel divides (perspective
+    weights are normalized outside the kernel from the winner's d0/d1/s),
+    no vertex differences, no dynamic VMEM gathers, no vector-lane
     broadcasts (all Mosaic pain points). The winner's triangle id
     travels as a FLOAT record column through the same select chain
     (exact below 2^24). Dead records carry c_k = -1 so validity needs
-    no extra masking beyond the tail count check."""
+    no extra masking beyond the tail count check.
+
+    ``sub`` sub-columns (tile_subcols) are walked sequentially in this
+    ONE grid step, each against its own (tile_h, tile_w/sub) lattice and
+    its own binned list (rows [sc·cap, (sc+1)·cap) of the record block):
+    half the lattice FLOPs per walked record at one invocation's fixed
+    cost — the r5 sweep measured the walk at 62% of the chain with
+    finer whole tiles losing their savings to per-grid-step overhead."""
     ti = pl.program_id(0)
     ntx = pl.cdiv(width, tile_w)
     tx0 = (ti % ntx) * tile_w
     ty0 = (ti // ntx) * tile_h
+    tws = tile_w // sub
+    cap = trec_ref.shape[1] // sub
+    big_count = count_ref[ti, sub]
 
-    px = (tx0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
-          ).astype(jnp.float32) + 0.5
-    py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
-          ).astype(jnp.float32) + 0.5
+    for sc in range(sub):
+        px = (tx0 + sc * tws
+              + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tws), 2)
+              ).astype(jnp.float32) + 0.5
+        py = (ty0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tws), 1)
+              ).astype(jnp.float32) + 0.5
 
-    def shade_chunk(slab, n_valid, carry):
-        """slab: (TRI_CHUNK, NCOEF); n_valid: how many rows are real."""
+        def shade_chunk(slab, n_valid, carry):
+            """slab: (chunk, NCOEF); n_valid: how many rows are real."""
+            depth, tidf, d0o, d1o, so = carry
+            def col(i):
+                return slab[:, i][:, None, None]            # (C, 1, 1)
+            e0 = col(0) * px + col(1) * py + col(2)
+            e1 = col(3) * px + col(4) * py + col(5)
+            e2 = col(6) * px + col(7) * py + col(8)
+            z = col(9) * px + col(10) * py + col(11)
+            valid = (jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1, 1), 0) < n_valid)
+            zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
+                & (z >= -1.0) & (z <= 1.0)
+            zm = jnp.where(zok, z, jnp.inf)                  # (C, TH, TWS)
+            # attr planes arrive composed in PIXEL basis
+            # (records_to_coeffs pix()): 2 FMAs per plane
+            d0 = col(12) * px + col(13) * py + col(14)
+            d1 = col(15) * px + col(16) * py + col(17)
+            s = col(18) * px + col(19) * py + col(20)
+            # float tri id, broadcast to full tile shape through
+            # arithmetic (standalone (C,1,1)→(C,H,W) vector broadcasts
+            # are a Mosaic unsupported path; riding an add is not)
+            ptid = col(21) + z * 0.0
+            # chunk reduce: min depth wins, FIRST of equal depths wins
+            rd = zm[0]
+            rtid = ptid[0]
+            rd0 = d0[0]
+            rd1 = d1[0]
+            rs = s[0]
+            for c in range(1, chunk):
+                w = zm[c] < rd
+                rd = jnp.where(w, zm[c], rd)
+                rtid = jnp.where(w, ptid[c], rtid)
+                rd0 = jnp.where(w, d0[c], rd0)
+                rd1 = jnp.where(w, d1[c], rd1)
+                rs = jnp.where(w, s[c], rs)
+            win = rd < depth
+            return (jnp.where(win, rd, depth),
+                    jnp.where(win, rtid, tidf),
+                    jnp.where(win, rd0, d0o),
+                    jnp.where(win, rd1, d1o),
+                    jnp.where(win, rs, so))
+
+        count = count_ref[ti, sc]
+        n_small = pl.cdiv(count, chunk)
+
+        def small_cond(c):
+            return (c[0] < n_small) & ~c[1]
+
+        def small_body(c):
+            k = c[0]
+            slab = trec_ref[0, pl.ds(sc * cap + k * chunk, chunk), :]
+            new = shade_chunk(slab, count - k * chunk, c[2:])
+            # depth-sorted early-out: the list is front-to-back by
+            # cluster zmin (record col 22, +inf on dead rows), so once
+            # every pixel is covered NEARER than this chunk's zmin, no
+            # later chunk can win a depth test either — stop walking
+            # (dense scenes put 1000s of occluded far clusters in
+            # horizon tiles). 1e-3 margin covers the 12-bit sort-key
+            # quantization (~4.9e-4).
+            done = jnp.max(new[0]) < jnp.min(slab[:, 22]) - 1e-3
+            return (k + jnp.int32(1), done, *new)
+
+        def big_body(k, carry):
+            slab = brec_ref[0, pl.ds(k * chunk, chunk), :]
+            return shade_chunk(slab, big_count - k * chunk, carry)
+
+        init = (
+            jnp.full((tile_h, tws), jnp.inf, jnp.float32),
+            jnp.full((tile_h, tws), -1.0, jnp.float32),
+            jnp.zeros((tile_h, tws), jnp.float32),
+            jnp.zeros((tile_h, tws), jnp.float32),
+            jnp.ones((tile_h, tws), jnp.float32),
+        )
+        # dynamic trip counts: tiles only walk their real triangle lists
+        carry = jax.lax.while_loop(
+            small_cond, small_body, (jnp.int32(0), jnp.bool_(False), *init))[2:]
+        carry = jax.lax.fori_loop(0, pl.cdiv(big_count, chunk),
+                                  big_body, carry)
         depth, tidf, d0o, d1o, so = carry
-        def col(i):
-            return slab[:, i][:, None, None]            # (C, 1, 1)
-        e0 = col(0) * px + col(1) * py + col(2)
-        e1 = col(3) * px + col(4) * py + col(5)
-        e2 = col(6) * px + col(7) * py + col(8)
-        z = col(9) * px + col(10) * py + col(11)
-        valid = (jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1, 1), 0)
-                 < n_valid)
-        zok = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid \
-            & (z >= -1.0) & (z <= 1.0)
-        zm = jnp.where(zok, z, jnp.inf)                  # (C, TH, TW)
-        # attr planes arrive composed in PIXEL basis (records_to_coeffs
-        # pix()): 2 FMAs per plane, independent of e_k
-        d0 = col(12) * px + col(13) * py + col(14)
-        d1 = col(15) * px + col(16) * py + col(17)
-        s = col(18) * px + col(19) * py + col(20)
-        # float tri id, broadcast to full tile shape through arithmetic
-        # (standalone (C,1,1)→(C,H,W) vector broadcasts are a Mosaic
-        # unsupported path; riding an add is not)
-        ptid = col(21) + z * 0.0
-        # chunk reduce: min depth wins, FIRST of equal depths wins
-        rd = zm[0]
-        rtid = ptid[0]
-        rd0 = d0[0]
-        rd1 = d1[0]
-        rs = s[0]
-        for c in range(1, TRI_CHUNK):
-            w = zm[c] < rd
-            rd = jnp.where(w, zm[c], rd)
-            rtid = jnp.where(w, ptid[c], rtid)
-            rd0 = jnp.where(w, d0[c], rd0)
-            rd1 = jnp.where(w, d1[c], rd1)
-            rs = jnp.where(w, s[c], rs)
-        win = rd < depth
-        return (jnp.where(win, rd, depth),
-                jnp.where(win, rtid, tidf),
-                jnp.where(win, rd0, d0o),
-                jnp.where(win, rd1, d1o),
-                jnp.where(win, rs, so))
-
-    count = count_ref[ti, 0]
-    big_count = count_ref[ti, 1]
-    n_small = pl.cdiv(count, TRI_CHUNK)
-
-    def small_cond(c):
-        return (c[0] < n_small) & ~c[1]
-
-    def small_body(c):
-        k = c[0]
-        slab = trec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        new = shade_chunk(slab, count - k * TRI_CHUNK, c[2:])
-        # depth-sorted early-out: the list is front-to-back by cluster
-        # zmin (record col 22, +inf on dead rows), so once every pixel
-        # is covered NEARER than this chunk's zmin, no later chunk can
-        # win a depth test either — stop walking (dense scenes put
-        # 1000s of occluded far clusters in horizon tiles). 1e-3 margin
-        # covers the 12-bit sort-key quantization (~4.9e-4).
-        done = jnp.max(new[0]) < jnp.min(slab[:, 22]) - 1e-3
-        return (k + jnp.int32(1), done, *new)
-
-    def big_body(k, carry):
-        slab = brec_ref[0, pl.ds(k * TRI_CHUNK, TRI_CHUNK), :]
-        return shade_chunk(slab, big_count - k * TRI_CHUNK, carry)
-
-    init = (
-        jnp.full((tile_h, tile_w), jnp.inf, jnp.float32),
-        jnp.full((tile_h, tile_w), -1.0, jnp.float32),
-        jnp.zeros((tile_h, tile_w), jnp.float32),
-        jnp.zeros((tile_h, tile_w), jnp.float32),
-        jnp.ones((tile_h, tile_w), jnp.float32),
-    )
-    # dynamic trip counts: tiles only walk their real triangle lists.
-    # (Static-bound variants measured SLOWER — the ~50µs/tile cost is
-    # fixed per grid step, hence the large 32×256 tiles.)
-    carry = jax.lax.while_loop(
-        small_cond, small_body, (jnp.int32(0), jnp.bool_(False), *init))[2:]
-    carry = jax.lax.fori_loop(0, pl.cdiv(big_count, TRI_CHUNK), big_body, carry)
-    depth, tidf, d0o, d1o, so = carry
-    depth_ref[:] = depth
-    slot_ref[:] = tidf
-    d0_ref[:] = d0o
-    d1_ref[:] = d1o
-    s_ref[:] = so
+        if sub == 1:
+            depth_ref[:] = depth
+            slot_ref[:] = tidf
+            d0_ref[:] = d0o
+            d1_ref[:] = d1o
+            s_ref[:] = so
+        else:
+            lo = sc * tws
+            depth_ref[:, lo:lo + tws] = depth
+            slot_ref[:, lo:lo + tws] = tidf
+            d0_ref[:, lo:lo + tws] = d0o
+            d1_ref[:, lo:lo + tws] = d1o
+            s_ref[:, lo:lo + tws] = so
 
 
 def _raster_main(rec, binned, width: int, height: int,
                  tile_h: int = None, tile_w: int = None,
-                 cluster: int = CLUSTER):
+                 cluster: int = CLUSTER, chunk: int = None):
     """Shared main-raster body: pad, coefficients, per-tile pre-gather,
     kernel launch. Returns CROPPED (depth, tidf, d0, d1, s) planes —
     the epilogues (`rasterize`: bary normalization; `rasterize_attrs`:
     interpolated-attribute packaging) differ per record layout."""
     th, tw = (tile_h, tile_w) if tile_h else tile_dims(width, height)
     tile_list, counts, big_idx, big_count = binned
+    sub = tile_subcols(tw)
     ntx = pl.cdiv(width, tw)
     nty = pl.cdiv(height, th)
     n_tiles = ntx * nty
@@ -1119,16 +1196,20 @@ def _raster_main(rec, binned, width: int, height: int,
     # pre-gather cluster records per tile (XLA gather — keeps the kernel
     # free of dynamic indexing; cluster rows make it row-count-cheap;
     # gather_rows keeps it a shared-table gather under the per-env vmap
-    # — the batched-operand form was 16.3 ms/frame at 16 envs)
-    trec = gather_rows(crec, tile_list).reshape(n_tiles, cap, NCOEF)
+    # — the batched-operand form was 16.3 ms/frame at 16 envs).
+    # tile_list rows are SUB-tile lists (y-major, x at sub granularity):
+    # one coarse tile's `sub` lists are consecutive, so the kernel block
+    # regroup is this reshape.
+    trec = gather_rows(crec, tile_list).reshape(n_tiles, sub * cap, NCOEF)
     n_big = big_idx.shape[0] * cluster
     brec = gather_rows(crec, big_idx).reshape(1, n_big, NCOEF)
-    counts2 = jnp.stack(
-        [counts * cluster,
-         jnp.broadcast_to(big_count * cluster, counts.shape)], axis=-1
-    ).astype(jnp.int32)                         # (n_tiles, 2)
+    counts2 = jnp.concatenate(
+        [counts.reshape(n_tiles, sub) * cluster,
+         jnp.broadcast_to(big_count * cluster, (n_tiles, 1))], axis=-1
+    ).astype(jnp.int32)                         # (n_tiles, sub + 1)
 
-    kern = partial(_raster_tile_kernel, width, height, th, tw)
+    kern = partial(_raster_tile_kernel, width, height, th, tw, sub,
+                   chunk or KERNEL_CHUNK)
     out_shape = [jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)
                  for _ in range(5)]             # depth, tid, d0, d1, s
 
@@ -1139,8 +1220,8 @@ def _raster_main(rec, binned, width: int, height: int,
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (n_tiles, 2)
-            pl.BlockSpec((1, cap, NCOEF), lambda i: (i, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (n_tiles, sub+1)
+            pl.BlockSpec((1, sub * cap, NCOEF), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_big, NCOEF), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1156,10 +1237,10 @@ def _raster_main(rec, binned, width: int, height: int,
     return crop(depth), crop(tidf), crop(d0), crop(d1), crop(s)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def rasterize(rec, binned, width: int, height: int,
               tile_h: int = None, tile_w: int = None,
-              cluster: int = CLUSTER) -> GBuffer:
+              cluster: int = CLUSTER, chunk: int = None) -> GBuffer:
     """Raster the binned clusters into a (H, W) G-buffer. H/W are
     padded up to tile multiples internally and cropped on return.
     tile_h/tile_w/cluster must match the bin_triangles call.
@@ -1169,7 +1250,7 @@ def rasterize(rec, binned, width: int, height: int,
     kernel's record-block lane padding improve 8× over per-triangle
     lists."""
     depth, tidf, d0, d1, s = _raster_main(rec, binned, width, height,
-                                          tile_h, tile_w, cluster)
+                                          tile_h, tile_w, cluster, chunk)
     tri = tidf.astype(jnp.int32)                    # float ids are exact
     # perspective normalization deferred out of the kernel (one divide
     # per PIXEL instead of per pixel-triangle pair); the q/s coefficient
@@ -1184,10 +1265,10 @@ def rasterize(rec, binned, width: int, height: int,
                    bary=jnp.stack([b0, b1], axis=-1))
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def rasterize_attrs(rec, binned, width: int, height: int,
                     tile_h: int = None, tile_w: int = None,
-                    cluster: int = CLUSTER):
+                    cluster: int = CLUSTER, chunk: int = None):
     """Kernel-side attribute-interpolation raster: for EXTRAS-layout
     records (22 cols — vextra= in the record builders) the kernel's
     generic d0/d1/s plane slots carry iw_px·(perspective-correct
@@ -1202,7 +1283,7 @@ def rasterize_attrs(rec, binned, width: int, height: int,
     lane-padded gather rows were the dominant HBM term of the composed
     frame (~2k env-fps ceiling at 256², ROUND_NOTES r3)."""
     depth, tidf, d0, d1, s = _raster_main(rec, binned, width, height,
-                                          tile_h, tile_w, cluster)
+                                          tile_h, tile_w, cluster, chunk)
     pid = tidf.astype(jnp.int32)                    # float ids are exact
     return depth, pid, jnp.stack([d0, d1, s], axis=-1)
 

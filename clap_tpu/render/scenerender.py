@@ -457,10 +457,18 @@ def kernel_attrs_ok(rt: RenderTables) -> bool:
 
 
 def _entity_cull_lod(rt: RenderTables, entity_mx, entity_visible,
-                     cam_planes, cam_pos, skip_culling=None):
+                     cam_planes, cam_pos, skip_culling=None,
+                     lod_scale: float = 1.0):
     """Per-env per-entity frustum cull + distance LOD (the shared front
     half of both batched assembly paths). Returns (ent_ok (B, E) bool,
-    lod (B, E) int32, rot (B, E, 3, 3))."""
+    lod (B, E) int32, rot (B, E, 3, 3)).
+
+    lod_scale multiplies LOD_DISTANCES — constant screen-space-error
+    selection: the 30/60/120 m defaults are the 720p design point
+    (model.c:975-998 selects by fixed distance at the reference's
+    window size), so a 256² target passes ~height/720 and switches
+    proportionally closer, keeping pixels-per-triangle roughly
+    constant."""
     c = 0.5 * (rt.entity_aabb[:, 0] + rt.entity_aabb[:, 1])
     e = 0.5 * (rt.entity_aabb[:, 1] - rt.entity_aabb[:, 0])
     rot = entity_mx[:, :, :3, :3]
@@ -470,7 +478,8 @@ def _entity_cull_lod(rt: RenderTables, entity_mx, entity_visible,
     if skip_culling is not None:
         in_frustum = in_frustum | skip_culling[None, :]
     dist = jnp.linalg.norm(wc - cam_pos[:, None, :], axis=-1)
-    lod = jnp.sum(dist[..., None] > jnp.asarray(LOD_DISTANCES)[None, None, :],
+    dists = jnp.asarray(LOD_DISTANCES) * lod_scale
+    lod = jnp.sum(dist[..., None] > dists[None, None, :],
                   axis=-1).astype(jnp.int32)
     lod = jnp.minimum(lod, LOD_MAX - 1)
     if rt.ent_max_lod is not None:   # clamp to each entity's own chain
@@ -483,7 +492,8 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
                                    views, proj, cap: int = 24576,
                                    skip_culling=None,
                                    cluster_cull: bool = True,
-                                   char_skin=None, joint_mats=None):
+                                   char_skin=None, joint_mats=None,
+                                   lod_scale: float = 1.0):
     """Cluster-granularity batched assembly for the kernel_attrs
     composed path — the record pipeline's front end at ~T/8 rows.
 
@@ -533,7 +543,8 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
     hi = jax.lax.Precision.HIGHEST
     L = LOD_MAX
     ent_ok, lod, rot = _entity_cull_lod(rt, entity_mx, entity_visible,
-                                        cam_planes, cam_pos, skip_culling)
+                                        cam_planes, cam_pos, skip_culling,
+                                        lod_scale)
     ok_el = (ent_ok[..., None]
              & (lod[..., None] == jnp.arange(L)[None, None, :]))  # (B,E,L)
 
@@ -680,7 +691,7 @@ def assemble_cluster_records_batch(rt: RenderTables, entity_mx,
 def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
                                   entity_visible, cam_planes, cam_pos,
                                   skip_culling=None, char_skin=None,
-                                  joint_mats=None):
+                                  joint_mats=None, lod_scale: float = 1.0):
     """Per-ENV-BATCH geometry assembly for composed step+render: B envs,
     each with its own entity transforms/visibility/camera, over ONE
     shared instance table.
@@ -733,7 +744,8 @@ def assemble_scene_geometry_batch(rt: RenderTables, entity_mx,
                 wverts, w_skin[:, c], (0, r0, 0))
 
     ent_ok, lod, rot = _entity_cull_lod(rt, entity_mx, entity_visible,
-                                        cam_planes, cam_pos, skip_culling)
+                                        cam_planes, cam_pos, skip_culling,
+                                        lod_scale)
 
     # face validity: entity-ok AND lod match, as ONE one-hot matmul over
     # the (E · LOD_MAX) product table

@@ -82,10 +82,12 @@ def view_of(c):
 
 views = jax.jit(jax.vmap(view_of))(cam)
 planes = jax.jit(jax.vmap(lambda v: make_subview(v, proj).planes))(views)
+LOD_SCALE = float(os.environ.get("LOD_SCALE", "1.0"))
 geom, axes = jax.jit(lambda mxs, vis, pl_, pos, vw, jm:
                      assemble_cluster_records_batch(
                          rt, mxs, vis, pl_, pos, vw, proj, cap=12288,
-                         skip_culling=skip, char_skin=cskin, joint_mats=jm))(
+                         skip_culling=skip, char_skin=cskin, joint_mats=jm,
+                         lod_scale=LOD_SCALE))(
     sts.mx, sts.visible, planes, cam.pos, views, gss.joint_mats)
 comp = jax.block_until_ready(geom.comp)
 comp_valid, comp_ent = geom.comp_valid, geom.comp_ent
@@ -94,7 +96,7 @@ print(f"comp {comp.shape} valid/env "
       f"{np.asarray(comp_valid.sum(axis=1))[:4]}", flush=True)
 
 
-def run(tag, th=None, tw=None, cap=None, reps=10, empty=False):
+def run(tag, th=None, tw=None, cap=None, reps=10, empty=False, chunk=None):
     @jax.jit
     def f(comp, comp_valid, comp_ent):
         def one(cp, cv, ce):
@@ -107,7 +109,8 @@ def run(tag, th=None, tw=None, cap=None, reps=10, empty=False):
             binned = bin_triangles(rec, ok, W, H, tile_h=th, tile_w=tw,
                                    cap=cap)
             depth, pid, nraw = rasterize_attrs(rec, binned, W, H,
-                                               tile_h=th, tile_w=tw)
+                                               tile_h=th, tile_w=tw,
+                                               chunk=chunk)
             return depth.sum() + pid.sum() + nraw.sum()
         return jax.vmap(one)(comp, comp_valid, comp_ent)
 
@@ -136,4 +139,3 @@ if __name__ == "__main__":
 
     run("baseline (full lists)")
     run("empty lists (fixed cost)", empty=True)
-    run("empty cap 1024", 16, 256, 1024, empty=True)
