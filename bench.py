@@ -21,7 +21,7 @@ one JSON line printed only after ~15 heavyweight configs):
 - the merged JSON line is RE-printed after every completed config, so
   the last parseable line of stdout is always the freshest snapshot —
   a mid-run kill still leaves a valid artifact in the tail;
-- a wall-clock governor (BENCH_BUDGET_S, default 1500 s) skips any
+- a wall-clock governor (BENCH_BUDGET_S, default 4800 s) skips any
   config whose cost estimate exceeds the remaining budget;
 - SIGTERM/SIGINT/atexit handlers emit the merged line one final time
   (`timeout` sends SIGTERM — r4's killer — which is catchable);
@@ -733,7 +733,11 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     return out
 
 
-def bench_shading_rate(res: int = 256, scales=(2, 4)):
+def bench_shading_rate(res: int = 256, scales=(2,)):
+    # scales=(2,) only: each scale is a fresh multi-minute composed
+    # compile over the axon tunnel; internal_scale=2 is the recorded
+    # quality/fps statement (VERDICT r4 #3) — pass scales=(2, 4) for
+    # the full curve when iterating locally.
     """VERDICT r3 #2: the internal-resolution lever's measured quality
     cost — PSNR of the composed frame at each internal scale vs the
     full-res frame (same env/state), reported next to the env-fps the
@@ -882,29 +886,33 @@ def _configs(backend):
     cheapest/most-important first so the headline + the VERDICT-r4
     must-record set (headless, composed 64, dense 720p, production,
     floor verdict) land before the expensive tail."""
+    # cost estimates are COLD-cache seconds measured on the r5 priming
+    # run (axon-tunnel compiles dominate; the persistent cache does not
+    # reliably cover the TPU executables, so every run budgets as cold);
+    # per-config deadline = 2x est
     on_tpu = backend == "tpu"
     configs = [
-        ("headless", 300, lambda: run_headless(backend)),
+        ("headless", 500, lambda: run_headless(backend)),
         ("ca2d", 60, bench_ca2d),
-        ("skinning", 90, bench_skinning),
-        ("step_and_render", 900, lambda: {
+        ("skinning", 250, bench_skinning),
+        ("step_and_render", 1000, lambda: {
             str(64 if on_tpu else 8):
                 bench_step_and_render(n_envs=64 if on_tpu else 8)}),
-        ("full_frame_dense", 420, lambda: bench_full_frame(
+        ("full_frame_dense", 350, lambda: bench_full_frame(
             nr_v=240, n_cubes=256, raster_cap=4096,
             name="full_frame_720p_dense_ms")),
-        ("full_frame_production", 600, bench_full_frame_production),
-        ("kernel_parity", 150, kernel_parity_check),
-        ("batched_render", 240, bench_batched_render),
-        ("full_frame", 240, bench_full_frame),
+        ("full_frame_production", 400, bench_full_frame_production),
+        ("kernel_parity", 200, kernel_parity_check),
+        ("batched_render", 250, bench_batched_render),
+        ("full_frame", 600, bench_full_frame),
     ]
     if on_tpu:
         configs += [
-            ("step_and_render_textured", 600, lambda: {
+            ("step_and_render_textured", 900, lambda: {
                 "64tex": bench_step_and_render(n_envs=64, textured=True)}),
-            ("step_and_render_256", 600,
+            ("shading_rate", 1100, run_shading_rate),
+            ("step_and_render_256", 800,
              lambda: {"256": bench_step_and_render(n_envs=256)}),
-            ("shading_rate", 900, run_shading_rate),
         ]
     return configs
 
@@ -932,7 +940,14 @@ def main():
 
     backend = jax.default_backend()
     _RESULTS["backend"] = backend
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    # default budget 4800 s: the r3 driver run completed a ~60-90 min
+    # bench (rc=0), so the driver's own timeout is comfortably above
+    # this; the r5 cold-cost sum of the must-record set (headless,
+    # composed 64, dense, production, parity, batched, full_frame) is
+    # ~3000 s, leaving ~1800 s for the tail configs. Incremental
+    # emission + the SIGTERM handler keep the artifact valid even if
+    # the driver kills us first.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "4800"))
     _RESULTS["budget_s"] = budget
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
