@@ -627,9 +627,12 @@ def bench_step_and_render(n_envs: int = 64, res: int = 256,
     # constant screen-space-error LOD: the 30/60/120 m chain distances
     # are the 720p design point (model.c:975-998); a 256² target
     # switches proportionally closer — same pixels-per-triangle, ~2×
-    # fewer walked records on the terrain. LOD_SCALE=1 reverts.
-    lod_scale = float(os.environ.get(
-        "LOD_SCALE", max(res // internal_scale, 64) / 720.0))
+    # fewer walked records on the terrain. Keyed on the OUTPUT
+    # resolution (not the internal_scale shading res) so the shading-
+    # rate lever changes shading only, never geometry — the PSNR
+    # statement below compares like-for-like silhouettes.
+    # LOD_SCALE=1 reverts.
+    lod_scale = float(os.environ.get("LOD_SCALE", max(res, 64) / 720.0))
 
     def render_chunk(args):
         sts, jmats = args
